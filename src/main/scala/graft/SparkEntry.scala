@@ -1,13 +1,423 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.temporal.Temporal
+import graft.operators.{Analytics, TimeSeries}
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.functions.Text
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2.
+  *
+  * The `events` table plays the reference's `temporal_records`
+  * (reference app/models.py:7-24): user_id ≈ record_id, ts ≈ timestamp,
+  * (event_type, value, props) ≈ data. Fixed query constants live here;
+  * the operators themselves are the generic library under graft.*.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Temporal query points (events span 2024-01-01 .. 2024-01-30).
+  private val T = "2024-01-20 00:00:00"
+  private val T1 = "2024-01-10 00:00:00"
+  private val T2 = "2024-01-25 00:00:00"
+  private val RecId = 42
+  private val Stopwords = Seq("the", "a")
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  /** Flagship: AS-OF snapshot (the reference's GET /query). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("t1_asof_snapshot")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. temporal core ------------------------------------------------
+    "t1_asof_snapshot" -> ((s, d) =>
+      Temporal.asOf(ev(s, d), "user_id", "ts", "event_id", ts(T))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id")),
+
+    "t2_version_history" -> ((s, d) =>
+      Temporal.history(ev(s, d), "user_id", "ts", "event_id", lit(RecId))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"), col("version"), col("previous_version"))
+        .orderBy("ts_us", "event_id")),
+
+    "t3_asof_lookup" -> ((s, d) =>
+      Temporal.asOf(ev(s, d).filter(col("user_id") === RecId),
+          "user_id", "ts", "event_id", ts(T))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"), col("props"))),
+
+    "t4_compare_diff" -> ((s, d) => changesDf(s, d).filter(col("user_id") === RecId)),
+
+    "t5_rollback_set" -> ((s, d) =>
+      Temporal.rollbackSet(ev(s, d), "user_id", "ts", "event_id", ts(T))
+        .select(col("user_id"), col("n_after"), col("action"),
+          col("event_id").as("restore_event_id"),
+          unix_micros(col("ts")).as("restore_ts_us"),
+          col("event_type").as("restore_event_type"),
+          col("value").as("restore_value"))
+        .orderBy("user_id")),
+
+    "t6_rollback_log" -> ((s, d) =>
+      Temporal.rollbackLog(ev(s, d), "user_id", "ts", ts(T))),
+
+    "t7_version_stats" -> ((s, d) =>
+      Temporal.versionStats(ev(s, d), "user_id", "ts")
+        .select(col("user_id"), col("n_versions"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"),
+          (unix_micros(col("last_ts")) - unix_micros(col("first_ts"))).as("lifespan_us"))
+        .orderBy("user_id")),
+
+    "t8_changes_between" -> ((s, d) => changesDf(s, d).orderBy("user_id")),
+
+    // ---- B. time series --------------------------------------------------
+    "ts1_tumbling_agg" -> ((s, d) =>
+      TimeSeries.tumblingDaily(ev(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    "ts2_sliding_avg" -> ((s, d) =>
+      TimeSeries.slidingAvg(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 3)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("mavg"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
+    "ts3_lag_delta" -> ((s, d) =>
+      TimeSeries.lagDelta(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("prev_value"), col("delta"), col("elapsed_us"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
+    "ts4_sessionize" -> ((s, d) =>
+      TimeSeries.sessionize(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 1800L)
+        .orderBy("user_id", "session_id")),
+
+    "ts5_downsample_ohlc" -> ((s, d) =>
+      TimeSeries.downsampleOhlc(ev(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    "ts6_topk" -> ((s, d) =>
+      TimeSeries.topkByTotal(ev(s, d), "user_id", "value", 20)
+        .select("rank", "user_id", "total_value").orderBy("rank")),
+
+    "ts7_asof_join" -> ((s, d) => {
+      val e = ev(s, d).select("user_id", "ts", "event_id", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click").drop("event_type")
+      TimeSeries.asOfJoin(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("event_id", "ts"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts_us"),
+          col("right_event_id").as("click_id"),
+          unix_micros(col("right_ts")).as("click_ts_us"),
+          (unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- C. relational analytics ----------------------------------------
+    "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
+    "q3_shipping_priority" -> ((s, d) =>
+      Analytics.q3ShippingPriority(s, d, "BUILDING", "1998-03-15")),
+    "q6_revenue_delta" -> ((s, d) => Analytics.q6RevenueDelta(s, d, 1997)),
+
+    // ---- D. dedup --------------------------------------------------------
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("canonical_id")),
+
+    "d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.12)
+        .orderBy("id_a", "id_b")),
+
+    // ---- E. similarity search -------------------------------------------
+    "a1_knn_brute" -> ((s, d) =>
+      Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // ---- F. text analysis ------------------------------------------------
+    "x2_quality_score" -> ((s, d) => {
+      val ws = Text.words(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(ws).as("n_words"),
+          size(array_distinct(ws)).as("n_distinct"),
+          Text.stopwordHits(ws, Stopwords).as("stop_hits"))
+        .withColumn("quality", Text.qualityScore(
+          col("n_words"), col("n_distinct"), col("stop_hits"), col("n_chars")))
+        .orderBy("doc_id")
+    }),
+
+    "x3_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(Text.wsTokenCount(col("text"))).as("ws_tokens"),
+          sum(Text.regexTokenCount(col("text"))).as("re_tokens"))
+        .orderBy("source")),
+
+    "x4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .orderBy("doc_id")),
+  )
+
+  /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
+  private def changesDf(s: SparkSession, d: String): DataFrame = {
+    val withK = ev(s, d).withColumn("k", get_json_object(col("props"), "$.k"))
+      .select("user_id", "ts", "event_id", "event_type", "value", "k")
+    Temporal.changesBetween(withK, "user_id", "ts", "event_id",
+      ts(T1), ts(T2), Seq("event_type", "value", "k"))
+      .select("user_id", "event_type_from", "event_type_to",
+        "value_from", "value_to", "k_from", "k_to", "changed_fields")
+  }
+
+  // -------------------------------------------------------------------------
+  // DuckDB oracles (driver runs these on views named after the tables).
+  // Aliases match the Spark output exactly; sums go through DECIMAL; ratios
+  // round to 6dp; timestamps surface as epoch_us BIGINT (SURVEY §5).
+  // -------------------------------------------------------------------------
+  def oracleSql: Map[String, String] = {
+    val asofState =
+      s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, props
+         |FROM events WHERE ts <= TIMESTAMP '$T'
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+    val changes =
+      s"""WITH s1 AS (SELECT user_id, event_type, value, json_extract_string(props,'$$.k') AS k
+         |  FROM events WHERE ts <= TIMESTAMP '$T1'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         |s2 AS (SELECT user_id, event_type, value, json_extract_string(props,'$$.k') AS k
+         |  FROM events WHERE ts <= TIMESTAMP '$T2'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         |SELECT * FROM (
+         |  SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+         |    s1.event_type AS event_type_from, s2.event_type AS event_type_to,
+         |    s1.value AS value_from, s2.value AS value_to,
+         |    s1.k AS k_from, s2.k AS k_to,
+         |    concat_ws(',',
+         |      CASE WHEN s1.event_type IS DISTINCT FROM s2.event_type THEN 'event_type' END,
+         |      CASE WHEN s1.value IS DISTINCT FROM s2.value THEN 'value' END,
+         |      CASE WHEN s1.k IS DISTINCT FROM s2.k THEN 'k' END) AS changed_fields
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+         |WHERE changed_fields <> ''""".stripMargin
+    Map(
+      "t1_asof_snapshot" -> s"$asofState\nORDER BY user_id",
+
+      "t2_version_history" ->
+        s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+           |  'v' || rn AS version,
+           |  CASE WHEN rn = 1 THEN NULL ELSE 'v' || (rn - 1) END AS previous_version
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |      FROM events WHERE user_id = $RecId)
+           |ORDER BY ts_us, event_id""".stripMargin,
+
+      "t3_asof_lookup" ->
+        s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, props
+           |FROM events WHERE ts <= TIMESTAMP '$T' AND user_id = $RecId
+           |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+      "t4_compare_diff" -> s"$changes AND user_id = $RecId",
+
+      "t5_rollback_set" ->
+        s"""WITH aff AS (SELECT user_id, count(*) AS n_after FROM events
+           |  WHERE ts > TIMESTAMP '$T' GROUP BY user_id),
+           |st AS (SELECT user_id, event_id, ts, event_type, value
+           |  FROM events WHERE ts <= TIMESTAMP '$T'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+           |SELECT aff.user_id, aff.n_after,
+           |  CASE WHEN st.ts IS NULL THEN 'DELETE' ELSE 'RESTORE' END AS action,
+           |  st.event_id AS restore_event_id, epoch_us(st.ts) AS restore_ts_us,
+           |  st.event_type AS restore_event_type, st.value AS restore_value
+           |FROM aff LEFT JOIN st ON aff.user_id = st.user_id
+           |ORDER BY aff.user_id""".stripMargin,
+
+      "t6_rollback_log" ->
+        s"""SELECT count(*) AS affected_records,
+           |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS record_ids
+           |FROM (SELECT DISTINCT user_id FROM events WHERE ts > TIMESTAMP '$T')""".stripMargin,
+
+      "t7_version_stats" ->
+        s"""SELECT user_id, count(*) AS n_versions, epoch_us(min(ts)) AS first_us,
+           |  epoch_us(max(ts)) AS last_us,
+           |  epoch_us(max(ts)) - epoch_us(min(ts)) AS lifespan_us
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "t8_changes_between" -> s"$changes\nORDER BY user_id",
+
+      "ts1_tumbling_agg" ->
+        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+      "ts2_sliding_avg" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+          |        / count(*) OVER w, 6) AS mavg
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+      "ts3_lag_delta" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |  lag(value) OVER w AS prev_value,
+          |  value - lag(value) OVER w AS delta,
+          |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS elapsed_us
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+      "ts4_sessionize" ->
+        """WITH g AS (SELECT user_id, ts, event_id, value,
+          |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          |    THEN 1 ELSE 0 END AS ns
+          |  FROM events),
+          |s AS (SELECT user_id, ts, value,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+      "ts5_downsample_ohlc" ->
+        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          |  arg_max(value, ts) AS close, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+      "ts6_topk" ->
+        """SELECT row_number() OVER (ORDER BY total_value DESC, user_id) AS rank,
+          |  user_id, total_value
+          |FROM (SELECT user_id,
+          |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |      FROM events GROUP BY user_id)
+          |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+
+      "ts7_asof_join" ->
+        """SELECT p.event_id AS purchase_id, p.user_id,
+          |  epoch_us(p.ts) AS purchase_ts_us, c.event_id AS click_id,
+          |  epoch_us(c.ts) AS click_ts_us,
+          |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts
+          |ORDER BY purchase_id""".stripMargin,
+
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+          |  sum_charge, count_order,
+          |  round(sum_qty / count_order, 6) AS avg_qty,
+          |  round(sum_base_price / count_order, 6) AS avg_price
+          |FROM (SELECT l_returnflag, l_linestatus,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          |    count(*) AS count_order
+          |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+          |  GROUP BY 1, 2)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_shipping_priority" ->
+        """SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |  o.o_orderpriority,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q6_revenue_delta" ->
+        """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+      "d1_exact_dedup" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+          |  count(*) AS n_docs,
+          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      "d4_ngram_jaccard" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+          |SELECT id_a, id_b, shared, jaccard FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+          |    round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+          |  FROM e a JOIN e b USING (shingle)
+          |  WHERE a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+          |WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
+
+      "a1_knn_brute" ->
+        """SELECT query_id, nn_id, cos, rank FROM (
+          |  SELECT query_id, nn_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+          |  FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+          |      round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+          |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+          |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "x2_quality_score" ->
+        """SELECT doc_id, n_chars, n_words, n_distinct, stop_hits,
+          |  round(0.4 * least(n_distinct::DOUBLE / n_words * 2.0, 1.0)
+          |      + 0.3 * least(stop_hits::DOUBLE / n_words * 5.0, 1.0)
+          |      + 0.3 * least((n_chars::DOUBLE / n_words) / 8.0, 1.0), 6) AS quality
+          |FROM (SELECT doc_id, n_chars, len(words) AS n_words,
+          |    len(list_distinct(words)) AS n_distinct,
+          |    len(list_filter(words, w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents))
+          |ORDER BY doc_id""".stripMargin,
+
+      "x3_token_count" ->
+        """SELECT source, count(*) AS n_docs,
+          |  sum(len(string_split(text, ' '))) AS ws_tokens,
+          |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS re_tokens
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "x4_fingerprint" ->
+        """SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+          |FROM (SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |        ' +', ' ', 'g'))) AS fp
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+    )
+  }
 }

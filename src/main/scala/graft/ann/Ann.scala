@@ -1,0 +1,72 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `knnBrute`: exact cosine top-k for an explicit (small) query set —
+  *    the query side is broadcast, the corpus side is scanned once,
+  *    projected to (id, vector) only; per-query ranking is a window over
+  *    the query id. This is the correctness baseline.
+  *  - `knnBlocked`: IVF-style — restrict candidates to the query's
+  *    coarse cell (here: a precomputed partition/label column). At 100 TB
+  *    the cell column is the bucketing key, so a probe touches only its
+  *    cell's partitions instead of the full corpus.
+  *  - random-hyperplane LSH bucketing (round 2) follows the same shape
+  *    with sign-bit bucket keys.
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each id in `queryIds`.
+    * Deterministic: ranked by rounded cosine desc, then neighbor id. */
+  def knnBrute(emb: DataFrame, id: String, vec: String,
+               queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style top-k within the query's coarse cell (`cell` column). */
+  def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,
+                 queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+      col(cell).as("nn_cell"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"), col(cell).as("q_cell"))
+    val scored = corpus.join(broadcast(queries),
+        col("nn_cell") === col("q_cell") && col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ tau within the same coarse cell
+    * (cell-blocked so the pair space never goes quadratic corpus-wide). */
+  def nearDupPairs(emb: DataFrame, id: String, vec: String, cell: String,
+                   tau: Double): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("vec_a"), col(cell).as("cell"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vec_b"), col(cell).as("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        Vec.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

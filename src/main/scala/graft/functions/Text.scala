@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data curation:
+  * tokenization, shingling, quality features, fingerprints, language ID.
+  *
+  * Everything here is built from codegen'd `functions._` expressions —
+  * no UDFs — so whole-stage codegen keeps the scan→project pipeline in
+  * one fused loop, and every primitive is reproducible in ANSI SQL for
+  * the DuckDB oracle (md5 for hashing, regex for token classes).
+  */
+object Text {
+
+  /** Whitespace word list. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (the MinHash/Jaccard unit). Documents
+    * shorter than n words contribute their full text as one shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      when(size(ws) < n, array(text)).otherwise(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: runs of letters or digits (a cheap, portable
+    * stand-in for a subword tokenizer's pre-tokenization pass). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
+
+  /** Canonical text for near-dup fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized-text fingerprint (md5 — portable to the oracle). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** English-ish stopword hit count over a word list. */
+  def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stopwords.map(s => s: Any): _*)))
+
+  /** Quality features (length / vocabulary / stopword mix), combined into
+    * a single [0,1]-ish score. All integer-derived arithmetic → exact
+    * and engine-portable. */
+  def qualityScore(nWords: Column, nDistinct: Column, stopHits: Column,
+                   nChars: Column): Column = {
+    val distinctRatio = nDistinct.cast("double") / nWords
+    val stopRatio = stopHits.cast("double") / nWords
+    val meanWordLen = nChars.cast("double") / nWords
+    round(
+      lit(0.4) * least(distinctRatio * 2.0, lit(1.0)) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * least(meanWordLen / 8.0, lit(1.0)), 6)
+  }
+}

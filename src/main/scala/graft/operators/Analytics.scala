@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics headliners (TPC-H flavor) used as benchmark
+  * queries. These exercise the plan shapes that dominate at 100 TB:
+  * scan-heavy filter+aggregate (q1/q6: one shuffle, partial aggs,
+  * filters and column pruning pushed to parquet) and star joins
+  * (q3: dimension side broadcast, single fact-fact shuffle on the
+  * shared key, AQE handles skew).
+  *
+  * Money sums go through DECIMAL so results are order-independent
+  * (SURVEY §5); per-row arithmetic stays in double (deterministic IEEE,
+  * identical in the DuckDB oracle).
+  */
+object Analytics {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1 flavor: pricing summary on lineitem at a ship-date cutoff. */
+  def q1PricingSummary(spark: SparkSession, sfDir: String, cutoff: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 flavor: unshipped-order revenue for one market segment.
+    * customer is small → broadcast into orders; orders⋈lineitem is the
+    * one real shuffle (both sides hash on the order key). */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String,
+                         segment: String, date: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(date).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(date).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
+    * every predicate reaches the parquet reader. */
+  def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(
+        col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec6(col("l_extendedprice") * col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+}

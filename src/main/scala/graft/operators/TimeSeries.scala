@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over an event stream (ts, key, value, ...).
+  * The reference sits on TimescaleDB (reference README.md "PostgreSQL +
+  * TimescaleDB"), whose bread-and-butter is exactly these: time-bucketed
+  * aggregation, gap-aware sessionization, downsampling, as-of joins.
+  * Re-expressed as declarative Spark plans:
+  *
+  *  - tumbling/downsample → `groupBy(date_trunc)` — partial-aggregated
+  *    map-side, single shuffle keyed on (bucket, series).
+  *  - sliding/lag/sessionize → one `Window.partitionBy(key)` shuffle;
+  *    frames are ROWS-bounded so Spark streams them without buffering
+  *    whole partitions.
+  *  - as-of join → union + last(ignoreNulls) over the time-ordered
+  *    window: ONE shuffle on the join key, no per-row probe. This is the
+  *    scalable alternative to an index nested-loop as-of join — at 100 TB
+  *    both sides co-partition and the merge is linear per key.
+  *
+  * Sums that feed correctness oracles go through DECIMAL(18,6) so they
+  * are order-independent and exact (SURVEY §5).
+  */
+object TimeSeries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Tumbling-window aggregate: per (series, day-bucket) count/sum/avg. */
+  def tumblingDaily(df: DataFrame, series: String, ts: String, value: String): DataFrame =
+    df.groupBy(col(series), date_format(col(ts), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col(value))).cast("double").as("sum_value"))
+      .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
+
+  /** Sliding mean over the last `frame`+1 rows per key, time-ordered.
+    * Decimal window sum keeps the result order-exact. */
+  def slidingAvg(df: DataFrame, key: String, ts: String, tie: String,
+                 value: String, frame: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+      .rowsBetween(-frame, Window.currentRow)
+    df.withColumn("mavg",
+      round(sum(dec(col(value))).over(w).cast("double") /
+        count(lit(1)).over(w), 6))
+  }
+
+  /** Per-key delta vs the previous observation: value delta + elapsed µs. */
+  def lagDelta(df: DataFrame, key: String, ts: String, tie: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    df.withColumn("prev_value", lag(col(value), 1).over(w))
+      .withColumn("delta", col(value) - col("prev_value"))
+      .withColumn("elapsed_us",
+        unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w))
+  }
+
+  /** Gap-based sessionization: a new session starts when the key is idle
+    * longer than `gap`. Two stacked windows over the SAME partitioning —
+    * Catalyst reuses one shuffle+sort for both. */
+  def sessionize(df: DataFrame, key: String, ts: String, tie: String,
+                 value: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val newSession = when(
+      unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w) >
+        gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("session_id",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(ts))).as("start_us"),
+        unix_micros(max(col(ts))).as("end_us"),
+        sum(dec(col(value))).cast("double").as("total_value"))
+  }
+
+  /** Daily OHLC downsample per series: open/close by time order (min_by /
+    * max_by — partial-aggregable, no window sort), high/low by value. */
+  def downsampleOhlc(df: DataFrame, series: String, ts: String, value: String): DataFrame =
+    df.groupBy(col(series), date_format(col(ts), "yyyy-MM-dd").as("day"))
+      .agg(
+        min_by(col(value), col(ts)).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), col(ts)).as("close"),
+        count(lit(1)).as("n"))
+
+  /** Top-k keys by exact decimal total, deterministic tie-break on key. */
+  def topkByTotal(df: DataFrame, key: String, value: String, k: Int): DataFrame =
+    df.groupBy(col(key))
+      .agg(sum(dec(col(value))).cast("double").as("total_value"))
+      .orderBy(col("total_value").desc, col(key).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("total_value").desc, col(key).asc)))
+
+  /** As-of join: for each left row, the latest right row with the same
+    * key and `rightTs <= leftTs`. Implemented as union + time-ordered
+    * last(ignoreNulls) — one shuffle on `key`, linear merge per key.
+    *
+    * `left`/`right` must share (key, ts, tie) columns; `carry` names the
+    * right-side columns to attach to each left row.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tie: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val tagged =
+      left.withColumn("__side", lit(1))
+        .select((lCols.map(col) :+ col("__side")) ++
+          carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .unionByName(
+        right.withColumn("__side", lit(0))
+          .select((lCols.map(c => if (right.columns.contains(c)) col(c)
+                                  else lit(null).cast(left.schema(c).dataType).as(c)) :+
+            col("__side")) ++ carry.map(c => col(c).as(s"__r_$c")): _*))
+    // right rows sort before left rows at equal (ts, tie) so an exact
+    // timestamp match is visible to the left row (ASOF `<=` semantics).
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"), col(tie))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carry.foldLeft(tagged) { (d, c) =>
+      d.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ carry.map(c => col(s"__last_$c").as(s"right_$c")): _*)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the synthetic star schema + event/document/
+  * embedding tables (see TESTDATA.md). One parquet file per table under
+  * `sfDir`. All loads are lazy scans — Catalyst pushes filters/pruning
+  * into the parquet reader, so callers should select/filter on the
+  * returned DataFrame rather than pre-materializing.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** The temporal store: plays the role of the reference's
+    * `temporal_records` table (reference app/models.py:7-24):
+    * user_id ≈ record_id, ts ≈ timestamp, (event_type, value, props) ≈ data.
+    *
+    * The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    * only surfaces as a nanosecond long (`spark.sql.legacy.parquet
+    * .nanosAsLong`, set in Verify/Bench/tests); normalize it to a proper
+    * microsecond TimestampType here — the synthetic data is µs-grained,
+    * so the `div 1000` is lossless (and matches DuckDB's own ns→µs read).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,122 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-expression of the reference's temporal-database core
+  * (TemporalVault, reference app/main.py + app/models.py).
+  *
+  * The reference stores an append-only version chain per `record_id` in
+  * PostgreSQL and answers time-travel reads with B-tree index scans
+  * (reference app/models.py:22 `idx_record_timestamp`). Here the chain is
+  * a parquet-backed DataFrame and every endpoint is a declarative plan:
+  *
+  *  - AS-OF read  → one hash-shuffle on the record key with map-side
+  *    partial `max_by` aggregation (no window sort needed when only the
+  *    latest version is wanted). At 100 TB this collapses each scan
+  *    partition before the exchange — the shuffle carries ≤ one row per
+  *    (key, partition).
+  *  - version numbering / history → a single `Window.partitionBy(key)`
+  *    (same one shuffle, then a per-key sort that AQE sizes).
+  *  - rollback → never rewrites in place: emits the compensation rows to
+  *    append (reference does in-place UPDATE, main.py:208; append-only is
+  *    the scalable equivalent and preserves the audit chain).
+  *
+  * All methods are generic over (key, ts, tie-break) so any versioned
+  * table works; the test tables use events(user_id, ts, event_id).
+  */
+object Temporal {
+
+  /** Latest row per `key` with `ts <= at` — the reference's
+    * `GET /query?timestamp=` (app/main.py:100-151) over all records.
+    * `tie` breaks equal timestamps deterministically (append sequence).
+    */
+  def asOf(df: DataFrame, key: String, ts: String, tie: String, at: Column): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    val payload = struct(others.map(col): _*)
+    df.filter(col(ts) <= at)
+      .groupBy(col(key))
+      .agg(max_by(payload, struct(col(ts), col(tie))).as("__s"))
+      .select(col(key) +: others.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
+  /** Version chain with reference-style version labels: `vN` in append
+    * order per key plus `previous_version` (app/main.py:79-86 assigns
+    * v{latest+1} and links the predecessor).
+    */
+  def versioned(df: DataFrame, key: String, ts: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("version", concat(lit("v"), col("__rn")))
+      .withColumn(
+        "previous_version",
+        when(col("__rn") === 1, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("__rn") - 1)))
+      .drop("__rn")
+  }
+
+  /** Full history of one record, versioned — the reference's compare
+    * default range / record timeline. */
+  def history(df: DataFrame, key: String, ts: String, tie: String, id: Column): DataFrame =
+    versioned(df.filter(col(key) === id), key, ts, tie)
+
+  /** Per-record version statistics: version count, first/last timestamp —
+    * what `GET /compare` derives when start/end are omitted
+    * (app/main.py:276-291). */
+  def versionStats(df: DataFrame, key: String, ts: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n_versions"),
+      min(col(ts)).as("first_ts"),
+      max(col(ts)).as("last_ts"))
+
+  /** The reference's `POST /rollback` (app/main.py:152-247) as a pure,
+    * append-only computation: for every record with versions after `at`,
+    * the state to restore (its AS-OF `at` row) or a DELETE marker if the
+    * record did not exist at `at`. The caller appends these as new
+    * versions; nothing is rewritten in place.
+    *
+    * Returns (key, n_after, action RESTORE|DELETE, restore payload cols).
+    */
+  def rollbackSet(df: DataFrame, key: String, ts: String, tie: String, at: Column): DataFrame = {
+    val affected = df.filter(col(ts) > at)
+      .groupBy(col(key)).agg(count(lit(1)).as("n_after"))
+    val restore = asOf(df, key, ts, tie, at)
+    affected.join(restore, Seq(key), "left")
+      .withColumn("action",
+        when(col(ts).isNull, lit("DELETE")).otherwise(lit("RESTORE")))
+  }
+
+  /** Rollback audit aggregate — the content the reference writes to
+    * `rollback_logs` (app/main.py:169-186): affected-record count and the
+    * sorted id list. Emitted as one row; ids as a comma-joined string so
+    * the artifact is engine-portable. */
+  def rollbackLog(df: DataFrame, key: String, ts: String, at: Column): DataFrame =
+    df.filter(col(ts) > at).select(col(key)).distinct()
+      .agg(
+        count(lit(1)).as("affected_records"),
+        concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
+
+  /** State delta between two timestamps across all records — generalizes
+    * the reference's single-record `GET /compare` (app/main.py:267-345).
+    * Output: key, each payload field as `<f>_from` / `<f>_to`, plus
+    * `changed_fields` (comma-joined names whose values differ, the
+    * reference's `changes` dict keys). Records absent at one side appear
+    * with nulls on that side (created/deleted between the timestamps).
+    */
+  def changesBetween(
+      df: DataFrame, key: String, ts: String, tie: String,
+      from: Column, to: Column, fields: Seq[String]): DataFrame = {
+    val a = asOf(df, key, ts, tie, from).select(
+      col(key) +: fields.map(f => col(f).as(s"${f}_from")): _*)
+    val b = asOf(df, key, ts, tie, to).select(
+      col(key) +: fields.map(f => col(f).as(s"${f}_to")): _*)
+    val changed = fields.map { f =>
+      when(not(col(s"${f}_from") <=> col(s"${f}_to")), lit(f))
+    }
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("changed_fields",
+        concat_ws(",", array(changed: _*)))
+      .filter(col("changed_fields") =!= "")
+  }
+}

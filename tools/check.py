@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+from outDir/oracle_sql.json in DuckDB over the sf tables, compare against
+the Spark parquet dumps (columns sorted by name, rows sorted, values
+hashed). Usage: check.py <sfDir> <outDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spath = f"{outdir}/{name}"
+    if not os.path.isdir(spath):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        ddf = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    sdf = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{spath}/*.parquet"))])
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:  # normalize dtypes for compare
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    a, b = canon(sdf), canon(ddf)
+    if list(a.columns) != list(b.columns):
+        print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); fails += 1; continue
+    if len(a) != len(b):
+        print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        print(f"OK   {name} ({len(a)} rows)")
+    except AssertionError as e:
+        print(f"FAIL {name}: {str(e).splitlines()[0]}")
+        # show first diff
+        for c in a.columns:
+            neq = ~(a[c].eq(b[c]) | (a[c].isna() & b[c].isna()))
+            if neq.any():
+                i = neq.idxmax()
+                print(f"   col={c} row={i} spark={a[c][i]!r} duck={b[c][i]!r}")
+                break
+        fails += 1
+print(f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
+sys.exit(1 if fails else 0)
