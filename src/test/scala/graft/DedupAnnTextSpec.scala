@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.functions.{Text, Vec}
+
+class DedupAnnTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts under the min id") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("canonical_id", "n_docs", "doc_ids")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "1,2"), (3L, 1L, "3")))
+  }
+
+  test("ngram jaccard finds a near-identical pair and scores 1.0 for clones") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),        // clone -> jaccard 1.0
+      (3L, "x y z q w e r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH candidates include exact clones") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "completely different words here today friend")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("cosine of a vector with itself is 1; knn excludes self and ranks") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val self = emb.select(Vec.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).as[(Double, Double)].head()
+    assert(math.abs(self._1 - 1.0) <= 1e-6 && math.abs(self._2 - 1.0) <= 1e-6)
+
+    val knn = Ann.knnBrute(emb, "vec_id", "embedding", Seq(0L), 5)
+      .select("query_id", "nn_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(knn.length == 5)
+    assert(knn.forall(_._2 != 0L))
+    assert(knn.map(_._3).toSeq == (1 to 5))
+    assert(knn.map(_._4).toSeq == knn.map(_._4).sorted.reverse.toSeq)
+  }
+
+  test("blocked knn agrees with brute force when restricted to the cell") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val cell0 = emb.filter($"vec_id" === 7L).select("label").as[Int].head()
+    val blocked = Ann.knnBlocked(emb, "vec_id", "embedding", "label", Seq(7L), 5)
+      .select("nn_id").as[Long].collect().toSet
+    val brute = Ann.knnBrute(emb.filter($"label" === cell0),
+        "vec_id", "embedding", Seq(7L), 5)
+      .select("nn_id").as[Long].collect().toSet
+    assert(blocked == brute && blocked.size == 5)
+  }
+
+  test("fingerprint ignores case, punctuation and extra whitespace") {
+    val docs = Seq((1L, "Hello,  World!"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(Text.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("shingles: n-gram count and short-text fallback") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val got = df.select(col("id"), Text.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq("a b")) // shorter than n -> whole text
+  }
+}

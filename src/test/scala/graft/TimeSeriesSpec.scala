@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin matches a brute-force per-row maximum") {
+    val e = Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "event_type")
+    val p = e.filter($"event_type" === "purchase").drop("event_type")
+    val c = e.filter($"event_type" === "click").drop("event_type")
+
+    val got = TimeSeries.asOfJoin(p, c, "user_id", "ts", "event_id", Seq("event_id"))
+      .select($"event_id", $"right_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // brute force: inequality join + max_by
+    val brute = p.as("p").join(c.as("c"),
+        $"p.user_id" === $"c.user_id" && $"c.ts" <= $"p.ts", "left")
+      .groupBy($"p.event_id".as("pid"))
+      .agg(max_by($"c.event_id", struct($"c.ts", $"c.event_id")).as("cid"))
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(got.nonEmpty)
+    // brute's left join keeps unmatched with None; asOfJoin too
+    assert(got == brute)
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (1L, "2024-01-01 00:10:00", 2L, 1.0), // same session (10 min)
+      (1L, "2024-01-01 02:00:00", 3L, 1.0), // new session (>30 min)
+      (2L, "2024-01-01 00:00:00", 4L, 1.0)
+    ).toDF("user_id", "ts_s", "event_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = TimeSeries.sessionize(df, "user_id", "ts", "event_id", "value", 1800L)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("topk is deterministic and ranked") {
+    val got = TimeSeries.topkByTotal(Tables.events(spark, sfDir), "user_id", "value", 5)
+      .select("rank", "user_id").as[(Int, Long)].collect()
+    assert(got.map(_._1).toSeq == (1 to 5))
+  }
+}
