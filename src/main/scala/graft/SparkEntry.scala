@@ -77,6 +77,13 @@ object SparkEntry {
 
     "t8_changes_between" -> ((s, d) => changesDf(s, d).orderBy("user_id")),
 
+    "t9_snapshot_reconstruct" -> ((s, d) =>
+      Temporal.snapshotReconstruct(ev(s, d), "user_id", "ts", "event_id",
+          ts("2024-01-15 00:00:00"), ts(T))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id")),
+
     // ---- B. time series --------------------------------------------------
     "ts1_tumbling_agg" -> ((s, d) =>
       TimeSeries.tumblingDaily(ev(s, d), "event_type", "ts", "value")
@@ -127,27 +134,71 @@ object SparkEntry {
         .orderBy("purchase_id")
     }),
 
+    "ts8_gap_fill" -> ((s, d) =>
+      TimeSeries.gapFillDaily(ev(s, d), "event_type", "ts", "value")
+        .orderBy("event_type", "day")),
+
+    "ts9_percentiles" -> ((s, d) =>
+      TimeSeries.percentiles(ev(s, d), "event_type", "value")
+        .orderBy("event_type")),
+
+    "ts10_distinct_users" -> ((s, d) =>
+      TimeSeries.distinctKeys(ev(s, d), "event_type", "user_id")
+        .orderBy("event_type")),
+
+    "ts11_stream_tumbling" -> ((s, d) =>
+      graft.streaming.Streams.tumblingDailyStream(s, d)
+        .orderBy("event_type", "day")),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
       Analytics.q3ShippingPriority(s, d, "BUILDING", "1998-03-15")),
+    "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d, "ASIA", 1996)),
     "q6_revenue_delta" -> ((s, d) => Analytics.q6RevenueDelta(s, d, 1997)),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d, 250.0)),
 
     // ---- D. dedup --------------------------------------------------------
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("canonical_id")),
 
+    "d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+
+    "d3_simhash" -> ((s, d) =>
+      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.12)
         .orderBy("id_a", "id_b")),
+
+    "d5_embedding_neardup" -> ((s, d) =>
+      Ann.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", 0.25)),
 
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
+    "a2_ann_lsh" -> ((s, d) =>
+      Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 10, 8, 3, 42L)),
+
+    "a3_ivf_coarse" -> ((s, d) =>
+      Ann.knnBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
     // ---- F. text analysis ------------------------------------------------
+    "x1_langid" -> ((s, d) =>
+      Text.withLangId(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("lang"), col("hits_en"), col("hits_de"),
+          col("hits_es"), col("hits_fr"), col("guess"),
+          (col("guess") === col("lang")).cast("int").as("correct"))
+        .orderBy("doc_id")),
+
     "x2_quality_score" -> ((s, d) => {
       val ws = Text.words(col("text"))
       Tables.documents(s, d)
@@ -176,6 +227,16 @@ object SparkEntry {
           min(col("doc_id")).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .orderBy("doc_id")),
+
+    // ---- G. multimodal plumbing -----------------------------------------
+    "m1_binary_meta" -> ((s, d) =>
+      graft.multimodal.Binary.decodeMeta(
+        graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id").orderBy("doc_id")),
+
+    "m2_frame_sample" -> ((s, d) =>
+      graft.multimodal.Binary.frameSample(s, Tables.documents(s, d),
+        "doc_id", "text", 7).orderBy("doc_id")),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -260,6 +321,9 @@ object SparkEntry {
 
       "t8_changes_between" -> s"$changes\nORDER BY user_id",
 
+      // snapshot+delta replay ≡ plain AS-OF at T
+      "t9_snapshot_reconstruct" -> s"$asofState\nORDER BY user_id",
+
       "ts1_tumbling_agg" ->
         """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
           |  count(*) AS n,
@@ -324,6 +388,37 @@ object SparkEntry {
           |  ON p.user_id = c.user_id AND p.ts >= c.ts
           |ORDER BY purchase_id""".stripMargin,
 
+      "ts8_gap_fill" ->
+        """WITH b AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+          |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+          |types AS (SELECT DISTINCT event_type FROM events),
+          |daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |  FROM events GROUP BY 1, 2)
+          |SELECT t.event_type, strftime(dd.d, '%Y-%m-%d') AS day,
+          |  coalesce(daily.n, 0) AS n, coalesce(daily.sum_value, 0.0) AS sum_value
+          |FROM types t CROSS JOIN days dd
+          |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = dd.d
+          |ORDER BY t.event_type, day""".stripMargin,
+
+      "ts9_percentiles" ->
+        """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+          |  round(quantile_cont(value, 0.9), 6) AS p90,
+          |  round(quantile_cont(value, 0.99), 6) AS p99, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      "ts10_distinct_users" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_keys, count(*) AS n_events
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // streaming twin is batch-equivalent -> same oracle as ts1
+      "ts11_stream_tumbling" ->
+        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+          |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
           |  sum_charge, count_order,
@@ -352,6 +447,31 @@ object SparkEntry {
           |GROUP BY 1, 2, 3
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
+      "q5_local_supplier" ->
+        """SELECT n.n_name,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+      "q18_large_orders" ->
+        """SELECT c.c_name, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          |  o.o_totalprice, b.sum_qty
+          |FROM (SELECT l_orderkey,
+          |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |      FROM lineitem GROUP BY 1) b
+          |JOIN orders o ON b.l_orderkey = o.o_orderkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE b.sum_qty > 250
+          |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
       "q6_revenue_delta" ->
         """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
           |FROM lineitem
@@ -364,6 +484,24 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
           |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      "d2_minhash_lsh" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          |m AS (SELECT doc_id, t.p AS p, min(md5(t.p::VARCHAR || '|' || shingle)) AS mh
+          |  FROM e CROSS JOIN (SELECT unnest(range(16)) AS p) t GROUP BY doc_id, t.p),
+          |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM m GROUP BY doc_id),
+          |bands AS (SELECT doc_id, t.b AS b, array_to_string(sig[t.b*4+1:t.b*4+4], '') AS band_key
+          |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t)
+          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+          |  AND a.doc_id < b.doc_id
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "d4_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
@@ -381,6 +519,16 @@ object SparkEntry {
           |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
           |WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
 
+      "d5_embedding_neardup" ->
+        """SELECT cell, id_a, id_b, cos FROM (
+          |  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+          |  FROM embeddings a JOIN embeddings b
+          |    ON a.label = b.label AND a.vec_id < b.vec_id)
+          |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
       "a1_knn_brute" ->
         """SELECT query_id, nn_id, cos, rank FROM (
           |  SELECT query_id, nn_id, cos,
@@ -393,6 +541,38 @@ object SparkEntry {
           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
           |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "a3_ivf_coarse" ->
+        """SELECT query_id, nn_id, cos, rank FROM (
+          |  SELECT query_id, nn_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+          |  FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+          |      round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+          |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+          |    FROM embeddings q JOIN embeddings c
+          |      ON c.vec_id <> q.vec_id AND c.label = q.label
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "x1_langid" ->
+        """SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, guess,
+          |  CAST(guess = lang AS INT) AS correct
+          |FROM (
+          |  SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
+          |    CASE WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+          |         WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+          |         WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+          |         ELSE 'fr' END AS guess
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |      len(list_filter(words, w -> w IN ('the','a','of','and','in','to','is'))) AS hits_en,
+          |      len(list_filter(words, w -> w IN ('der','die','das','und','ist','ein'))) AS hits_de,
+          |      len(list_filter(words, w -> w IN ('el','la','de','y','que','un'))) AS hits_es,
+          |      len(list_filter(words, w -> w IN ('le','la','et','les','des','un'))) AS hits_fr
+          |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)))
+          |ORDER BY doc_id""".stripMargin,
 
       "x2_quality_score" ->
         """SELECT doc_id, n_chars, n_words, n_distinct, stop_hits,
@@ -418,6 +598,14 @@ object SparkEntry {
           |        ' +', ' ', 'g'))) AS fp
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin,
+
+      "m1_binary_meta" ->
+        """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
+          |  octet_length(encode(text)) % 997 AS width,
+          |  octet_length(encode(text)) * 7 % 769 AS height,
+          |  CAST(ceil((octet_length(encode(text)) % 997) / 64.0) AS BIGINT)
+          |    * CAST(ceil((octet_length(encode(text)) * 7 % 769) / 64.0) AS BIGINT) AS n_tiles
+          |FROM documents ORDER BY doc_id""".stripMargin,
     )
   }
 }

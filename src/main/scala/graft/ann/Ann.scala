@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vec
@@ -47,6 +47,53 @@ object Ann {
       .select(col(id).as("query_id"), col(vec).as("q_vec"), col(cell).as("q_cell"))
     val scored = corpus.join(broadcast(queries),
         col("nn_cell") === col("q_cell") && col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random-hyperplane set for sign-bit LSH (seeded —
+    * identical across executors and runs). */
+  def lshPlanes(dims: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
+  }
+
+  private def dotConst(vec: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(vec.cast("array<double>"), typedLit(plane.toSeq),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sign-bit bucket id from the hyperplane set. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      acc + when(dotConst(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+
+  /** ANN top-k via multi-probe random-hyperplane LSH: candidates are
+    * corpus rows whose sign-bit bucket is within `probeHamming` of the
+    * query's bucket; ranking is exact cosine over that candidate set.
+    * At corpus scale the bucket column is precomputed + bucketed-by, the
+    * (tiny) query side is broadcast, and a probe touches only the
+    * enumerated buckets instead of the corpus. Recall vs `knnBrute` is
+    * spec-checked. */
+  def knnLsh(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
+             k: Int, planes: Int, probeHamming: Int, seed: Long): DataFrame = {
+    val dims = 64
+    val ps = lshPlanes(dims, planes, seed)
+    val bucketed = emb.select(col(id), col(vec),
+      lshBucket(col(vec), ps).as("bucket"))
+    val corpus = bucketed.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+      col("bucket"))
+    val queries = bucketed.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        col("bucket").as("q_bucket"))
+    val scored = corpus.join(broadcast(queries),
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeHamming &&
+          col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))

@@ -39,7 +39,8 @@ object Dedup {
     * (id, shingle) so the raw text never enters the shuffle. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int, tau: Double): DataFrame = {
-    val sh = docs.select(col(id), Text.shingles(col(text), n).as("sh"))
+    val sh = docs.repartition(col(id))
+      .select(col(id), Text.shingles(col(text), n).as("sh"))
       .select(col(id), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
@@ -54,12 +55,66 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
-  /** MinHash signature: for each of `perms` permutations, the minimum
-    * md5 of (seed || shingle) as a fixed-width hex string. */
-  def minhashSignature(shingleCol: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      p => array_min(transform(shingleCol,
-        s => md5(concat(p.cast("string"), lit("|"), s)))))
+  /** MinHash signatures, computed shuffle-native rather than per-row:
+    * shingles are exploded to (id, shingle) rows and the `perms`
+    * min-hashes become `perms` codegen'd `min()` aggregates over
+    * md5(seed|shingle) — partial aggregation collapses each partition
+    * map-side, and the heavy hashing runs data-parallel instead of
+    * inside one interpreted higher-order function per document (which
+    * also serializes on single-file inputs: hence the repartition by id
+    * before the explode). Hex-string min == numeric min of the 128-bit
+    * value (fixed width), and md5 keeps the oracle portable. */
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+                        n: Int, perms: Int): DataFrame = {
+    val sh = docs.repartition(col(id))
+      .select(col(id), explode(Text.shingles(col(text), n)).as("shingle"))
+    val minCols = (0 until perms).map(p =>
+      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"__mh$p"))
+    sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)
+      .select(col(id),
+        array((0 until perms).map(p => col(s"__mh$p")): _*).as("sig"))
+  }
+
+  /** 32-bit SimHash fingerprint from md5-derived word hashes: bit i of
+    * the fingerprint is the sign of the sum over distinct words of
+    * (±1 by the word hash's bit i). Pure codegen'd HOF expressions —
+    * one pass over the text, no shuffle at all until fingerprints are
+    * bucketed. */
+  def simhash32(text: Column): Column = {
+    val hashes = transform(array_distinct(Text.words(text)),
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    // variable-distance shift: floor(h / 2^i) % 2 (exact in double for
+    // h < 2^32, i <= 31 — `shiftright` only takes a literal distance)
+    val bitScores = transform(sequence(lit(0), lit(31)), i =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          (h / pow(lit(2.0), i.cast("double"))).cast("long") % 2 === 1, 1)
+          .otherwise(-1)))
+    // fold MSB-first: acc*2 + sign-bit
+    aggregate(reverse(bitScores), lit(0L),
+      (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L))
+  }
+
+  /** Per-doc SimHash + coarse bucket (top `bucketBits` bits). Near-dup
+    * candidates are same-bucket pairs within small hamming distance —
+    * see `simhashPairs`. */
+  def simhashFingerprints(docs: DataFrame, id: String, text: String,
+                          bucketBits: Int): DataFrame =
+    docs.select(col(id), simhash32(col(text)).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 32 - bucketBits))
+
+  /** Same-bucket pairs with hamming distance ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   bucketBits: Int, maxHamming: Int): DataFrame = {
+    val fp = simhashFingerprints(docs, id, text, bucketBits)
+    val a = fp.select(col(id).as("id_a"), col("simhash").as("sh_a"), col("bucket"))
+    val b = fp.select(col(id).as("id_b"), col("simhash").as("sh_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** Banded-LSH candidate pairs: docs sharing ≥1 identical band of the
     * MinHash signature. `perms` must be divisible by `bands`. One
@@ -68,9 +123,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       n: Int, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
-    val sig = docs
-      .select(col(id), Text.shingles(col(text), n).as("sh"))
-      .select(col(id), minhashSignature(col("sh"), perms).as("sig"))
+    val sig = minhashSignatures(docs, id, text, n, perms)
     val banded = sig.select(col(id), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("", slice(col("sig"), b * rows + 1, lit(rows))))))

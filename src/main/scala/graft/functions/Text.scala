@@ -47,6 +47,29 @@ object Text {
   def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords.map(s => s: Any): _*)))
 
+  /** Language-marker word sets for the n-gram/stopword language-ID
+    * heuristic. Tie-break priority = declaration order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+
+  /** Stopword-hit language ID: per-language marker-hit counts and the
+    * argmax guess (ties resolved by LangMarkers order). Returns the
+    * input plus hits_<lang> columns and `guess`. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: String): org.apache.spark.sql.DataFrame = {
+    val ws = words(col(text))
+    val withHits = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"hits_$lang", stopwordHits(ws, markers))
+    }
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
+    val guess = LangMarkers.foldRight(lit(LangMarkers.last._1)) {
+      case ((lang, _), rest) => when(col(s"hits_$lang") === best, lit(lang)).otherwise(rest)
+    }
+    withHits.withColumn("guess", guess)
+  }
+
   /** Quality features (length / vocabulary / stopword mix), combined into
     * a single [0,1]-ish score. All integer-derived arithmetic → exact
     * and engine-portable. */

@@ -62,6 +62,57 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q5 flavor: local-supplier revenue per nation in one region.
+    * Star-join shape: nation/region/supplier broadcast; the two fact
+    * shuffles (orders⋈customer on custkey, lineitem⋈orders on orderkey)
+    * are the only exchanges — customer is NOT broadcast because at
+    * 100 TB it's a fact-sized table. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String,
+                      region: String, year: Int): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cu = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** TPC-H Q18 flavor: large-volume orders. The HAVING side is computed
+    * first (partial-agg on the fact, one shuffle on orderkey) and the
+    * survivors — a tiny set — drive the joins. */
+  def q18LargeOrders(spark: SparkSession, sfDir: String, minQty: Double): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cu = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {

@@ -94,6 +94,39 @@ object TimeSeries {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("total_value").desc, col(key).asc)))
 
+  /** Dense daily series per key with zero-filled gaps: the full
+    * [min_day, max_day] span is generated with `sequence` + `explode`
+    * (distributed — no driver-side calendar materialization) and
+    * left-joined against the aggregated days. */
+  def gapFillDaily(df: DataFrame, series: String, ts: String, value: String): DataFrame = {
+    val daily = df.groupBy(col(series), to_date(col(ts)).as("d"))
+      .agg(count(lit(1)).as("n"), sum(dec(col(value))).cast("double").as("sum_value"))
+    val days = df.agg(to_date(min(col(ts))).as("lo"), to_date(max(col(ts))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    df.select(col(series)).distinct().crossJoin(days)
+      .join(daily, Seq(series, "d"), "left")
+      .select(col(series), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Exact per-series percentiles (linear interpolation, matching ANSI
+    * PERCENTILE_CONT). Exact rather than sketch-based so the oracle can
+    * replicate it; `approx_percentile` is the 100 TB variant (see spec). */
+  def percentiles(df: DataFrame, series: String, value: String): DataFrame =
+    df.groupBy(col(series)).agg(
+      round(expr(s"percentile($value, 0.5)"), 6).as("p50"),
+      round(expr(s"percentile($value, 0.9)"), 6).as("p90"),
+      round(expr(s"percentile($value, 0.99)"), 6).as("p99"),
+      count(lit(1)).as("n"))
+
+  /** Exact distinct cardinality per series (the oracle-checkable variant;
+    * the HLL `approx_count_distinct` twin is spec-covered). */
+  def distinctKeys(df: DataFrame, series: String, key: String): DataFrame =
+    df.groupBy(col(series)).agg(
+      countDistinct(col(key)).as("n_keys"),
+      count(lit(1)).as("n_events"))
+
   /** As-of join: for each left row, the latest right row with the same
     * key and `rightTs <= leftTs`. Implemented as union + time-ordered
     * last(ignoreNulls) — one shuffle on `key`, linear merge per key.

@@ -97,6 +97,20 @@ object Temporal {
         count(lit(1)).as("affected_records"),
         concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
 
+  /** Snapshot + delta-replay read — the reference's `Snapshot` table
+    * (app/models.py:27-37) semantics: the state at `at` is the last full
+    * snapshot at-or-before `at` plus a replay of the later deltas. At
+    * 100 TB this is the point of snapshots: the replay scan touches only
+    * partitions in (snapAt, at] (partition pruning on the ts column)
+    * instead of the whole history. Result ≡ `asOf(df, at)`.
+    */
+  def snapshotReconstruct(df: DataFrame, key: String, ts: String, tie: String,
+                          snapAt: Column, at: Column): DataFrame = {
+    val snapshot = asOf(df, key, ts, tie, snapAt)
+    val delta = df.filter(col(ts) > snapAt && col(ts) <= at)
+    asOf(snapshot.unionByName(delta), key, ts, tie, at)
+  }
+
   /** State delta between two timestamps across all records — generalizes
     * the reference's single-record `GET /compare` (app/main.py:267-345).
     * Output: key, each payload field as `<f>_from` / `<f>_to`, plus
