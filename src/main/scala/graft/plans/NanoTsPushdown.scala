@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Predicate pushdown for nanosecond-long event timestamps.
+  *
+  * `events.ts` arrives as a nanosecond INT64 (TIMESTAMP(NANOS) parquet,
+  * read via nanosAsLong) and is normalized to a µs TimestampType with
+  * `timestamp_micros(ts div 1000)`. Any comparison against that
+  * expression is opaque to the parquet datasource — the scan gets only
+  * `IsNotNull(ts)` and a 100 TB time-travel query degenerates to a full
+  * scan. This rule rewrites, in the long domain (floor-division
+  * algebra, so exact for the full int64 range ≥ 0):
+  *
+  *   timestamp_micros(ts div 1000) <= T  ==>  ts <= T_us*1000 + 999
+  *   timestamp_micros(ts div 1000) <  T  ==>  ts <  T_us*1000
+  *   timestamp_micros(ts div 1000) >= T  ==>  ts >= T_us*1000
+  *   timestamp_micros(ts div 1000) >  T  ==>  ts >  T_us*1000 + 999
+  *
+  * after which the comparison sits directly on the scanned column and
+  * reaches the reader as a pushed filter (row-group / partition
+  * pruning). The reference gets the same effect from its B-tree index
+  * on (record_id, timestamp) (reference app/models.py:22); this is the
+  * columnar-scan equivalent.
+  */
+object NanoTsPushdown extends Rule[LogicalPlan] {
+
+  /** Matches timestamp_micros(<expr> div 1000) and yields <expr>. */
+  private object NanosToTs {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(d: IntegralDivide)
+          if d.right.foldable && d.right.dataType == LongType &&
+            d.right.eval() == 1000L && d.left.dataType == LongType =>
+        Some(d.left)
+      case _ => None
+    }
+  }
+
+  /** Timestamp literal as epoch micros. */
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(us: Long, TimestampType) => Some(us)
+      case _ => None
+    }
+  }
+
+  // Safe only when T_us*1000 (+999) cannot overflow; modern timestamps
+  // are ~1.7e15 µs, far from Long.MaxValue/1000.
+  private def nanosOf(us: Long): Option[Long] =
+    if (us >= 0 && us < Long.MaxValue / 1000 - 1) Some(us * 1000L) else None
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(NanosToTs(ts), TsLit(us)) if nanosOf(us).isDefined =>
+      LessThanOrEqual(ts, Literal(nanosOf(us).get + 999L, LongType))
+    case LessThan(NanosToTs(ts), TsLit(us)) if nanosOf(us).isDefined =>
+      LessThan(ts, Literal(nanosOf(us).get, LongType))
+    case GreaterThanOrEqual(NanosToTs(ts), TsLit(us)) if nanosOf(us).isDefined =>
+      GreaterThanOrEqual(ts, Literal(nanosOf(us).get, LongType))
+    case GreaterThan(NanosToTs(ts), TsLit(us)) if nanosOf(us).isDefined =>
+      GreaterThan(ts, Literal(nanosOf(us).get + 999L, LongType))
+    // mirrored literal-first forms
+    case GreaterThanOrEqual(TsLit(us), NanosToTs(ts)) if nanosOf(us).isDefined =>
+      GreaterThanOrEqual(Literal(nanosOf(us).get + 999L, LongType), ts)
+    case GreaterThan(TsLit(us), NanosToTs(ts)) if nanosOf(us).isDefined =>
+      GreaterThan(Literal(nanosOf(us).get, LongType), ts)
+    case LessThanOrEqual(TsLit(us), NanosToTs(ts)) if nanosOf(us).isDefined =>
+      LessThanOrEqual(Literal(nanosOf(us).get, LongType), ts)
+    case LessThan(TsLit(us), NanosToTs(ts)) if nanosOf(us).isDefined =>
+      LessThan(Literal(nanosOf(us).get + 999L, LongType), ts)
+  }
+}
+
+/** Session extensions: register with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => NanoTsPushdown)
+  }
+}

@@ -79,10 +79,17 @@ object Temporal {
     * Returns (key, n_after, action RESTORE|DELETE, restore payload cols).
     */
   def rollbackSet(df: DataFrame, key: String, ts: String, tie: String, at: Column): DataFrame = {
-    val affected = df.filter(col(ts) > at)
-      .groupBy(col(key)).agg(count(lit(1)).as("n_after"))
-    val restore = asOf(df, key, ts, tie, at)
-    affected.join(restore, Seq(key), "left")
+    val others = df.columns.filterNot(_ == key)
+    val payload = struct(others.map(col): _*)
+    // ONE scan + ONE shuffle: the after-count and the restore state are
+    // two conditional aggregates over the same grouping (max_by ignores
+    // rows whose ordering key is null, i.e. versions after `at`).
+    df.groupBy(col(key))
+      .agg(
+        count(when(col(ts) > at, 1)).as("n_after"),
+        max_by(payload, when(col(ts) <= at, struct(col(ts), col(tie)))).as("__s"))
+      .filter(col("n_after") > 0)
+      .select(col(key) +: col("n_after") +: others.map(c => col(s"__s.$c").as(c)): _*)
       .withColumn("action",
         when(col(ts).isNull, lit("DELETE")).otherwise(lit("RESTORE")))
   }
@@ -121,16 +128,26 @@ object Temporal {
   def changesBetween(
       df: DataFrame, key: String, ts: String, tie: String,
       from: Column, to: Column, fields: Seq[String]): DataFrame = {
-    val a = asOf(df, key, ts, tie, from).select(
-      col(key) +: fields.map(f => col(f).as(s"${f}_from")): _*)
-    val b = asOf(df, key, ts, tie, to).select(
-      col(key) +: fields.map(f => col(f).as(s"${f}_to")): _*)
+    // ONE scan + ONE shuffle (not two AS-OF passes + a join): both
+    // states are conditional max_by aggregates over the same grouping;
+    // append-only means exists-at-`from` ⊆ exists-at-`to`, so filtering
+    // the scan to ts <= `to` loses nothing and reaches the parquet
+    // reader as a pushed predicate.
+    val payload = struct(fields.map(col): _*)
+    val ord = struct(col(ts), col(tie))
+    val agged = df.filter(col(ts) <= to)
+      .groupBy(col(key))
+      .agg(
+        max_by(payload, when(col(ts) <= from, ord)).as("__a"),
+        max_by(payload, ord).as("__b"))
     val changed = fields.map { f =>
-      when(not(col(s"${f}_from") <=> col(s"${f}_to")), lit(f))
+      when(not(col(s"__a.$f") <=> col(s"__b.$f")), lit(f))
     }
-    a.join(b, Seq(key), "full_outer")
-      .withColumn("changed_fields",
-        concat_ws(",", array(changed: _*)))
+    agged.select(
+        col(key) +:
+          (fields.map(f => col(s"__a.$f").as(s"${f}_from")) ++
+           fields.map(f => col(s"__b.$f").as(s"${f}_to")) :+
+           concat_ws(",", array(changed: _*)).as("changed_fields")): _*)
       .filter(col("changed_fields") =!= "")
   }
 }
