@@ -485,23 +485,30 @@ object SparkEntry {
           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
           |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
 
-      "d2_minhash_lsh" ->
-        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-          |sh AS (SELECT doc_id, list_distinct(
-          |    CASE WHEN len(words) < 3 THEN [text]
-          |         ELSE [array_to_string(words[i:i+2], ' ')
-          |               for i in range(1, len(words) - 1)] END) AS shingles
-          |  FROM w),
-          |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-          |m AS (SELECT doc_id, t.p AS p, min(md5(t.p::VARCHAR || '|' || shingle)) AS mh
-          |  FROM e CROSS JOIN (SELECT unnest(range(16)) AS p) t GROUP BY doc_id, t.p),
-          |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM m GROUP BY doc_id),
-          |bands AS (SELECT doc_id, t.b AS b, array_to_string(sig[t.b*4+1:t.b*4+4], '') AS band_key
-          |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) t)
-          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
-          |  AND a.doc_id < b.doc_id
-          |ORDER BY id_a, id_b""".stripMargin,
+      "d2_minhash_lsh" -> {
+        val seeds = graft.dedup.Dedup.XorSeeds.take(16)
+        val minCols = seeds.zipWithIndex
+          .map { case (s, p) => s"min(xor(b, ${s}::BIGINT)) AS mh$p" }.mkString(",\n    ")
+        val bandRows = (0 until 4).map { b =>
+          val key = (b * 4 until (b + 1) * 4).map(p => s"mh$p::VARCHAR").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS band_key FROM m"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(
+           |    CASE WHEN len(words) < 3 THEN [text]
+           |         ELSE [array_to_string(words[i:i+2], ' ')
+           |               for i in range(1, len(words) - 1)] END) AS shingles
+           |  FROM w),
+           |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS b FROM sh),
+           |m AS (SELECT doc_id,
+           |    $minCols
+           |  FROM e GROUP BY doc_id),
+           |bands AS ($bandRows)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+           |  AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "d4_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

@@ -55,24 +55,31 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Deterministic 59-bit XOR seeds for the MinHash permutation family
+    * (shared with the DuckDB oracle, which derives the same values). */
+  val XorSeeds: IndexedSeq[Long] = {
+    val r = new scala.util.Random(0x5eed)
+    IndexedSeq.fill(64)(r.nextLong() & ((1L << 59) - 1))
+  }
+
   /** MinHash signatures, computed shuffle-native rather than per-row:
-    * shingles are exploded to (id, shingle) rows and the `perms`
-    * min-hashes become `perms` codegen'd `min()` aggregates over
-    * md5(seed|shingle) — partial aggregation collapses each partition
-    * map-side, and the heavy hashing runs data-parallel instead of
-    * inside one interpreted higher-order function per document (which
-    * also serializes on single-file inputs: hence the repartition by id
-    * before the explode). Hex-string min == numeric min of the 128-bit
-    * value (fixed width), and md5 keeps the oracle portable. */
+    * shingles are exploded to (id, shingle) rows, each shingle is hashed
+    * ONCE (md5 → first 15 hex chars → int64, portable to the oracle),
+    * and the `perms` permutations are XORs with fixed seeds — a cheap
+    * 1-universal permutation family, so the whole signature costs one
+    * digest + `perms` codegen'd `min()` aggregates with map-side partial
+    * aggregation. The repartition by id parallelizes the explode stage
+    * on single-file inputs. */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
                         n: Int, perms: Int): DataFrame = {
+    require(perms <= XorSeeds.length)
     val sh = docs.repartition(col(id))
       .select(col(id), explode(Text.shingles(col(text), n)).as("shingle"))
-    val minCols = (0 until perms).map(p =>
-      min(md5(concat(lit(s"$p|"), col("shingle")))).as(s"__mh$p"))
-    sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)
       .select(col(id),
-        array((0 until perms).map(p => col(s"__mh$p")): _*).as("sig"))
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("__b"))
+    val minCols = (0 until perms).map(p =>
+      min(col("__b").bitwiseXOR(lit(XorSeeds(p)))).as(s"__mh$p"))
+    sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)
   }
 
   /** 32-bit SimHash fingerprint from md5-derived word hashes: bit i of
@@ -124,9 +131,10 @@ object Dedup {
                       n: Int, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
     val sig = minhashSignatures(docs, id, text, n, perms)
-    val banded = sig.select(col(id), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("", slice(col("sig"), b * rows + 1, lit(rows))))))
+    val bandKeys = (0 until bands).map(b =>
+      concat_ws("_",
+        (b * rows until (b + 1) * rows).map(p => col(s"__mh$p").cast("string")): _*))
+    val banded = sig.select(col(id), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_key"))

@@ -19,11 +19,9 @@ object Text {
   /** Distinct word n-gram shingles (the MinHash/Jaccard unit). Documents
     * shorter than n words contribute their full text as one shingle. */
   def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
-    array_distinct(
-      when(size(ws) < n, array(text)).otherwise(
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.WordShingles(ColumnBridge.expression(text), n))
   }
 
   /** Whitespace token count. */
