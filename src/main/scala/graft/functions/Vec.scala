@@ -19,7 +19,14 @@ object Vec {
   def norm(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity, rounded to 6dp for stable cross-engine compare. */
-  def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+  /** Cosine similarity, rounded to 6dp for stable cross-engine compare.
+    * Backed by the native CosineSim expression (one tight loop per pair
+    * — the HOF formulation above is kept for the scalar building
+    * blocks); accumulation order is identical, so results are bit-equal
+    * to `round(dot/(norm*norm), 6)`. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    round(ColumnBridge.column(graft.functions.expressions.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b))), 6)
+  }
 }
