@@ -1,0 +1,138 @@
+package graft.temporal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing façade over a durable temporal store — the drop-in
+  * equivalent of the reference's API surface (reference app/main.py):
+  *
+  *   reference                      | here
+  *   -------------------------------+--------------------------------
+  *   POST /records                  | `append(batch)`
+  *   GET  /query?timestamp=T        | `query(T)` / `query(T, recordId)`
+  *   POST /rollback                 | `rollback(at, rollbackTs)`
+  *   GET  /rollback/history         | `rollbackHistory`
+  *   GET  /compare                  | `compare(recordId, t1, t2, fields)`
+  *   Snapshot table                 | `writeSnapshot(T)` + snapshot-aware reads
+  *
+  * Storage model: an append-only parquet log under `root/log/` with an
+  * internal `_op` column (I=insert/new version, R=rollback-restore,
+  * D=rollback-tombstone), optional full-state snapshots under
+  * `root/snapshot/at=T/`, and a rollback audit log under
+  * `root/rollback_log/`. The reference rewrites rows in place on
+  * rollback (app/main.py:208); here rollback appends compensation
+  * versions — the scalable, audit-preserving equivalent (object stores
+  * don't update in place, and concurrent readers never see torn state).
+  *
+  * At 100 TB the log is written partitioned by a time bucket of `ts`
+  * (AS-OF reads prune partitions via the pushed-down range predicate)
+  * and compacted periodically with `writeSnapshot`, after which reads
+  * replay only `last snapshot + log tail`.
+  *
+  * Batches carry (key, ts timestamp, tie long, payload...) columns.
+  */
+class TemporalVault(
+    spark: SparkSession, root: String,
+    key: String = "record_id", ts: String = "ts", tie: String = "seq") {
+
+  private val logDir = s"$root/log"
+  private val snapDir = s"$root/snapshot"
+  private val rbDir = s"$root/rollback_log"
+  private val Op = "_op"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(p: String): Boolean = fs.exists(new Path(p))
+
+  /** The full version log, including rollback compensation versions. */
+  def log: DataFrame = spark.read.parquet(logDir)
+
+  /** Append a batch of new record versions (POST /records,
+    * app/main.py:67-98). */
+  def append(batch: DataFrame): Unit =
+    batch.withColumn(Op, lit("I"))
+      .write.mode(SaveMode.Append).parquet(logDir)
+
+  /** Version labels (v1, v2, ... per record, time order) — computed,
+    * not stored, so always consistent with the log (the reference
+    * stores them: app/main.py:79-86). */
+  def versionedLog: DataFrame = Temporal.versioned(log, key, ts, tie)
+
+  /** Full history of one record with version labels. */
+  def history(recordId: String): DataFrame =
+    Temporal.history(log, key, ts, tie, lit(recordId))
+
+  /** State of all records as of `at` (GET /query). Uses the latest
+    * snapshot ≤ at when present (replay only the log tail after it),
+    * else one pushed-down range scan of the log. Tombstoned records are
+    * absent, as after the reference's rollback-delete. */
+  def query(at: String): DataFrame = {
+    val atTs = lit(at).cast("timestamp")
+    val state = snapshotAtOrBefore(at) match {
+      case Some((snapTs, snap)) =>
+        val tail = log.filter(col(ts) > lit(snapTs).cast("timestamp") && col(ts) <= atTs)
+        Temporal.asOf(snap.unionByName(tail), key, ts, tie, atTs)
+      case None => Temporal.asOf(log, key, ts, tie, atTs)
+    }
+    state.filter(col(Op) =!= "D").drop(Op)
+  }
+
+  /** Single-record state as of `at`. */
+  def query(at: String, recordId: String): DataFrame =
+    query(at).filter(col(key) === recordId)
+
+  /** Field-level diff of one record between two timestamps
+    * (GET /compare, app/main.py:267). */
+  def compare(recordId: String, from: String, to: String, fields: Seq[String]): DataFrame =
+    Temporal.changesBetween(log.filter(col(key) === recordId), key, ts, tie,
+      lit(from).cast("timestamp"), lit(to).cast("timestamp"), fields)
+
+  /** Roll the store back to its state at `at` (POST /rollback,
+    * app/main.py:152): appends one compensation version per record
+    * changed after `at` — its at-state (`_op`=R) or a tombstone
+    * (`_op`=D) for records that did not exist at `at` — stamped
+    * `rollbackTs`, plus the audit entry. History between `at` and the
+    * rollback stays queryable (append-only). */
+  def rollback(at: String, rollbackTs: String): DataFrame = {
+    val rset = Temporal.rollbackSet(log, key, ts, tie, lit(at).cast("timestamp"))
+    val payloadCols =
+      log.columns.filterNot(c => c == key || c == ts || c == tie || c == Op)
+    val compensation = rset.select(
+      col(key) +:
+        lit(rollbackTs).cast("timestamp").as(ts) +:
+        lit(0L).as(tie) +:
+        payloadCols.map(col) :+
+        when(col("action") === "DELETE", lit("D")).otherwise(lit("R")).as(Op): _*)
+    compensation.write.mode(SaveMode.Append).parquet(logDir)
+    val audit = rset.agg(
+        count(lit(1)).as("affected_records"),
+        concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
+      .withColumn("rollback_to", lit(at))
+      .withColumn("rollback_ts", lit(rollbackTs))
+    audit.write.mode(SaveMode.Append).parquet(rbDir)
+    spark.read.parquet(rbDir).filter(col("rollback_ts") === rollbackTs)
+  }
+
+  /** Rollback audit log (GET /rollback/history, app/main.py:249). */
+  def rollbackHistory: DataFrame =
+    if (exists(rbDir)) spark.read.parquet(rbDir).orderBy(desc("rollback_ts"))
+    else spark.emptyDataFrame
+
+  /** Materialize the full live state at `at` (the reference's Snapshot
+    * table, app/models.py:27); later AS-OF reads replay only the log
+    * tail after it. Tombstoned records are simply absent. */
+  def writeSnapshot(at: String): Unit =
+    Temporal.asOf(log, key, ts, tie, lit(at).cast("timestamp"))
+      .filter(col(Op) =!= "D")
+      .write.mode(SaveMode.Overwrite).parquet(s"$snapDir/at=$at")
+
+  private def snapshotAtOrBefore(at: String): Option[(String, DataFrame)] = {
+    if (!exists(snapDir)) return None
+    val snaps = fs.listStatus(new Path(snapDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("at="))
+      .map(_.stripPrefix("at="))
+      .filter(_ <= at) // ISO-8601: lexicographic == chronological
+    snaps.sorted.lastOption.map(s => (s, spark.read.parquet(s"$snapDir/at=$s")))
+  }
+}

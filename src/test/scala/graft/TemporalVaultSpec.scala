@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.temporal.TemporalVault
+
+/** End-to-end lifecycle of the durable store façade: append versions,
+  * time-travel, snapshot fast path, append-only rollback with
+  * tombstones, audit history — the reference's whole API surface
+  * (reference app/main.py) against a temp directory. */
+class TemporalVaultSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkVault(): TemporalVault = {
+    val dir = java.nio.file.Files.createTempDirectory("vault").toString
+    new TemporalVault(spark, dir)
+  }
+
+  private def batch(rows: (String, String, Long, String)*) =
+    rows.toDF("record_id", "ts_s", "seq", "data")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("record_id", "ts", "seq", "data")
+
+  test("append + query + history + compare lifecycle") {
+    val v = mkVault()
+    v.append(batch(
+      ("u1", "2024-01-01 00:00:00", 1, "a"),
+      ("u1", "2024-01-03 00:00:00", 2, "b"),
+      ("u2", "2024-01-02 00:00:00", 3, "x")))
+
+    // time-travel read (GET /query)
+    assert(v.query("2024-01-02 12:00:00").select("record_id", "data")
+      .as[(String, String)].collect().toSet == Set(("u1", "a"), ("u2", "x")))
+
+    // version labels (POST /records numbering)
+    assert(v.history("u1").select("version", "data")
+      .as[(String, String)].collect().toSet == Set(("v1", "a"), ("v2", "b")))
+
+    // field diff (GET /compare)
+    val diff = v.compare("u1", "2024-01-01 12:00:00", "2024-01-04 00:00:00", Seq("data"))
+      .select("data_from", "data_to", "changed_fields")
+      .as[(String, String, String)].collect()
+    assert(diff.toSeq == Seq(("a", "b", "data")))
+  }
+
+  test("rollback appends compensation + tombstones and audits") {
+    val v = mkVault()
+    v.append(batch(
+      ("u1", "2024-01-01 00:00:00", 1, "a"),
+      ("u1", "2024-01-05 00:00:00", 2, "b"),   // after rollback point
+      ("u3", "2024-01-06 00:00:00", 3, "new"))) // created after rollback point
+
+    val audit = v.rollback("2024-01-02 00:00:00", "2024-01-10 00:00:00")
+    assert(audit.select("affected_records", "record_ids")
+      .as[(Long, String)].head() == ((2L, "u1,u3")))
+
+    // state after rollback: u1 restored to "a", u3 gone
+    val state = v.query("2024-01-10 00:00:00").select("record_id", "data")
+      .as[(String, String)].collect().toSet
+    assert(state == Set(("u1", "a")))
+
+    // history between rollback point and rollback stays queryable
+    val mid = v.query("2024-01-06 00:00:00").select("record_id", "data")
+      .as[(String, String)].collect().toSet
+    assert(mid == Set(("u1", "b"), ("u3", "new")))
+
+    assert(v.rollbackHistory.count() == 1)
+  }
+
+  test("snapshot fast path returns the same state as the full-log read") {
+    val v = mkVault()
+    v.append(batch(
+      ("u1", "2024-01-01 00:00:00", 1, "a"),
+      ("u2", "2024-01-02 00:00:00", 2, "x")))
+    v.writeSnapshot("2024-01-03 00:00:00")
+    v.append(batch(
+      ("u1", "2024-01-04 00:00:00", 3, "b"),
+      ("u4", "2024-01-05 00:00:00", 4, "q")))
+
+    val got = v.query("2024-01-05 12:00:00").select("record_id", "data")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("u1", "b"), ("u2", "x"), ("u4", "q")))
+    // and before the post-snapshot appends, the snapshot path agrees
+    // with a plain log read
+    val early = v.query("2024-01-04 12:00:00").select("record_id", "data")
+      .as[(String, String)].collect().toSet
+    assert(early == Set(("u1", "b"), ("u2", "x")))
+  }
+}
