@@ -150,6 +150,10 @@ object SparkEntry {
       graft.streaming.Streams.tumblingDailyStream(s, d)
         .orderBy("event_type", "day")),
 
+    "ts12_stream_sessionize" -> ((s, d) =>
+      graft.streaming.Streams.sessionizeStream(s, d, "30 minutes")
+        .orderBy("user_id", "start_us")),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -418,6 +422,23 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
           |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+      // streaming sessionize is batch-equivalent -> the ts4 construction
+      // without the session ordinal
+      "ts12_stream_sessionize" ->
+        """WITH g AS (SELECT user_id, ts, event_id, value,
+          |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          |    THEN 1 ELSE 0 END AS ns
+          |  FROM events),
+          |s AS (SELECT user_id, ts, value,
+          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
