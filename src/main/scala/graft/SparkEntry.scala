@@ -627,6 +627,26 @@ object SparkEntry {
           |  FROM documents)
           |ORDER BY doc_id""".stripMargin,
 
+      "d3_simhash" ->
+        """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+          |  FROM documents),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv FROM w),
+          |b AS (SELECT doc_id, t.i AS i,
+          |    sum(CASE WHEN (hv // (2**t.i)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS score
+          |  FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) t GROUP BY doc_id, t.i)
+          |SELECT doc_id,
+          |  sum(CASE WHEN score > 0 THEN (2**i)::BIGINT ELSE 0 END)::BIGINT AS simhash,
+          |  (sum(CASE WHEN score > 0 THEN (2**i)::BIGINT ELSE 0 END)::BIGINT // 16777216) AS bucket
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "m2_frame_sample" ->
+        """SELECT doc_id, len(f)::BIGINT AS n_frames, list_sum(f)::BIGINT AS frame_sum,
+          |  array_to_string(f[1:8], ',') AS head_frames
+          |FROM (SELECT doc_id,
+          |    [ord(substr(text, j, 1)) for j in range(1, length(text)+1) if (j-1) % 7 = 0] AS f
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+
       "m1_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
           |  octet_length(encode(text)) % 997 AS width,

@@ -48,7 +48,7 @@ object Binary {
       // per-partition init would happen here (codec handle, model, ...)
       it.map { case (docId, bytes) =>
         val frames = bytes.indices.by(stride).map(bytes(_).toInt & 0xff)
-        (docId, frames.length, frames.map(_.toLong).sum,
+        (docId, frames.length.toLong, frames.map(_.toLong).sum,
           frames.take(8).mkString(","))
       }
     }.toDF(id, "n_frames", "frame_sum", "head_frames")

@@ -53,6 +53,57 @@ object Streams {
         round(col("sum_value") / col("n"), 6).as("avg_value"))
   }
 
+  /** Per-record version-chain state for `versionMonitorStream`. */
+  case class VersionState(nVersions: Long, lastValue: Double, lastTsUs: Long)
+
+  /** A version-transition event: emitted once per incoming version with
+    * the monotone version ordinal and the delta vs the previous one —
+    * the reference's POST /records version assignment (app/main.py:79)
+    * as an incremental stateful stream instead of a stored column. */
+  case class VersionTransition(
+      user_id: Long, version: Long, ts_us: Long,
+      value: Double, delta: Double)
+
+  /** Custom-state streaming operator (flatMapGroupsWithState): maintains
+    * one small state record per key and emits a transition per event.
+    * This is the template for reference-style "current version" caches
+    * at scale: state lives in the state store (RocksDB in prod),
+    * partitioned by key, O(keys) memory — no reprocessing of history.
+    * Batch-driven here (drained synchronously); spec checks equivalence
+    * with the batch window formulation. */
+  def versionMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = eventStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+
+    def monitor(key: Long, rows: Iterator[(Long, Long, Double)],
+                state: GroupState[VersionState]): Iterator[VersionTransition] = {
+      // sort the micro-batch slice; state carries across batches
+      val sorted = rows.toSeq.sortBy(_._2)
+      var st = state.getOption.getOrElse(VersionState(0L, Double.NaN, Long.MinValue))
+      val out = sorted.map { case (_, tsUs, v) =>
+        val delta = if (st.nVersions == 0) Double.NaN else v - st.lastValue
+        st = VersionState(st.nVersions + 1, v, tsUs)
+        VersionTransition(key, st.nVersions, tsUs, v, delta)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    val name = "graft_vmon"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Streaming gap-based sessionization (twin of TimeSeries.sessionize)
     * via native `session_window` — incremental per-key session state
     * instead of a batch window sort; at scale this is the stateful-agg

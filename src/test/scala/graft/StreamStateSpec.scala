@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** The flatMapGroupsWithState version monitor must agree with the batch
+  * window formulation of the same semantics. */
+class StreamStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful version monitor equals batch row_number + lag") {
+    val got = Streams.versionMonitorStream(spark, sfDir)
+      .select("user_id", "version", "ts_us", "value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val want = Tables.events(spark, sfDir)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select($"user_id", $"version", unix_micros($"ts").as("ts_us"), $"value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("deltas match value differences between consecutive versions") {
+    val rows = Streams.versionMonitorStream(spark, sfDir)
+      .filter($"user_id" === 3L)
+      .orderBy("version")
+      .select("version", "value", "delta")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.head._3.isNaN) // first version has no predecessor
+    rows.sliding(2).foreach {
+      case Array((_, v1, _), (_, v2, d2)) => assert(math.abs(d2 - (v2 - v1)) < 1e-12)
+      case _ =>
+    }
+  }
+}
