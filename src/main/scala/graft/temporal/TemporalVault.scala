@@ -40,6 +40,15 @@ class TemporalVault(
   private val snapDir = s"$root/snapshot"
   private val rbDir = s"$root/rollback_log"
   private val Op = "_op"
+  private val Day = "_day"
+
+  /** Log writes are hive-partitioned by the day of `ts` so AS-OF reads
+    * prune partitions: `query(at)` adds `_day <= day(at)` alongside the
+    * (pushed-down) ts range. At 100 TB this is the partition-pruning
+    * leg of the reference's (record_id, timestamp) index. */
+  private def writeLog(df: DataFrame): Unit =
+    df.withColumn(Day, date_format(col(ts), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Append).partitionBy(Day).parquet(logDir)
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,17 +60,17 @@ class TemporalVault(
   /** Append a batch of new record versions (POST /records,
     * app/main.py:67-98). */
   def append(batch: DataFrame): Unit =
-    batch.withColumn(Op, lit("I"))
-      .write.mode(SaveMode.Append).parquet(logDir)
+    writeLog(batch.withColumn(Op, lit("I")))
 
   /** Version labels (v1, v2, ... per record, time order) — computed,
     * not stored, so always consistent with the log (the reference
     * stores them: app/main.py:79-86). */
   def versionedLog: DataFrame = Temporal.versioned(log, key, ts, tie)
 
-  /** Full history of one record with version labels. */
+  /** Full history of one record with version labels (`_op` kept for
+    * rollback-row transparency). */
   def history(recordId: String): DataFrame =
-    Temporal.history(log, key, ts, tie, lit(recordId))
+    Temporal.history(log, key, ts, tie, lit(recordId)).drop(Day)
 
   /** State of all records as of `at` (GET /query). Uses the latest
     * snapshot ≤ at when present (replay only the log tail after it),
@@ -69,13 +78,16 @@ class TemporalVault(
     * absent, as after the reference's rollback-delete. */
   def query(at: String): DataFrame = {
     val atTs = lit(at).cast("timestamp")
+    // partition pruning on the day bucket + pushed-down ts range
+    val pruned = log.filter(col(Day) <= at.take(10))
     val state = snapshotAtOrBefore(at) match {
       case Some((snapTs, snap)) =>
-        val tail = log.filter(col(ts) > lit(snapTs).cast("timestamp") && col(ts) <= atTs)
+        val tail = pruned.filter(
+          col(ts) > lit(snapTs).cast("timestamp") && col(ts) <= atTs)
         Temporal.asOf(snap.unionByName(tail), key, ts, tie, atTs)
-      case None => Temporal.asOf(log, key, ts, tie, atTs)
+      case None => Temporal.asOf(pruned, key, ts, tie, atTs)
     }
-    state.filter(col(Op) =!= "D").drop(Op)
+    state.filter(col(Op) =!= "D").drop(Op, Day)
   }
 
   /** Single-record state as of `at`. */
@@ -96,15 +108,15 @@ class TemporalVault(
     * rollback stays queryable (append-only). */
   def rollback(at: String, rollbackTs: String): DataFrame = {
     val rset = Temporal.rollbackSet(log, key, ts, tie, lit(at).cast("timestamp"))
-    val payloadCols =
-      log.columns.filterNot(c => c == key || c == ts || c == tie || c == Op)
+    val payloadCols = log.columns
+      .filterNot(c => c == key || c == ts || c == tie || c == Op || c == Day)
     val compensation = rset.select(
       col(key) +:
         lit(rollbackTs).cast("timestamp").as(ts) +:
         lit(0L).as(tie) +:
         payloadCols.map(col) :+
         when(col("action") === "DELETE", lit("D")).otherwise(lit("R")).as(Op): _*)
-    compensation.write.mode(SaveMode.Append).parquet(logDir)
+    writeLog(compensation)
     val audit = rset.agg(
         count(lit(1)).as("affected_records"),
         concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
