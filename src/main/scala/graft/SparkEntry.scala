@@ -160,6 +160,9 @@ object SparkEntry {
       Analytics.q3ShippingPriority(s, d, "BUILDING", "1998-03-15")),
     "q5_local_supplier" -> ((s, d) => Analytics.q5LocalSupplier(s, d, "ASIA", 1996)),
     "q6_revenue_delta" -> ((s, d) => Analytics.q6RevenueDelta(s, d, 1997)),
+    "q7_volume_shipping" -> ((s, d) =>
+      Analytics.q7VolumeShipping(s, d, "NATION_2", "NATION_7")),
+    "q14_promo_revenue" -> ((s, d) => Analytics.q14PromoRevenue(s, d, "1997-09")),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d, 250.0)),
 
     // ---- D. dedup --------------------------------------------------------
@@ -492,6 +495,34 @@ object SparkEntry {
           |JOIN customer c ON o.o_custkey = c.c_custkey
           |WHERE b.sum_qty > 250
           |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+      "q7_volume_shipping" ->
+        """SELECT s.supp_nation, s.cust_nation, s.l_year,
+          |  CAST(sum(s.vol) AS DOUBLE) AS volume
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(year(l.l_shipdate) AS INT) AS l_year,
+          |    CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6)) AS vol
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+          |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+          |  JOIN nation n1 ON su.s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+          |  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+          |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2')) s
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+      "q14_promo_revenue" ->
+        """SELECT round(100.0 * promo / total, 6) AS promo_revenue FROM (
+          |  SELECT
+          |    CAST(sum(CASE WHEN p.p_type = 'PROMO'
+          |      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))
+          |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo,
+          |    CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          |    AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00')""".stripMargin,
 
       "q6_revenue_delta" ->
         """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -113,6 +113,53 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q7 flavor: shipping volume between two nations by year.
+    * nation/supplier/customer-side dims broadcast; the fact shuffles
+    * once per join key. */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String,
+                       nationA: String, nationB: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cu = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14 flavor: promo revenue share for one month — broadcast
+    * part into the date-pruned lineitem scan, two conditional decimal
+    * sums, ratio in double. */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String, month: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$month-01").cast("timestamp") &&
+        col("l_shipdate") < add_months(lit(s"$month-01").cast("timestamp"), 1))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("promo"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("total"))
+      .select(round(lit(100.0) * col("promo") / col("total"), 6).as("promo_revenue"))
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {
