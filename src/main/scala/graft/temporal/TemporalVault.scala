@@ -139,6 +139,26 @@ class TemporalVault(
       .filter(col(Op) =!= "D")
       .write.mode(SaveMode.Overwrite).parquet(s"$snapDir/at=$at")
 
+  /** Compact into a fresh vault at `newRoot`: the log prefix ≤ `at`
+    * collapses to one surviving version per live record (original ts
+    * kept, tombstoned records dropped) and the tail is carried over
+    * verbatim. Reads for any T ≥ `at` are unchanged; the small-files
+    * and long-replay problems reset. Append-only stores compact by
+    * generation switch — the old root stays readable until dropped. */
+  def compactTo(newRoot: String, at: String): TemporalVault = {
+    val atTs = lit(at).cast("timestamp")
+    val compacted = new TemporalVault(spark, newRoot, key, ts, tie)
+    val live = Temporal.asOf(log, key, ts, tie, atTs)
+      .filter(col(Op) =!= "D").drop(Op, Day)
+    compacted.append(live)
+    val tail = log.filter(col(ts) > atTs).drop(Day)
+    if (!tail.isEmpty) compacted.writeLog(tail)
+    if (exists(rbDir))
+      spark.read.parquet(rbDir).write.mode(SaveMode.Append)
+        .parquet(s"$newRoot/rollback_log")
+    compacted
+  }
+
   private def snapshotAtOrBefore(at: String): Option[(String, DataFrame)] = {
     if (!exists(snapDir)) return None
     val snaps = fs.listStatus(new Path(snapDir)).toSeq

@@ -66,6 +66,31 @@ class TemporalVaultSpec extends SparkSpec {
     assert(v.rollbackHistory.count() == 1)
   }
 
+  test("compaction preserves reads at and after the compaction point") {
+    val v = mkVault()
+    v.append(batch(
+      ("u1", "2024-01-01 00:00:00", 1, "a"),
+      ("u1", "2024-01-03 00:00:00", 2, "b"),
+      ("u2", "2024-01-02 00:00:00", 3, "x"),
+      ("u1", "2024-01-08 00:00:00", 4, "c")))
+    v.rollback("2024-01-04 00:00:00", "2024-01-09 00:00:00") // undoes "c"
+
+    val newRoot = java.nio.file.Files.createTempDirectory("vault_c").toString
+    val c = v.compactTo(newRoot, "2024-01-05 00:00:00")
+
+    for (t <- Seq("2024-01-05 00:00:00", "2024-01-08 12:00:00", "2024-01-10 00:00:00")) {
+      val want = v.query(t).select("record_id", "data")
+        .as[(String, String)].collect().toSet
+      val got = c.query(t).select("record_id", "data")
+        .as[(String, String)].collect().toSet
+      assert(got == want, s"divergence at $t")
+    }
+    // compacted log prefix holds exactly one version per live record
+    assert(c.log.filter($"ts" <= lit("2024-01-05 00:00:00").cast("timestamp"))
+      .groupBy("record_id").count().filter($"count" > 1).count() == 0)
+    assert(c.rollbackHistory.count() == 1)
+  }
+
   test("snapshot fast path returns the same state as the full-log read") {
     val v = mkVault()
     v.append(batch(
