@@ -75,9 +75,32 @@ object NanoTsPushdown extends Rule[LogicalPlan] {
 }
 
 /** Session extensions: register with
-  * `SparkSession.builder().withExtensions(new GraftExtensions)`. */
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Installs the pushdown rule and exposes the native expressions to
+  * SQL as `word_shingles(text, n)` and `cosine_sim(a, b)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.expressions.{CosineSim, WordShingles}
+
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTsPushdown)
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, Literal(n: Int, _)) => WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) expects a string column and an int literal")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(a, b) expects two array columns")
+      }))
   }
 }
