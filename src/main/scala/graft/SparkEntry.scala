@@ -124,8 +124,9 @@ object SparkEntry {
       val e = ev(s, d).select("user_id", "ts", "event_id", "event_type")
       val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
       val clicks = e.filter(col("event_type") === "click").drop("event_type")
-      TimeSeries.asOfJoin(purchases, clicks, "user_id", "ts", "event_id",
-          Seq("event_id", "ts"))
+      // native AsOfJoinExec (spec-checked identical to the composed
+      // union+window form in TimeSeries.asOfJoin)
+      graft.plans.AsOfJoinDsl.asof(purchases, clicks, "user_id", "ts", "event_id")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           unix_micros(col("ts")).as("purchase_ts_us"),
           col("right_event_id").as("click_id"),

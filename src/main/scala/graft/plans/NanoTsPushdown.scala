@@ -86,6 +86,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTsPushdown)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
