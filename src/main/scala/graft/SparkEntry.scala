@@ -576,6 +576,7 @@ object SparkEntry {
           |    round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
           |  FROM e a JOIN e b USING (shingle)
           |  WHERE a.doc_id < b.doc_id
+          |    AND least(a.n_sh, b.n_sh) >= 0.12 * greatest(a.n_sh, b.n_sh)
           |  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
           |WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
 

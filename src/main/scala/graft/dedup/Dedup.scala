@@ -45,7 +45,11 @@ object Dedup {
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        // size bound: J(A,B) <= min/max, so pairs violating
+        // min >= tau*max can never reach tau — prune before the
+        // aggregation (exact-semantics preserving)
+        least(col("n_a"), col("n_b")) >= lit(tau) * greatest(col("n_a"), col("n_b")))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
