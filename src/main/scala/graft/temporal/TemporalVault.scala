@@ -59,8 +59,10 @@ class TemporalVault(
 
   /** Append a batch of new record versions (POST /records,
     * app/main.py:67-98). */
-  def append(batch: DataFrame): Unit =
+  def append(batch: DataFrame): Unit = {
     writeLog(batch.withColumn(Op, lit("I")))
+    invalidateCache()
+  }
 
   /** Version labels (v1, v2, ... per record, time order) — computed,
     * not stored, so always consistent with the log (the reference
@@ -94,6 +96,40 @@ class TemporalVault(
   def query(at: String, recordId: String): DataFrame =
     query(at).filter(col(key) === recordId)
 
+  /** Natural-language time-travel read, like the reference's
+    * `GET /query?timestamp=yesterday at 4:00 PM` (app/main.py:105);
+    * `now` is injected for determinism. */
+  def queryAt(phrase: String, now: String): DataFrame =
+    query(TimeParse.parse(phrase, now))
+
+  // --- query-result cache (the reference's Redis layer, main.py:60-64:
+  // cached reads keyed by timestamp, invalidated on every write) -------
+  private val cache =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  @volatile private var cacheHitCount = 0L
+
+  /** AS-OF read memoized per timestamp: the state DataFrame is
+    * persisted in executor memory on first use (the Spark analog of
+    * the reference's Redis setex) and served partition-local after
+    * that. `append`/`rollback` invalidate everything, as the reference
+    * deletes affected keys on create (app/main.py:94). */
+  def queryCached(at: String): DataFrame = cache.synchronized {
+    cache.get(at) match {
+      case Some(df) => cacheHitCount += 1; df
+      case None =>
+        val df = query(at).persist()
+        cache.put(at, df)
+        df
+    }
+  }
+
+  def cacheHits: Long = cacheHitCount
+
+  private def invalidateCache(): Unit = cache.synchronized {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+
   /** Field-level diff of one record between two timestamps
     * (GET /compare, app/main.py:267). */
   def compare(recordId: String, from: String, to: String, fields: Seq[String]): DataFrame =
@@ -123,6 +159,7 @@ class TemporalVault(
       .withColumn("rollback_to", lit(at))
       .withColumn("rollback_ts", lit(rollbackTs))
     audit.write.mode(SaveMode.Append).parquet(rbDir)
+    invalidateCache()
     spark.read.parquet(rbDir).filter(col("rollback_ts") === rollbackTs)
   }
 

@@ -13,6 +13,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Drain the listener bus (QueryExecutionListener callbacks are
+    * asynchronous); private[spark], re-exported for graft.Metrics. */
+  def flushListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Wrap an already-resolved LogicalPlan as a DataFrame. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
