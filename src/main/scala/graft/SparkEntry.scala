@@ -155,6 +155,10 @@ object SparkEntry {
       graft.streaming.Streams.sessionizeStream(s, d, "30 minutes")
         .orderBy("user_id", "start_us")),
 
+    "ts13_grouped_topk" -> ((s, d) =>
+      TimeSeries.groupedTopk(ev(s, d), "event_type", "user_id", "value", 3)
+        .orderBy("event_type", "rank")),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -164,6 +168,7 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, d) =>
       Analytics.q7VolumeShipping(s, d, "NATION_2", "NATION_7")),
     "q14_promo_revenue" -> ((s, d) => Analytics.q14PromoRevenue(s, d, "1997-09")),
+    "q10_returned_items" -> ((s, d) => Analytics.q10ReturnedItems(s, d, "1997-10-01")),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d, 250.0)),
 
     // ---- D. dedup --------------------------------------------------------
@@ -443,6 +448,30 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
+
+      "ts13_grouped_topk" ->
+        """SELECT event_type, user_id, total_value, rank FROM (
+          |  SELECT event_type, user_id, total_value,
+          |    row_number() OVER (PARTITION BY event_type
+          |                       ORDER BY total_value DESC, user_id) AS rank
+          |  FROM (SELECT event_type, user_id,
+          |          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |        FROM events GROUP BY 1, 2))
+          |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+      "q10_returned_items" ->
+        """SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
+          |FROM (
+          |  SELECT o.o_custkey,
+          |    CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  WHERE l.l_returnflag = 'R'
+          |    AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+          |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |  GROUP BY 1) r
+          |JOIN customer c ON r.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |ORDER BY r.revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
 
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,

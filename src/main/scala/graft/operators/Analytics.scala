@@ -160,6 +160,33 @@ object Analytics {
       .select(round(lit(100.0) * col("promo") / col("total"), 6).as("promo_revenue"))
   }
 
+  /** TPC-H Q10 flavor: revenue lost to returned items per customer in
+    * a quarter — fact-fact shuffle on the order key, customer/nation
+    * joined after aggregation cuts the row count. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String, quarterStart: String): DataFrame = {
+    val start = lit(quarterStart).cast("timestamp")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 3))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cu = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {

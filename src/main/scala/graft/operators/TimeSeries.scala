@@ -127,6 +127,19 @@ object TimeSeries {
       countDistinct(col(key)).as("n_keys"),
       count(lit(1)).as("n_events"))
 
+  /** Top-k keys per series by exact decimal total — the per-group
+    * variant of `topkByTotal`: one aggregation shuffle, then a window
+    * over the (much smaller) aggregate. */
+  def groupedTopk(df: DataFrame, series: String, key: String, value: String,
+                  k: Int): DataFrame = {
+    val w = Window.partitionBy(col(series))
+      .orderBy(col("total_value").desc, col(key).asc)
+    df.groupBy(col(series), col(key))
+      .agg(sum(dec(col(value))).cast("double").as("total_value"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** As-of join: for each left row, the latest right row with the same
     * key and `rightTs <= leftTs`. Implemented as union + time-ordered
     * last(ignoreNulls) — one shuffle on `key`, linear merge per key.
