@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.temporal.Temporal
+import graft.operators.TimeSeries
+
+/** Scaling probe (dev tool): times the core temporal/time-series
+  * operators on events at 1x (sf0.1, ~100k rows) and on a synthesized
+  * 8x union (distinct key ranges, written once to /tmp) to check the
+  * operators behave ~linearly — i.e. no accidental quadratic joins,
+  * driver materialization, or partition collapse as data grows.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val bigPath = "/tmp/graft_scale/events8"
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e1 = Tables.events(spark, sfDir)
+    if (!new java.io.File(bigPath).exists()) {
+      val parts = (0 until 8).map { i =>
+        e1.withColumn("user_id", col("user_id") + lit(i * 1000L))
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+      }
+      parts.reduce(_ unionByName _)
+        .repartition(32).write.parquet(bigPath)
+    }
+    val e8 = spark.read.parquet(bigPath)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def suite(name: String, ev: DataFrame): Map[String, Double] = {
+      val at = lit("2024-01-20 00:00:00").cast("timestamp")
+      Map(
+        "asof" -> time(Temporal.asOf(ev, "user_id", "ts", "event_id", at).count()),
+        "sessionize" -> time(TimeSeries.sessionize(
+          ev.select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 1800L).count()),
+        "tumbling" -> time(TimeSeries.tumblingDaily(ev, "event_type", "ts", "value").count()),
+        "changes" -> time(Temporal.changesBetween(
+          ev.select("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id",
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-25 00:00:00").cast("timestamp"),
+          Seq("event_type", "value")).count()))
+    }
+    suite("warm", e1) // warm-up
+    val r1 = suite("1x", e1)
+    val r8 = suite("8x", e8)
+    println(f"${"op"}%-12s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    r1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-12s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
+    }
+    spark.stop()
+  }
+}
