@@ -159,6 +159,14 @@ object SparkEntry {
       TimeSeries.groupedTopk(ev(s, d), "event_type", "user_id", "value", 3)
         .orderBy("event_type", "rank")),
 
+    "ts14_retention" -> ((s, d) =>
+      TimeSeries.retentionCohorts(ev(s, d), "user_id", "ts")
+        .orderBy("cohort", "day_offset")),
+
+    "ts15_funnel" -> ((s, d) =>
+      TimeSeries.funnel(ev(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -448,6 +456,32 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
+
+      "ts14_retention" ->
+        """WITH fs AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+          |  FROM events GROUP BY 1),
+          |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+          |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+          |  (active_day - cohort_day) AS day_offset,
+          |  count(DISTINCT act.user_id) AS n_users
+          |FROM act JOIN fs USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+
+      "ts15_funnel" ->
+        """WITH m AS (SELECT user_id,
+          |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+          |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+          |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+          |  FROM events GROUP BY user_id),
+          |f AS (SELECT
+          |    count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS c0,
+          |    count(CASE WHEN t0 IS NOT NULL AND t1 >= t0 THEN 1 END) AS c1,
+          |    count(CASE WHEN t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1 THEN 1 END) AS c2
+          |  FROM m)
+          |SELECT 1 AS stage_idx, 'signup' AS stage, c0 AS n_keys FROM f
+          |UNION ALL SELECT 2, 'click', c1 FROM f
+          |UNION ALL SELECT 3, 'purchase', c2 FROM f
+          |ORDER BY stage_idx""".stripMargin,
 
       "ts13_grouped_topk" ->
         """SELECT event_type, user_id, total_value, rank FROM (

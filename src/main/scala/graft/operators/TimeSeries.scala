@@ -140,6 +140,53 @@ object TimeSeries {
       .filter(col("rank") <= k)
   }
 
+  /** Retention cohorts: users grouped by first-seen day ("cohort"),
+    * counted per whole-day offset they were active afterwards. Two
+    * aggregations, both keyed on user then (cohort, offset) — the
+    * first-seen computation is a partial-agg min, never a window over
+    * the raw stream. */
+  def retentionCohorts(df: DataFrame, key: String, ts: String): DataFrame = {
+    val firstSeen = df.groupBy(col(key))
+      .agg(to_date(min(col(ts))).as("cohort_day"))
+    df.select(col(key), to_date(col(ts)).as("active_day")).distinct()
+      .join(firstSeen, Seq(key))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+
+  /** Ordered funnel: per stage, how many keys reached it respecting
+    * stage order (stage i's first occurrence must be at-or-after stage
+    * i-1's). One conditional-min aggregation per stage over a single
+    * grouping — no joins, no windows. */
+  def funnel(df: DataFrame, key: String, ts: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first reachable-in-order timestamp per stage, per key
+    val mins = stages.map(s =>
+      min(when(col(typeCol) === s, col(ts))).as(s"__t_$s"))
+    val perKey = df.groupBy(col(key)).agg(mins.head, mins.tail: _*)
+    // stage reached if its min-ts exists and is >= the previous
+    // reached stage's ts (cumulative)
+    val reached = stages.indices.map { i =>
+      stages.take(i + 1).map(s => col(s"__t_$s"))
+        .reduceLeft((prev, cur) => when(prev.isNotNull && cur >= prev, cur))
+    }
+    val flags = perKey.select(
+      reached.zipWithIndex.map { case (c, i) =>
+        c.isNotNull.cast("long").as(s"__r$i")
+      }: _*)
+    val counts = flags.agg(
+      sum(col("__r0")).as("c0"),
+      stages.indices.drop(1).map(i => sum(col(s"__r$i")).as(s"c$i")): _*)
+    val rows = stages.zipWithIndex.map { case (s, i) =>
+      counts.select(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+        col(s"c$i").as("n_keys"))
+    }
+    rows.reduce(_ unionByName _).orderBy("stage_idx")
+  }
+
   /** As-of join: for each left row, the latest right row with the same
     * key and `rightTs <= leftTs`. Implemented as union + time-ordered
     * last(ignoreNulls) — one shuffle on `key`, linear merge per key.
