@@ -85,6 +85,16 @@ object SparkEntry {
         .orderBy("user_id")),
 
     // ---- B. time series --------------------------------------------------
+    "t10_cdc_diff" -> ((s, d) =>
+      changesDf(s, d)
+        .withColumn("op",
+          when(col("event_type_from").isNull && col("value_from").isNull, lit("I"))
+            .when(col("event_type_to").isNull && col("value_to").isNull, lit("D"))
+            .otherwise(lit("U")))
+        .select("user_id", "op", "event_type_from", "event_type_to",
+          "value_from", "value_to", "changed_fields")
+        .orderBy("user_id")),
+
     "ts1_tumbling_agg" -> ((s, d) =>
       TimeSeries.tumblingDaily(ev(s, d), "event_type", "ts", "value")
         .orderBy("event_type", "day")),
@@ -344,6 +354,16 @@ object SparkEntry {
 
       // snapshot+delta replay ≡ plain AS-OF at T
       "t9_snapshot_reconstruct" -> s"$asofState\nORDER BY user_id",
+
+      // CDC framing of the state delta: I/U/D per record
+      "t10_cdc_diff" ->
+        s"""SELECT user_id,
+           |  CASE WHEN event_type_from IS NULL AND value_from IS NULL THEN 'I'
+           |       WHEN event_type_to IS NULL AND value_to IS NULL THEN 'D'
+           |       ELSE 'U' END AS op,
+           |  event_type_from, event_type_to, value_from, value_to, changed_fields
+           |FROM ($changes)
+           |ORDER BY user_id""".stripMargin,
 
       "ts1_tumbling_agg" ->
         """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
