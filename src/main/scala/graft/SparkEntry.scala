@@ -397,8 +397,8 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END AS ns
           |  FROM events),
           |s AS (SELECT user_id, ts, value,
-          |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |                ROWS UNBOUNDED PRECEDING) AS session_id
+          |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           |  FROM g)
           |SELECT user_id, session_id, count(*) AS n_events,
           |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
@@ -731,8 +731,8 @@ object SparkEntry {
 
       "x3_token_count" ->
         """SELECT source, count(*) AS n_docs,
-          |  sum(len(string_split(text, ' '))) AS ws_tokens,
-          |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS re_tokens
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "x4_fingerprint" ->

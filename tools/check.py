@@ -34,6 +34,14 @@ for name, sql in sorted(oracle.items()):
     a, b = canon(sdf), canon(ddf)
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); fails += 1; continue
+    # driver's hash is dtype-sensitive: a float64 column on one side vs
+    # int64 on the other (e.g. DuckDB HUGEINT from sum(INTEGER) -> pandas
+    # float) hash-mismatches even when values compare equal. Flag it.
+    dtype_div = [c for c in a.columns
+                 if str(a[c].dtype).startswith("float") != str(b[c].dtype).startswith("float")]
+    if dtype_div:
+        print(f"FAIL {name}: float/int dtype divergence {[(c, str(a[c].dtype), str(b[c].dtype)) for c in dtype_div]}")
+        fails += 1; continue
     if len(a) != len(b):
         print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); fails += 1; continue
     try:
