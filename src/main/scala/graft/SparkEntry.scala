@@ -188,6 +188,21 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) => Analytics.q14PromoRevenue(s, d, "1997-09")),
     "q10_returned_items" -> ((s, d) => Analytics.q10ReturnedItems(s, d, "1997-10-01")),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d, 250.0)),
+    "q4_priority_late" -> ((s, d) => Analytics.q4PriorityLate(s, d, "1996-01-01", 60)),
+    "q8_market_share" -> ((s, d) =>
+      Analytics.q8MarketShare(s, d, "ASIA", "ECONOMY", "NATION_2", 1995, 1996)),
+    "q9_product_profit" -> ((s, d) => Analytics.q9ProductProfit(s, d, "red")),
+    "q13_cust_orders_hist" -> ((s, d) =>
+      Analytics.q13CustOrdersHist(s, d, "4-NOT SPECIFIED")),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d, "1996-01-01")),
+    "q16_part_supplier_cnt" -> ((s, d) =>
+      Analytics.q16PartSupplierCnt(s, d, "Brand#5", Seq(1, 5, 9, 14, 19, 23, 36, 45))),
+    "q17_small_qty_rev" -> ((s, d) => Analytics.q17SmallQtyRevenue(s, d, "Brand#3")),
+    "q19_disc_revenue_or" -> ((s, d) => Analytics.q19DiscRevenueOr(s, d)),
+    "q20_qty_suppliers" -> ((s, d) => Analytics.q20QtySuppliers(s, d, "blue", 1996, 2.0)),
+    "q21_returned_sole" -> ((s, d) => Analytics.q21ReturnedSole(s, d, 20)),
+    "q22_idle_customers" -> ((s, d) =>
+      Analytics.q22IdleCustomers(s, d, Seq(1, 3, 5, 7, 9, 11, 13), "1999-01-01")),
 
     // ---- D. dedup --------------------------------------------------------
     "d1_exact_dedup" -> ((s, d) =>
@@ -614,6 +629,134 @@ object SparkEntry {
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+      "q4_priority_late" ->
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders o
+          |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q8_market_share" ->
+        """SELECT o_year, round(nation_rev / total_rev, 6) AS mkt_share FROM (
+          |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+          |    CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+          |      THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))
+          |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_rev,
+          |    CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+          |  FROM lineitem l
+          |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          |  JOIN region r ON n2.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  GROUP BY 1)
+          |ORDER BY o_year""".stripMargin,
+
+      "q9_product_profit" ->
+        """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+          |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+          |    - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+          |FROM lineitem l
+          |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+      "q13_cust_orders_hist" ->
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c LEFT JOIN orders o
+          |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          |  GROUP BY 1)
+          |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      "q15_top_supplier" ->
+        """WITH rev AS (SELECT l_suppkey,
+          |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT s.s_suppkey, s.s_name, rev.total_revenue
+          |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+          |WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q16_part_supplier_cnt" ->
+        """SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+      "q17_small_qty_rev" ->
+        """SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+          |FROM lineitem l
+          |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+          |JOIN (SELECT l_partkey,
+          |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+          |      FROM lineitem GROUP BY 1) a
+          |  ON a.l_partkey = l.l_partkey
+          |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin,
+
+      "q19_disc_revenue_or" ->
+        """SELECT CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 AND l.l_quantity BETWEEN 1 AND 11)
+          |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+          |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+      "q20_qty_suppliers" ->
+        """SELECT s.s_suppkey, s.s_name, n.n_name
+          |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |WHERE s.s_suppkey IN (
+          |  WITH perPair AS (
+          |    SELECT l.l_suppkey, l.l_partkey,
+          |      CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          |    WHERE p.p_name LIKE 'blue%'
+          |      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |    GROUP BY 1, 2),
+          |  thr AS (SELECT CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 2.0 AS thr
+          |    FROM perPair)
+          |  SELECT perPair.l_suppkey FROM perPair, thr WHERE perPair.qty > thr.thr)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q21_returned_sole" ->
+        """WITH f AS (
+          |  SELECT l.l_orderkey, l.l_suppkey,
+          |    max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+          |  FROM lineitem l
+          |  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+          |  GROUP BY 1, 2),
+          |po AS (SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret FROM f GROUP BY 1)
+          |SELECT s.s_name, count(*) AS numwait
+          |FROM f JOIN po ON f.l_orderkey = po.l_orderkey
+          |JOIN supplier s ON f.l_suppkey = s.s_suppkey
+          |WHERE f.ret = 1 AND po.n_supp >= 2 AND po.n_ret = 1
+          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+      "q22_idle_customers" ->
+        """WITH cu AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+          |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+          |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+          |  FROM cu WHERE c_acctbal > 0)
+          |SELECT cu.c_nationkey, count(*) AS numcust,
+          |  CAST(sum(CAST(cu.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM cu, ab
+          |WHERE cu.c_acctbal > ab.avg_bal
+          |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey
+          |    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "d1_exact_dedup" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

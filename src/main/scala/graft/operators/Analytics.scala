@@ -187,6 +187,278 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q4 flavor: order-priority checking. The testdata has no
+    * commit/receipt dates, so "late" = a lineitem shipped more than
+    * `lateDays` after the order date. EXISTS becomes a left-semi join
+    * with a cross-side predicate — Spark keeps it a single shuffle on
+    * the order key and the semi side never materializes duplicates. */
+  def q4PriorityLate(spark: SparkSession, sfDir: String,
+                     quarterStart: String, lateDays: Int): DataFrame = {
+    val start = lit(quarterStart).cast("timestamp")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= start && col("o_orderdate") < add_months(start, 3))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q8 flavor: national market share — the share of one
+    * supplier nation in revenue of one part type sold into one region,
+    * by order year. All dimensions (part filtered by type, nation,
+    * region, supplier-side nation name) broadcast; the plan's only
+    * exchanges are the two fact shuffles (lineitem⋈orders on orderkey,
+    * orders⋈customer on custkey). Conditional decimal sums make the
+    * ratio order-independent. */
+  def q8MarketShare(spark: SparkSession, sfDir: String, region: String,
+                    partType: String, shareNation: String,
+                    yearLo: Int, yearHi: Int): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === region)
+    val nCust = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val nSupp = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType).select("p_partkey")
+    val su = Tables.supplier(spark, sfDir)
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val cu = Tables.customer(spark, sfDir)
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(s"$yearLo-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${yearHi + 1}-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation,
+          dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double").as("nation_rev"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 flavor: product-type profit by supplier nation and year.
+    * No partsupp table in the testdata, so supply cost is proxied as
+    * 60% of p_retailprice. part (name-filtered) and nation broadcast;
+    * lineitem shuffles once on the order... no — profit needs no
+    * orders join here since l_shipdate carries the year: the plan is a
+    * single fact scan with two broadcast joins and one aggregation
+    * shuffle on (nation, year). */
+  def q9ProductProfit(spark: SparkSession, sfDir: String, nameToken: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val su = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(nameToken))
+      .select("p_partkey", "p_retailprice")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q13 flavor: distribution of orders-per-customer (customers
+    * with zero orders included via left outer join). Both sides are
+    * fact-sized at 100 TB → one shuffle on the customer key, then the
+    * histogram aggregation runs on the already-tiny (custkey, count)
+    * set. The priority filter stands in for the comment NOT LIKE. */
+  def q13CustOrdersHist(spark: SparkSession, sfDir: String,
+                        excludePriority: String): DataFrame = {
+    val cu = Tables.customer(spark, sfDir).select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_orderkey", "o_custkey")
+    cu.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 flavor: top supplier(s) by quarter revenue. The revenue
+    * view is one partial-agg shuffle on l_suppkey; the max is a scalar
+    * broadcast back onto the (already tiny) per-supplier aggregate, so
+    * no second pass over the fact. Ties all surface (deterministic). */
+  def q15TopSupplier(spark: SparkSession, sfDir: String, quarterStart: String): DataFrame = {
+    val start = lit(quarterStart).cast("timestamp")
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= start && col("l_shipdate") < add_months(start, 3))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val su = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 flavor: how many distinct suppliers serve each
+    * (brand, type, size) combination — supplier/part relationship
+    * recovered from lineitem since the testdata has no partsupp.
+    * part (filtered) broadcasts; count(distinct) expands to the
+    * standard two-phase aggregate, keyed on the group — no skew risk
+    * because the key space is the part taxonomy, not part ids. */
+  def q16PartSupplierCnt(spark: SparkSession, sfDir: String,
+                         excludeBrand: String, sizes: Seq[Int]): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q17 flavor: revenue impact of small-quantity orders for one
+    * brand. The correlated per-part average becomes a partial-agg
+    * shuffle on l_partkey over the whole fact (the brand filter cannot
+    * be applied there — the average is over ALL lineitems of the part),
+    * re-joined to the brand-filtered lineitems. The average is computed
+    * decimal-sum/count so it is order-independent. */
+  def q17SmallQtyRevenue(spark: SparkSession, sfDir: String, brand: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    li.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 flavor: three OR'd (brand, size, quantity) arms. The
+    * whole disjunction is a single join predicate over one broadcast
+    * join — Catalyst extracts the common `l_partkey = p_partkey`
+    * equi-condition and evaluates the arms as a post-join filter, so
+    * the fact is still scanned exactly once. */
+  def q19DiscRevenueOr(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val arms =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && arms)
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q20 flavor: suppliers who shipped more than `minQty` units
+    * of any single name-matched part in one year. The inner HAVING
+    * aggregate runs on (suppkey, partkey) — partial aggregation
+    * collapses it map-side — and the surviving supplier ids form a
+    * tiny distinct set that semi-joins (broadcast) into supplier. */
+  def q20QtySuppliers(spark: SparkSession, sfDir: String, nameToken: String,
+                      year: Int, factor: Double): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(nameToken)).select("p_partkey")
+    val perPair = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+    // scale-free HAVING: the original's "half the available quantity"
+    // has no partsupp analog, so qualify pairs above `factor`× the mean
+    // per-(supplier, part) shipped quantity — selective at every SF
+    val thr = perPair.agg(
+      (sum(dec2(col("qty"))).cast("double") / count(lit(1)) * factor).as("thr"))
+    val qualifying = perPair.join(broadcast(thr), col("qty") > col("thr"))
+      .select("l_suppkey").distinct()
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    Tables.supplier(spark, sfDir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 flavor: suppliers solely responsible for returned lines
+    * in finished multi-supplier orders. Both EXISTS / NOT EXISTS of the
+    * original collapse into one per-order aggregate (distinct suppliers
+    * total vs with-returns) — a single shuffle on the order key, then a
+    * re-join of the tiny per-(order, supplier) flags. */
+  def q21ReturnedSole(spark: SparkSession, sfDir: String, topK: Int): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val perOrder = perSupp.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("ret")).as("n_ret"))
+      .filter(col("n_supp") >= 2 && col("n_ret") === 1)
+    val su = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    perSupp.filter(col("ret") === 1)
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q22 flavor: wealthy customers (balance above the positive
+    * average of their cohort) who never ordered — scalar-subquery
+    * average broadcast back, anti-join against orders (one shuffle on
+    * the customer key; at 100 TB AQE turns it into a broadcast anti
+    * join if the distinct o_custkey set is small enough). */
+  def q22IdleCustomers(spark: SparkSession, sfDir: String, nationKeys: Seq[Int],
+                       sinceDate: String): DataFrame = {
+    val cu = Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey").isin(nationKeys: _*))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cu.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    // every customer in this testdata has SOME order, so "never ordered"
+    // becomes "no order since `sinceDate`" — same anti-join shape
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+      .select("o_custkey")
+    cu.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {

@@ -28,13 +28,30 @@ object Streams {
   }
 
   /** Run `agg` to completion over all available input; return the final
-    * result table. */
+    * result table.
+    *
+    * State-store partition count: a stateful streaming agg materializes
+    * one state store per shuffle partition per stateful operator, and
+    * that setup cost is pure overhead when the keyspace is small. The
+    * batch-session default (32 here, AQE-coalesced) is wrong for the
+    * drain — pin a smaller count for the stream only, restore after.
+    * At scale this is the knob sized to state volume, not to scan
+    * parallelism. */
+  private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
   }
 
@@ -109,13 +126,15 @@ object Streams {
 
     val name = "graft_vmon"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
-      .toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = events.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(name)
   }
 
