@@ -177,6 +177,36 @@ object SparkEntry {
       TimeSeries.funnel(ev(s, d), "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase"))),
 
+    "ts16_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts")
+      TimeSeries.intervalCount(purchases, clicks, "user_id", "ts", "event_id",
+          3600000000L)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us"), col("n_matches").as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
+    "ts17_stream_interval_join" -> ((s, d) =>
+      graft.streaming.Streams.intervalJoinStream(s, d)
+        .orderBy("purchase_id", "click_id")),
+
+    "ts18_ewma" -> ((s, d) =>
+      TimeSeries.ewma(ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 0.5, 3)
+        .orderBy("user_id", "ts_us", "event_id")),
+
+    "ts19_zscore" -> ((s, d) =>
+      TimeSeries.zscoreAnomalies(ev(s, d), "event_type", "event_id", "value", 2.5)
+        .orderBy("event_id")),
+
+    "ts20_twa" -> ((s, d) =>
+      TimeSeries.timeWeightedAvg(ev(s, d), "user_id", "ts", "event_id", "value",
+          ts(T1), ts(T2))
+        .orderBy("user_id")),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -223,6 +253,9 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, d) =>
       Ann.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.25)),
+
+    "d6_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
 
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
@@ -274,6 +307,17 @@ object SparkEntry {
             org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .orderBy("doc_id")),
 
+    "x5_top_bigrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("bigram").asc)))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")),
+
     // ---- G. multimodal plumbing -----------------------------------------
     "m1_binary_meta" -> ((s, d) =>
       graft.multimodal.Binary.decodeMeta(
@@ -323,6 +367,29 @@ object SparkEntry {
          |      CASE WHEN s1.k IS DISTINCT FROM s2.k THEN 'k' END) AS changed_fields
          |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
          |WHERE changed_fields <> ''""".stripMargin
+    // MinHash CTE chain shared by d2 (candidate pairs) and d6 (connected
+    // components over those pairs) — generated from the same XorSeeds as
+    // the Spark side.
+    val minhashCtes: String = {
+      val seeds = graft.dedup.Dedup.XorSeeds.take(16)
+      val minCols = seeds.zipWithIndex
+        .map { case (s, p) => s"min(xor(b, ${s}::BIGINT)) AS mh$p" }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val key = (b * 4 until (b + 1) * 4).map(p => s"mh$p::VARCHAR").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $key AS band_key FROM m"
+      }.mkString("\n  UNION ALL ")
+      s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(words) < 3 THEN [text]
+         |         ELSE [array_to_string(words[i:i+2], ' ')
+         |               for i in range(1, len(words) - 1)] END) AS shingles
+         |  FROM w),
+         |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS b FROM sh),
+         |m AS (SELECT doc_id,
+         |    $minCols
+         |  FROM e GROUP BY doc_id),
+         |bands AS ($bandRows)""".stripMargin
+    }
     Map(
       "t1_asof_snapshot" -> s"$asofState\nORDER BY user_id",
 
@@ -527,6 +594,74 @@ object SparkEntry {
           |          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |        FROM events GROUP BY 1, 2))
           |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+      "ts16_interval_join" ->
+        """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,
+          |  (SELECT count(*) FROM events c WHERE c.event_type = 'click'
+          |     AND c.user_id = p.user_id
+          |     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts) AS n_clicks
+          |FROM events p WHERE p.event_type = 'purchase'
+          |ORDER BY purchase_id""".stripMargin,
+
+      // stream-stream interval join is batch-equivalent -> plain range join
+      "ts17_stream_interval_join" ->
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+          |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+          |FROM events p JOIN events c ON c.user_id = p.user_id
+          |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+          |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+          |ORDER BY purchase_id, click_id""".stripMargin,
+
+      "ts18_ewma" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |  round((value
+          |    + CASE WHEN lag(value, 1) OVER w IS NOT NULL
+          |        THEN lag(value, 1) OVER w * 0.5 ELSE 0.0 END
+          |    + CASE WHEN lag(value, 2) OVER w IS NOT NULL
+          |        THEN lag(value, 2) OVER w * 0.25 ELSE 0.0 END
+          |    + CASE WHEN lag(value, 3) OVER w IS NOT NULL
+          |        THEN lag(value, 3) OVER w * 0.125 ELSE 0.0 END)
+          |  / (1.0
+          |    + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+          |    + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+          |    + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END), 6) AS ewma
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+      "ts19_zscore" ->
+        """WITH st AS (SELECT event_type,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+          |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ex2
+          |  FROM events GROUP BY 1)
+          |SELECT e.event_id, e.event_type, e.value,
+          |  round((e.value - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 6) AS z
+          |FROM events e JOIN st USING (event_type)
+          |WHERE abs(round((e.value - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 6)) >= 2.5
+          |ORDER BY event_id""".stripMargin,
+
+      "ts20_twa" ->
+        s"""WITH i AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+           |  WHERE ts >= TIMESTAMP '$T1' AND ts < TIMESTAMP '$T2'),
+           |wt AS (SELECT user_id, value,
+           |    coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+           |             epoch_us(TIMESTAMP '$T2')) - us AS w
+           |  FROM i)
+           |SELECT user_id, count(*) AS n_events,
+           |  round(CAST(sum(CAST(value * w AS DECIMAL(28,6))) AS DOUBLE)
+           |        / CAST(sum(w) AS BIGINT), 6) AS twa
+           |FROM wt GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      "x5_top_bigrams" ->
+        """SELECT lang, bigram, n, rank FROM (
+          |  SELECT lang, bigram, n,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+          |  FROM (SELECT lang, bigram, count(*) AS n FROM (
+          |      SELECT lang, unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+          |        ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END) AS bigram
+          |      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+          |    GROUP BY 1, 2))
+          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
       "q10_returned_items" ->
         """SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal, n.n_name
@@ -764,30 +899,30 @@ object SparkEntry {
           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
           |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
 
-      "d2_minhash_lsh" -> {
-        val seeds = graft.dedup.Dedup.XorSeeds.take(16)
-        val minCols = seeds.zipWithIndex
-          .map { case (s, p) => s"min(xor(b, ${s}::BIGINT)) AS mh$p" }.mkString(",\n    ")
-        val bandRows = (0 until 4).map { b =>
-          val key = (b * 4 until (b + 1) * 4).map(p => s"mh$p::VARCHAR").mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $key AS band_key FROM m"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(
-           |    CASE WHEN len(words) < 3 THEN [text]
-           |         ELSE [array_to_string(words[i:i+2], ' ')
-           |               for i in range(1, len(words) - 1)] END) AS shingles
-           |  FROM w),
-           |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS b FROM sh),
-           |m AS (SELECT doc_id,
-           |    $minCols
-           |  FROM e GROUP BY doc_id),
-           |bands AS ($bandRows)
+      "d2_minhash_lsh" ->
+        s"""WITH $minhashCtes
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
            |  AND a.doc_id < b.doc_id
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // connected components over the d2 candidate graph: transitive
+      // closure via a recursive CTE, component label = min reachable id
+      "d6_dup_clusters" ->
+        s"""WITH RECURSIVE $minhashCtes,
+           |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id),
+           |ed AS (SELECT id_a, id_b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+           |reach(s, t) AS (
+           |  SELECT id_a, id_b FROM ed
+           |  UNION
+           |  SELECT r.s, e2.id_b FROM reach r JOIN ed e2 ON r.t = e2.id_a)
+           |SELECT d.doc_id,
+           |  least(d.doc_id, coalesce(mr.mn, d.doc_id)) AS cluster_id
+           |FROM documents d
+           |LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr ON mr.s = d.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       "d4_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

@@ -148,4 +148,45 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .orderBy("id_a", "id_b")
   }
+
+  /** Duplicate clusters: connected components over the MinHash-LSH
+    * candidate graph, labeled by the component's minimum doc id.
+    * Iterative min-label propagation — each round is one equi-join +
+    * one aggregation, and the iteration count is bounded by the
+    * component diameter, which for LSH dup clusters (near-cliques:
+    * every member shares a band bucket with most others) is 1-2. The
+    * loop runs on the driver but every round is fully distributed;
+    * `localCheckpoint` truncates the growing lineage. At larger
+    * diameters this is where the large-star/small-star optimization
+    * would slot in; the join shape is identical. */
+  def dupClusters(docs: DataFrame, id: String, text: String,
+                  n: Int, perms: Int, bands: Int, maxIter: Int = 15): DataFrame = {
+    val pairs = minhashLshPairs(docs, id, text, n, perms, bands)
+      .select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = docs.select(col(id), col(id).cast("long").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neigh = edges
+        .join(labels.select(col(id).as("id_b"), col("cluster_id").as("nl")), "id_b")
+        .groupBy(col("id_a")).agg(min(col("nl")).as("mn"))
+      val next = labels
+        .join(neigh, labels(id) === neigh("id_a"), "left_outer")
+        .select(labels(id),
+          least(col("cluster_id"), coalesce(col("mn"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col(s"n.$id") === col(s"o.$id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy(id)
+  }
 }

@@ -24,6 +24,15 @@ object Text {
       graft.functions.expressions.WordShingles(ColumnBridge.expression(text), n))
   }
 
+  /** Word bigrams (order-preserving, non-distinct); documents shorter
+    * than two words contribute none. */
+  def bigrams(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text))
 

@@ -216,4 +216,83 @@ object TimeSeries {
     filled.filter(col("__side") === 1)
       .select(lCols.map(col) ++ carry.map(c => col(s"__last_$c").as(s"right_$c")): _*)
   }
+
+  /** Interval (range) join, bucketized: for each probe row, the number
+    * of build rows with the same key in `[probeTs - windowUs, probeTs)`.
+    *
+    * A naive range join is O(n·m) per key; instead both sides bucket by
+    * `windowUs`, the build side is replicated into its own and the next
+    * bucket (a build row can only match probes in those two), and the
+    * range condition finishes the equi-join. At 100 TB this is two
+    * shuffles on (key, bucket) with a 2× replication of the smaller
+    * side — the standard scalable band-join shape. */
+  def intervalCount(probe: DataFrame, build: DataFrame, key: String,
+                    ts: String, probeId: String, windowUs: Long): DataFrame = {
+    val p = probe.select(col(probeId), col(key), unix_micros(col(ts)).as("__pus"))
+      .withColumn("__b", floor(col("__pus") / windowUs))
+    val b = build.select(col(key), unix_micros(col(ts)).as("__bus"))
+      .withColumn("__b",
+        explode(array(floor(col("__bus") / windowUs), floor(col("__bus") / windowUs) + 1)))
+    val matches = p.join(b, Seq(key, "__b"))
+      .filter(col("__bus") >= col("__pus") - windowUs && col("__bus") < col("__pus"))
+      .groupBy(col(probeId)).agg(count(lit(1)).as("__n"))
+    probe.select(col(probeId), col(key), unix_micros(col(ts)).as("ts_us"))
+      .join(matches, Seq(probeId), "left_outer")
+      .withColumn("n_matches", coalesce(col("__n"), lit(0L))).drop("__n")
+  }
+
+  /** Exponentially-weighted moving average over the last `lags`+1 rows
+    * per key (weights alpha^j, normalized over the rows actually
+    * present). A fixed-depth bank of `lag()` columns keeps the whole
+    * computation in one ROWS window — no UDAF state, codegen'd. */
+  def ewma(df: DataFrame, key: String, ts: String, tie: String,
+           value: String, alpha: Double, lags: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val terms = (1 to lags).map { j =>
+      val lj = lag(col(value), j).over(w)
+      (when(lj.isNotNull, lj * math.pow(alpha, j)).otherwise(lit(0.0)),
+       when(lj.isNotNull, lit(math.pow(alpha, j))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).foldLeft(col(value).cast("double"))(_ + _)
+    val den = terms.map(_._2).foldLeft(lit(1.0))(_ + _)
+    df.select(col(key), col(tie), unix_micros(col(ts)).as("ts_us"), col(value),
+      round(num / den, 6).as("ewma"))
+  }
+
+  /** Per-series z-score anomalies. Mean and E[x²] come from DECIMAL
+    * sums (order-independent, exact) so the derived std and z-scores
+    * are bit-identical across engines and partitionings; the tiny
+    * per-series stats broadcast back onto the scan. */
+  def zscoreAnomalies(df: DataFrame, series: String, id: String,
+                      value: String, threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(series))
+      .agg(
+        (sum(dec(col(value))).cast("double") / count(lit(1))).as("mean"),
+        (sum((col(value) * col(value)).cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("ex2"))
+      .select(col(series), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    df.join(broadcast(stats), series)
+      .withColumn("z", round((col(value) - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) >= threshold)
+      .select(col(id), col(series), col(value), col("z"))
+  }
+
+  /** Time-weighted average of a step series per key over [t1, t2):
+    * each value holds until the next event (or t2), so the weight is
+    * the µs until then. One window shuffle on the key; the weighted
+    * sum goes through DECIMAL(28,6) for order-independence. */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String, tie: String,
+                      value: String, t1: Column, t2: Column): DataFrame = {
+    val in = df.filter(col(ts) >= t1 && col(ts) < t2)
+      .select(col(key), col(tie), unix_micros(col(ts)).as("__us"), col(value))
+    val w = Window.partitionBy(col(key)).orderBy(col("__us"), col(tie))
+    in.withColumn("__end", coalesce(lead(col("__us"), 1).over(w), unix_micros(t2)))
+      .withColumn("__w", col("__end") - col("__us"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum((col(value) * col("__w")).cast("decimal(28,6)")).cast("double") /
+          sum(col("__w")), 6).as("twa"))
+  }
 }

@@ -138,6 +138,41 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks in the preceding `windowSql` (exclusive of the purchase
+    * instant). Both sides carry watermarks so the join state is
+    * bounded — a click is held only until the watermark passes
+    * `click.ts + window`, which is exactly the unbounded-source shape;
+    * the drain here is one micro-batch so the output is provably equal
+    * to the batch interval join and the batch-derived oracle. */
+  def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
+    val name = "graft_ts17"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    withStreamPartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Streaming gap-based sessionization (twin of TimeSeries.sessionize)
     * via native `session_window` — incremental per-key session state
     * instead of a batch window sort; at scale this is the stateful-agg

@@ -119,6 +119,70 @@ class Round3Spec extends SparkSpec {
     assert(res.map { case (k, n, _) => (k, n) }.toMap == want)
   }
 
+  test("ts16: bucketized interval count equals naive range join") {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter($"event_type" === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter($"event_type" === "click").select("user_id", "ts")
+    val got = graft.operators.TimeSeries
+      .intervalCount(purchases, clicks, "user_id", "ts", "event_id", 3600000000L)
+      .select($"event_id", $"n_matches").as[(Long, Long)].collect().toMap
+    val naive = purchases.alias("p")
+      .join(clicks.alias("c"),
+        $"p.user_id" === $"c.user_id" &&
+        $"c.ts" >= $"p.ts" - expr("INTERVAL 1 HOUR") && $"c.ts" < $"p.ts",
+        "left_outer")
+      .groupBy($"p.event_id").agg(count($"c.ts").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("ts17: stream-stream interval join equals the batch pair set") {
+    val e = Tables.events(spark, sfDir)
+    val batch = e.filter($"event_type" === "purchase").alias("p")
+      .join(e.filter($"event_type" === "click").alias("c"),
+        $"p.user_id" === $"c.user_id" &&
+        $"c.ts" >= $"p.ts" - expr("INTERVAL 1 HOUR") && $"c.ts" < $"p.ts")
+      .select($"p.event_id", $"c.event_id").as[(Long, Long)].collect().toSet
+    val stream = graft.streaming.Streams.intervalJoinStream(spark, sfDir)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(stream == batch)
+  }
+
+  test("ts20: time-weighted average is bounded by min/max value in range") {
+    val twa = graft.operators.TimeSeries.timeWeightedAvg(
+      Tables.events(spark, sfDir), "user_id", "ts", "event_id", "value",
+      lit("2024-01-10 00:00:00").cast("timestamp"),
+      lit("2024-01-25 00:00:00").cast("timestamp"))
+    val bounds = Tables.events(spark, sfDir)
+      .filter($"ts" >= "2024-01-10" && $"ts" < "2024-01-25")
+      .groupBy($"user_id").agg(min($"value").as("lo"), max($"value").as("hi"))
+    val bad = twa.join(bounds, "user_id")
+      .filter($"twa" < $"lo" - 1e-6 || $"twa" > $"hi" + 1e-6).count()
+    assert(bad == 0 && twa.count() > 0)
+  }
+
+  test("d6: cluster labels are fixpoint-consistent with the pair graph") {
+    val docs = Tables.documents(spark, sfDir)
+    val labels = graft.dedup.Dedup.dupClusters(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toMap
+    val pairs = graft.dedup.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect()
+    // connected nodes share a label, and each label is its component min
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+    assert(labels.forall { case (idv, l) => l <= idv })
+    assert(labels.values.toSet.forall(l => labels(l) == l))
+  }
+
+  test("ts19: anomalies really deviate, non-anomalies dominate") {
+    val res = graft.operators.TimeSeries.zscoreAnomalies(
+      Tables.events(spark, sfDir), "event_type", "event_id", "value", 2.5)
+    val n = res.count()
+    val total = Tables.events(spark, sfDir).count()
+    assert(n < total / 10) // anomalies are rare
+  }
+
   test("q17/q20 smoke: single-row aggregate and selective supplier set") {
     val q17 = Analytics.q17SmallQtyRevenue(spark, sfDir, "Brand#3").collect()
     assert(q17.length == 1)
