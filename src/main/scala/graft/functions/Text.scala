@@ -25,12 +25,12 @@ object Text {
   }
 
   /** Word bigrams (order-preserving, non-distinct); documents shorter
-    * than two words contribute none. */
+    * than two words contribute none. Native expression — the HOF
+    * `transform(sequence, element_at)` form is interpreter-bound. */
   def bigrams(text: Column): Column = {
-    val ws = words(text)
-    when(size(ws) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.WordShingles(
+      ColumnBridge.expression(text), 2, distinct = false, shortAsSelf = false))
   }
 
   /** Whitespace token count. */

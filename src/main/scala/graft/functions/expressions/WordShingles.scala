@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are identical (oracle-verified vs the DuckDB SQL
   * formulation in SparkEntry.oracleSql d2/d4).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int,
+                        distinct: Boolean = true, shortAsSelf: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1)
@@ -32,9 +33,15 @@ case class WordShingles(child: Expression, n: Int)
     val s = input.asInstanceOf[UTF8String].toString
     val words = s.split(' ')
     if (words.length < n) {
-      new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+      if (shortAsSelf)
+        new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+      else new GenericArrayData(Array.empty[Any])
     } else {
-      val seen = new java.util.LinkedHashSet[String](words.length * 2)
+      // LinkedHashSet dedups in first-occurrence order; an ArrayList
+      // keeps every occurrence (bigram counting wants multiplicity)
+      val acc: java.util.Collection[String] =
+        if (distinct) new java.util.LinkedHashSet[String](words.length * 2)
+        else new java.util.ArrayList[String](words.length)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i + n <= words.length) {
@@ -45,11 +52,11 @@ case class WordShingles(child: Expression, n: Int)
           sb.append(words(i + j))
           j += 1
         }
-        seen.add(sb.toString)
+        acc.add(sb.toString)
         i += 1
       }
-      val out = new Array[Any](seen.size)
-      val it = seen.iterator()
+      val out = new Array[Any](acc.size)
+      val it = acc.iterator()
       var k = 0
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       new GenericArrayData(out)
