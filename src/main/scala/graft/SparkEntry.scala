@@ -177,6 +177,12 @@ object SparkEntry {
       TimeSeries.funnel(ev(s, d), "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase"))),
 
+    "t11_asof_interp" -> ((s, d) =>
+      Temporal.asOfInterpolate(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", ts(T))
+        .orderBy("user_id")),
+
     "ts16_interval_join" -> ((s, d) => {
       val e = ev(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -327,6 +333,11 @@ object SparkEntry {
     "m2_frame_sample" -> ((s, d) =>
       graft.multimodal.Binary.frameSample(s, Tables.documents(s, d),
         "doc_id", "text", 7).orderBy("doc_id")),
+
+    "m3_chunked_binary" -> ((s, d) =>
+      graft.multimodal.Binary.chunked(
+        graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", 256).orderBy("doc_id", "chunk_idx")),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -594,6 +605,20 @@ object SparkEntry {
           |          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |        FROM events GROUP BY 1, 2))
           |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+      "t11_asof_interp" ->
+        s"""WITH p AS (SELECT user_id, epoch_us(ts) AS t0, value AS v0 FROM events
+           |  WHERE ts <= TIMESTAMP '$T'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+           |n AS (SELECT user_id, epoch_us(ts) AS t1, value AS v1 FROM events
+           |  WHERE ts > TIMESTAMP '$T'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1)
+           |SELECT p.user_id, p.t0, p.v0, n.t1, n.v1,
+           |  round(CASE WHEN n.t1 IS NULL THEN p.v0
+           |    ELSE p.v0 + (n.v1 - p.v0) *
+           |      ((epoch_us(TIMESTAMP '$T') - p.t0)::DOUBLE / (n.t1 - p.t0)) END, 6) AS v_interp
+           |FROM p LEFT JOIN n USING (user_id)
+           |ORDER BY user_id""".stripMargin,
 
       "ts16_interval_join" ->
         """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,
@@ -931,7 +956,8 @@ object SparkEntry {
           |         ELSE [array_to_string(words[i:i+2], ' ')
           |               for i in range(1, len(words) - 1)] END) AS shingles
           |  FROM w),
-          |e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+          |e AS (SELECT doc_id, len(shingles) AS n_sh,
+          |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh)
           |SELECT id_a, id_b, shared, jaccard FROM (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
           |    round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
@@ -1048,6 +1074,16 @@ object SparkEntry {
           |  CAST(ceil((octet_length(encode(text)) % 997) / 64.0) AS BIGINT)
           |    * CAST(ceil((octet_length(encode(text)) * 7 % 769) / 64.0) AS BIGINT) AS n_tiles
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // chunking on ASCII text: VARCHAR substr positions == byte offsets
+      "m3_chunked_binary" ->
+        """SELECT doc_id, i - 1 AS chunk_idx,
+          |  octet_length(encode(substr(text, (i - 1) * 256 + 1, 256))) AS chunk_len,
+          |  md5(substr(text, (i - 1) * 256 + 1, 256)) AS chunk_md5
+          |FROM (SELECT doc_id, text,
+          |    unnest(range(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1)) AS i
+          |  FROM documents)
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
     )
   }
 }

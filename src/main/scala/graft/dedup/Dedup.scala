@@ -41,7 +41,14 @@ object Dedup {
                         n: Int, tau: Double): DataFrame = {
     val sh = docs.repartition(col(id))
       .select(col(id), Text.shingles(col(text), n).as("sh"))
-      .select(col(id), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      // postings join on the 59-bit md5 prefix, not the raw shingle
+      // string: the exchange carries (id, int64) instead of (id, ~30B
+      // text) and the join compares longs — same md5 derivation as the
+      // oracle, so any (vanishingly rare) collision is mirrored there
+      .select(col(id), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("__s"))
+      .select(col(id), col("n_sh"),
+        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("shingle"))
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))

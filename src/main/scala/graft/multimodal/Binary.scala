@@ -33,6 +33,23 @@ object Binary {
     ).withColumn("n_tiles",
       ceil(col("width") / 64.0).cast("long") * ceil(col("height") / 64.0).cast("long"))
 
+  /** Fixed-size chunking of a binary payload: (id, chunk_idx, bytes,
+    * md5) rows, the shipping shape for large blobs (upload parts,
+    * shard-to-GPU batches). Pure codegen'd expressions — `substr` on
+    * the binary column inside a `transform(sequence(...))`, then
+    * posexplode; the payload column itself is projected away before
+    * any exchange, so only chunk-sized slices move. */
+  def chunked(withPayload: DataFrame, id: String, chunkSize: Int): DataFrame = {
+    val nChunks = ceil(octet_length(col("payload")).cast("double") / chunkSize)
+      .cast("int")
+    withPayload
+      .select(col(id), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => substring(col("payload"), (i * chunkSize) + 1, lit(chunkSize)))))
+      .select(col(id), col("pos").as("chunk_idx"),
+        octet_length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
+  }
+
   /** Frame sampling over the binary payload via mapPartitions — the
     * batch shape a real video/audio decoder needs (one codec init per
     * partition, streaming over rows). Samples every `stride`-th byte as

@@ -41,6 +41,34 @@ object Temporal {
       .select(col(key) +: others.map(c => col(s"__s.$c").as(c)): _*)
   }
 
+  /** Interpolated as-of read: state at `at` as the linear interpolation
+    * between the latest version ≤ `at` and the earliest version > `at`
+    * (the TimescaleDB `interpolate()` flavor of the reference's
+    * GET /query). Like `asOf`, a SINGLE conditional-aggregate shuffle
+    * on the key — both bracketing versions come out of one pass (max of
+    * a (ts, tie, value) struct below the cut, min above), so there is
+    * no second scan and no join. Keys with no version ≤ `at` are
+    * absent; keys with nothing after it hold their last value. */
+  def asOfInterpolate(df: DataFrame, key: String, ts: String, tie: String,
+                      value: String, at: Column): DataFrame = {
+    val atUs = unix_micros(at)
+    val tsUs = unix_micros(col(ts))
+    val point = struct(tsUs.as("us"), col(tie).as("tie"),
+      col(value).cast("double").as("v"))
+    df.groupBy(col(key))
+      .agg(
+        max(when(col(ts) <= at, point)).as("__p"),
+        min(when(col(ts) > at, point)).as("__n"))
+      .filter(col("__p").isNotNull)
+      .select(col(key),
+        col("__p.us").as("t0"), col("__p.v").as("v0"),
+        col("__n.us").as("t1"), col("__n.v").as("v1"),
+        round(when(col("__n").isNull, col("__p.v"))
+          .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
+            ((atUs - col("__p.us")).cast("double") / (col("__n.us") - col("__p.us")))),
+          6).as("v_interp"))
+  }
+
   /** Version chain with reference-style version labels: `vN` in append
     * order per key plus `previous_version` (app/main.py:79-86 assigns
     * v{latest+1} and links the predecessor).

@@ -183,6 +183,41 @@ class Round3Spec extends SparkSpec {
     assert(n < total / 10) // anomalies are rare
   }
 
+  test("t11: interpolation brackets the cut and holds the last value at the tail") {
+    val at = lit("2024-01-20 00:00:00").cast("timestamp")
+    val res = graft.temporal.Temporal.asOfInterpolate(
+      Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value", at)
+    val atUs = 1705708800000000L // 2024-01-20 UTC
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t0 = r.getAs[Long]("t0")
+      assert(t0 <= atUs)
+      if (r.isNullAt(r.fieldIndex("t1"))) {
+        assert(math.abs(r.getAs[Double]("v_interp") -
+          BigDecimal(r.getAs[Double]("v0")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) < 1e-9)
+      } else {
+        val (v0, v1, vi) = (r.getAs[Double]("v0"), r.getAs[Double]("v1"),
+          r.getAs[Double]("v_interp"))
+        assert(r.getAs[Long]("t1") > atUs)
+        assert(vi >= math.min(v0, v1) - 1e-6 && vi <= math.max(v0, v1) + 1e-6)
+      }
+    }
+  }
+
+  test("m3: chunks reassemble to the original byte length") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = graft.multimodal.Binary.chunked(
+      graft.multimodal.Binary.withPayload(docs, "doc_id", "text"), "doc_id", 256)
+    val sums = chunks.groupBy($"doc_id").agg(sum($"chunk_len").as("len"),
+      max($"chunk_len").as("mx"))
+    val orig = docs.select($"doc_id", length($"text").as("orig"))
+    assert(sums.join(orig, "doc_id").filter($"len" =!= $"orig").count() == 0)
+    assert(sums.filter($"mx" > 256).count() == 0)
+  }
+
   test("q17/q20 smoke: single-row aggregate and selective supplier set") {
     val q17 = Analytics.q17SmallQtyRevenue(spark, sfDir, "Brand#3").collect()
     assert(q17.length == 1)
