@@ -183,6 +183,10 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value", ts(T))
         .orderBy("user_id")),
 
+    "ts21_stream_version_monitor" -> ((s, d) =>
+      graft.streaming.Streams.versionMonitorStream(s, d)
+        .orderBy("user_id", "version")),
+
     "ts16_interval_join" -> ((s, d) => {
       val e = ev(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -312,6 +316,23 @@ object SparkEntry {
           min(col("doc_id")).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .orderBy("doc_id")),
+
+    // deterministic stratified sampling: per-language hash-bucket
+    // quotas (en kept at 40%, everything else at 15%) — the decision
+    // is a pure function of doc_id, so the sample is reproducible on
+    // any cluster size and monotone under rate changes
+    "x6_stratified_sample" -> ((s, d) => {
+      val b = Text.hashBucket(col("doc_id"), 100)
+      val quota = when(col("lang") === "en", 40).otherwise(15)
+      Tables.documents(s, d)
+        .withColumn("bucket", b)
+        .filter(col("bucket") < quota)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("first_id"),
+          sum(col("n_chars")).as("sampled_chars"))
+        .orderBy("lang")
+    }),
 
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
@@ -619,6 +640,24 @@ object SparkEntry {
            |      ((epoch_us(TIMESTAMP '$T') - p.t0)::DOUBLE / (n.t1 - p.t0)) END, 6) AS v_interp
            |FROM p LEFT JOIN n USING (user_id)
            |ORDER BY user_id""".stripMargin,
+
+      // stateful flatMapGroupsWithState monitor is batch-equivalent ->
+      // row_number + lag over the version order
+      "ts21_stream_version_monitor" ->
+        """SELECT user_id, row_number() OVER w AS version, epoch_us(ts) AS ts_us,
+          |  value, value - lag(value) OVER w AS delta
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |ORDER BY user_id, version""".stripMargin,
+
+      "x6_stratified_sample" ->
+        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id,
+          |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+          |FROM (SELECT *,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          |  FROM documents)
+          |WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 15 END
+          |GROUP BY 1 ORDER BY lang""".stripMargin,
 
       "ts16_interval_join" ->
         """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,

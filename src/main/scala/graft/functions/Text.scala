@@ -33,6 +33,15 @@ object Text {
       ColumnBridge.expression(text), 2, distinct = false, shortAsSelf = false))
   }
 
+  /** Deterministic hash bucket in [0, buckets) from the md5 of a key —
+    * the sampling primitive for training-data pipelines: the decision
+    * is a pure function of the id (reproducible across runs, engines
+    * and cluster sizes; no RNG state, no reservoir), and rates can be
+    * tightened later without resampling (bucket < r1 ⊃ bucket < r2). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets))
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text))
 

@@ -91,32 +91,36 @@ object Streams {
   /** A version-transition event: emitted once per incoming version with
     * the monotone version ordinal and the delta vs the previous one —
     * the reference's POST /records version assignment (app/main.py:79)
-    * as an incremental stateful stream instead of a stored column. */
+    * as an incremental stateful stream instead of a stored column.
+    * `delta` is None for a key's first version (SQL NULL — the batch
+    * `lag()` twin and the DuckDB oracle agree). */
   case class VersionTransition(
       user_id: Long, version: Long, ts_us: Long,
-      value: Double, delta: Double)
+      value: Double, delta: Option[Double])
 
   /** Custom-state streaming operator (flatMapGroupsWithState): maintains
     * one small state record per key and emits a transition per event.
     * This is the template for reference-style "current version" caches
     * at scale: state lives in the state store (RocksDB in prod),
     * partitioned by key, O(keys) memory — no reprocessing of history.
-    * Batch-driven here (drained synchronously); spec checks equivalence
-    * with the batch window formulation. */
+    * Batch-driven here (drained synchronously); oracle-checked as
+    * ts21, spec-checked equal to the batch window formulation. */
   def versionMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val events = eventStream(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      .as[(Long, Long, Double)]
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
 
-    def monitor(key: Long, rows: Iterator[(Long, Long, Double)],
+    def monitor(key: Long, rows: Iterator[(Long, Long, Long, Double)],
                 state: GroupState[VersionState]): Iterator[VersionTransition] = {
-      // sort the micro-batch slice; state carries across batches
-      val sorted = rows.toSeq.sortBy(_._2)
+      // sort the micro-batch slice (ts, then event_id — the total order
+      // every batch formulation uses); state carries across batches
+      val sorted = rows.toSeq.sortBy(t => (t._2, t._3))
       var st = state.getOption.getOrElse(VersionState(0L, Double.NaN, Long.MinValue))
-      val out = sorted.map { case (_, tsUs, v) =>
-        val delta = if (st.nVersions == 0) Double.NaN else v - st.lastValue
+      val out = sorted.map { case (_, tsUs, _, v) =>
+        val delta = if (st.nVersions == 0) None else Some(v - st.lastValue)
         st = VersionState(st.nVersions + 1, v, tsUs)
         VersionTransition(key, st.nVersions, tsUs, v, delta)
       }

@@ -29,10 +29,11 @@ class StreamStateSpec extends SparkSpec {
       .filter($"user_id" === 3L)
       .orderBy("version")
       .select("version", "value", "delta")
-      .as[(Long, Double, Double)].collect()
-    assert(rows.head._3.isNaN) // first version has no predecessor
+      .as[(Long, Double, Option[Double])].collect()
+    assert(rows.head._3.isEmpty) // first version has no predecessor
     rows.sliding(2).foreach {
-      case Array((_, v1, _), (_, v2, d2)) => assert(math.abs(d2 - (v2 - v1)) < 1e-12)
+      case Array((_, v1, _), (_, v2, Some(d2))) =>
+        assert(math.abs(d2 - (v2 - v1)) < 1e-12)
       case _ =>
     }
   }
