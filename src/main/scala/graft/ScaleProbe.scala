@@ -42,12 +42,25 @@ object ScaleProbe {
     }
     def suite(name: String, ev: DataFrame): Map[String, Double] = {
       val at = lit("2024-01-20 00:00:00").cast("timestamp")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
       Map(
         "asof" -> time(Temporal.asOf(ev, "user_id", "ts", "event_id", at).count()),
+        "asof_interp" -> time(Temporal.asOfInterpolate(
+          ev.select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", at).count()),
         "sessionize" -> time(TimeSeries.sessionize(
           ev.select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", 1800L).count()),
         "tumbling" -> time(TimeSeries.tumblingDaily(ev, "event_type", "ts", "value").count()),
+        "interval_join" -> time(TimeSeries.intervalCount(
+          purchases, clicks, "user_id", "ts", "event_id", 3600000000L).count()),
+        "ewma" -> time(TimeSeries.ewma(
+          ev.select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 0.5, 3).count()),
+        "zscore" -> time(TimeSeries.zscoreAnomalies(
+          ev, "event_type", "event_id", "value", 2.5).count()),
         "changes" -> time(Temporal.changesBetween(
           ev.select("user_id", "ts", "event_id", "event_type", "value"),
           "user_id", "ts", "event_id",
