@@ -218,6 +218,20 @@ class Round3Spec extends SparkSpec {
     assert(sums.filter($"mx" > 256).count() == 0)
   }
 
+  test("x6: hash sampling is deterministic and monotone under rate changes") {
+    val docs = Tables.documents(spark, sfDir)
+    def sampled(rate: Int) = docs
+      .filter(graft.functions.Text.hashBucket($"doc_id", 100) < rate)
+      .select("doc_id").as[Long].collect().toSet
+    val s15a = sampled(15)
+    val s15b = sampled(15)
+    val s40 = sampled(40)
+    assert(s15a == s15b)            // reproducible
+    assert(s15a.subsetOf(s40))      // tightening a rate never resamples
+    val n = docs.count().toDouble
+    assert(math.abs(s40.size / n - 0.40) < 0.15) // quota roughly honored
+  }
+
   test("q17/q20 smoke: single-row aggregate and selective supplier set") {
     val q17 = Analytics.q17SmallQtyRevenue(spark, sfDir, "Brand#3").collect()
     assert(q17.length == 1)
