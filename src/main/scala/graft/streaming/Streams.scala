@@ -27,17 +27,19 @@ object Streams {
     else raw
   }
 
-  /** Run `agg` to completion over all available input; return the final
-    * result table.
-    *
-    * State-store partition count: a stateful streaming agg materializes
-    * one state store per shuffle partition per stateful operator, and
-    * that setup cost is pure overhead when the keyspace is small. The
-    * batch-session default (32 here, AQE-coalesced) is wrong for the
-    * drain — pin a smaller count for the stream only, restore after.
-    * At scale this is the knob sized to state volume, not to scan
-    * parallelism. */
-  private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+  /** State-store partition count for the drains: a stateful streaming
+    * agg materializes one state store per shuffle partition per
+    * stateful operator, and that setup cost is pure overhead when the
+    * keyspace is small. The batch-session default (32 here,
+    * AQE-coalesced) is wrong for the drain — pin a smaller count for
+    * the stream only, restore after. Default 4; override with
+    * GRAFT_STREAM_PARTS — at scale this knob is sized to state volume
+    * (keys × state row), not to scan parallelism. */
+  private val streamParts: Int =
+    sys.env.getOrElse("GRAFT_STREAM_PARTS", "4").toInt
+
+  private[streaming] def withStreamPartitions[A](spark: SparkSession,
+      n: Int = streamParts)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -46,7 +48,7 @@ object Streams {
 
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       q.processAllAvailable()
@@ -130,7 +132,7 @@ object Streams {
 
     val name = "graft_vmon"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark) {
       val q = events.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
         .toDF()
@@ -168,7 +170,7 @@ object Streams {
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
     val name = "graft_ts17"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       q.processAllAvailable()
