@@ -170,10 +170,19 @@ object Dedup {
                   n: Int, perms: Int, bands: Int, maxIter: Int = 15): DataFrame = {
     val pairs = minhashLshPairs(docs, id, text, n, perms, bands)
       .select("id_a", "id_b")
+    connectedComponents(docs.select(col(id)), pairs, id, maxIter).orderBy(id)
+  }
+
+  /** Connected components over an undirected pair list (`id_a`,`id_b`):
+    * every node labeled with its component's minimum id. See
+    * `dupClusters` for the iteration-shape notes; property-tested
+    * against a union-find reference. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame, id: String,
+                          maxIter: Int = 15): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
-    var labels = docs.select(col(id), col(id).cast("long").as("cluster_id"))
+    var labels = ids.select(col(id), col(id).cast("long").as("cluster_id"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -194,6 +203,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels.orderBy(id)
+    labels
   }
 }
