@@ -1,14 +1,16 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-n-gram shingling: split on single spaces, emit the
-  * distinct n-gram shingles in first-occurrence order; a text shorter
-  * than `n` words yields itself as its one shingle.
+  * n-gram shingles — distinct in first-occurrence order by default
+  * (`distinct`), every occurrence for bigram counting otherwise. A
+  * text shorter than `n` words yields itself as its one shingle
+  * (`shortAsSelf`) or nothing.
   *
   * Exists because the composed form —
   * `transform(sequence(...), i -> concat_ws(' ', element_at(...)))` —
@@ -17,20 +19,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~4s for 5k docs / 260k shingles. This expression does one pass
   * over the UTF8 bytes per document (~100ms for the same input) and
   * is the unit under every dedup operator, so it earns native status.
-  * Semantics are identical (oracle-verified vs the DuckDB SQL
-  * formulation in SparkEntry.oracleSql d2/d4).
+  * `doGenCode` emits a single static call, so the surrounding
+  * scan→project pipeline stays in whole-stage codegen with no
+  * interpreted-eval dispatch per row. Semantics are identical
+  * (oracle-verified vs the DuckDB SQL formulation in
+  * SparkEntry.oracleSql d2/d4/d6/x5).
   */
 case class WordShingles(child: Expression, n: Int,
                         distinct: Boolean = true, shortAsSelf: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct, shortAsSelf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.WordShingles.compute(
+         |  $c, $n, $distinct, $shortAsSelf);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+  /** One pass over the document: called from both the interpreted eval
+    * and the generated code. */
+  def compute(input: UTF8String, n: Int,
+              distinct: Boolean, shortAsSelf: Boolean): GenericArrayData = {
+    val s = input.toString
     val words = s.split(' ')
     if (words.length < n) {
       if (shortAsSelf)
@@ -62,9 +85,4 @@ case class WordShingles(child: Expression, n: Int,
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-
-  override def prettyName: String = "word_shingles"
 }
