@@ -187,6 +187,37 @@ object SparkEntry {
       graft.streaming.Streams.versionMonitorStream(s, d)
         .orderBy("user_id", "version")),
 
+    // day × event_type counts as a wide pivot (explicit value list ->
+    // deterministic schema; one aggregation, Expand-free)
+    "ts22_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = ev(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      piv.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    }),
+
+    // the ranking-function suite over per-user totals: tie-safe window
+    // (rank/dense_rank/percent_rank/cume_dist on a coarse key) + a
+    // totally-ordered window (row_number/ntile)
+    "ts23_rank_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val totals = ev(s, d).groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .withColumn("bucket", floor(col("total_value") / 50))
+      val wTie = Window.orderBy(col("bucket").desc)
+      val wUnique = Window.orderBy(col("total_value").desc, col("user_id").asc)
+      totals.select(col("user_id"), col("total_value"), col("bucket"),
+          rank().over(wTie).as("rnk"),
+          dense_rank().over(wTie).as("drnk"),
+          round(percent_rank().over(wTie), 6).as("pct"),
+          round(cume_dist().over(wTie), 6).as("cd"),
+          row_number().over(wUnique).as("rn"),
+          ntile(4).over(wUnique).as("quartile"))
+        .orderBy("user_id")
+    }),
+
     "ts16_interval_join" -> ((s, d) => {
       val e = ev(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -241,6 +272,7 @@ object SparkEntry {
     "q19_disc_revenue_or" -> ((s, d) => Analytics.q19DiscRevenueOr(s, d)),
     "q20_qty_suppliers" -> ((s, d) => Analytics.q20QtySuppliers(s, d, "blue", 1996, 2.0)),
     "q21_returned_sole" -> ((s, d) => Analytics.q21ReturnedSole(s, d, 20)),
+    "q23_rollup_revenue" -> ((s, d) => Analytics.q23RollupRevenue(s, d)),
     "q22_idle_customers" -> ((s, d) =>
       Analytics.q22IdleCustomers(s, d, Seq(1, 3, 5, 7, 9, 11, 13), "1999-01-01")),
 
@@ -658,6 +690,43 @@ object SparkEntry {
           |  FROM documents)
           |WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 15 END
           |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      "ts22_pivot" ->
+        """SELECT strftime(ts, '%Y-%m-%d') AS day,
+          |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+      "ts23_rank_suite" ->
+        """WITH t AS (SELECT user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          |  FROM events GROUP BY 1),
+          |b AS (SELECT user_id, total_value,
+          |    CAST(floor(total_value / 50) AS BIGINT) AS bucket FROM t)
+          |SELECT user_id, total_value, bucket,
+          |  rank() OVER wt AS rnk, dense_rank() OVER wt AS drnk,
+          |  round(percent_rank() OVER wt, 6) AS pct,
+          |  round(cume_dist() OVER wt, 6) AS cd,
+          |  row_number() OVER wu AS rn, ntile(4) OVER wu AS quartile
+          |FROM b
+          |WINDOW wt AS (ORDER BY bucket DESC),
+          |       wu AS (ORDER BY total_value DESC, user_id)
+          |ORDER BY user_id""".stripMargin,
+
+      "q23_rollup_revenue" ->
+        """SELECT (CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+          |      + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS grp,
+          |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  revenue, n
+          |FROM (SELECT l_returnflag, l_linestatus,
+          |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+          |    count(*) AS n
+          |  FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus))
+          |ORDER BY grp, l_returnflag, l_linestatus""".stripMargin,
 
       "ts16_interval_join" ->
         """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us,

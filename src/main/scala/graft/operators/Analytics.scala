@@ -459,6 +459,28 @@ object Analytics {
       .orderBy("c_nationkey")
   }
 
+  /** Revenue ROLLUP over (returnflag, linestatus): subtotals and the
+    * grand total from ONE pass — Catalyst's Expand replicates each row
+    * per grouping set before the single aggregation shuffle, which is
+    * exactly how you want hierarchy totals computed at 100 TB (vs one
+    * scan per level). The grouping level is derived from the NULL
+    * pattern (portable — no engine-specific grouping_id). */
+  def q23RollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        (when(col("l_returnflag").isNull, 2).otherwise(0) +
+          when(col("l_linestatus").isNull, 1).otherwise(0)).as("grp"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("revenue"), col("n"))
+      .orderBy("grp", "l_returnflag", "l_linestatus")
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {
