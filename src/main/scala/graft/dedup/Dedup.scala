@@ -48,7 +48,7 @@ object Dedup {
       .select(col(id), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("__s"))
       .select(col(id), col("n_sh"),
-        conv(substring(md5(col("__s")), 1, 15), 16, 10).cast("long").as("shingle"))
+        Text.md5Prefix60(col("__s")).as("shingle"))
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -86,8 +86,7 @@ object Dedup {
     require(perms <= XorSeeds.length)
     val sh = docs.repartition(col(id))
       .select(col(id), explode(Text.shingles(col(text), n)).as("shingle"))
-      .select(col(id),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("__b"))
+      .select(col(id), Text.md5Prefix60(col("shingle")).as("__b"))
     val minCols = (0 until perms).map(p =>
       min(col("__b").bitwiseXOR(lit(XorSeeds(p)))).as(s"__mh$p"))
     sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)

@@ -39,8 +39,15 @@ object Text {
     * and cluster sizes; no RNG state, no reservoir), and rates can be
     * tightened later without resampling (bucket < r1 ⊃ bucket < r2). */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(buckets))
+    pmod(md5Prefix60(key.cast("string")), lit(buckets))
+
+  /** `conv(substring(md5(x),1,15),16,10)` as one native expression —
+    * see [[graft.functions.expressions.Md5Prefix60]]. */
+  def md5Prefix60(key: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.Md5Prefix60(
+      ColumnBridge.expression(key)))
+  }
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(words(text))

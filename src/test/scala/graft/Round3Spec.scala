@@ -218,6 +218,15 @@ class Round3Spec extends SparkSpec {
     assert(sums.filter($"mx" > 256).count() == 0)
   }
 
+  test("Md5Prefix60 equals the composed conv(substring(md5)) form") {
+    val docs = Tables.documents(spark, sfDir)
+    val mismatches = docs.select(
+        graft.functions.Text.md5Prefix60($"text").as("native"),
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("composed"))
+      .filter($"native" =!= $"composed").count()
+    assert(mismatches == 0)
+  }
+
   test("x6: hash sampling is deterministic and monotone under rate changes") {
     val docs = Tables.documents(spark, sfDir)
     def sampled(rate: Int) = docs
