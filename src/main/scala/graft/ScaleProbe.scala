@@ -71,9 +71,45 @@ object ScaleProbe {
     suite("warm", e1) // warm-up
     val r1 = suite("1x", e1)
     val r8 = suite("8x", e8)
-    println(f"${"op"}%-12s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    println(f"${"op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
     r1.keys.toSeq.sorted.foreach { k =>
-      println(f"$k%-12s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
+      println(f"$k%-14s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
+    }
+
+    // dedup family over 8x documents. Each replica's characters are
+    // rotated so replica shingle spaces are DISJOINT — this measures
+    // operator scaling at 8x corpus size. (With shared text the same
+    // probe measures the candidate-pair blowup instead: shingle
+    // postings ×8 → ×64 join output — 27x measured for exact Jaccard —
+    // which is the corpus property that makes MinHash-LSH, whose
+    // band buckets stay tiny, the 100 TB path.)
+    val docsPath = "/tmp/graft_scale/documents8"
+    val d1 = graft.sources.Tables.documents(spark, sfDir)
+    if (!new java.io.File(docsPath).exists()) {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val parts = (0 until 8).map { i =>
+        val rotated = alpha.drop(i) + alpha.take(i)
+        d1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", translate(col("text"), alpha, rotated))
+      }
+      parts.reduce(_ unionByName _).repartition(32).write.parquet(docsPath)
+    }
+    val d8 = spark.read.parquet(docsPath)
+    def dedupSuite(docs: DataFrame): Map[String, Double] = Map(
+      "minhash_lsh" -> time(graft.dedup.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", 3, 16, 4).count()),
+      "jaccard" -> time(graft.dedup.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12).count()),
+      "simhash" -> time(graft.dedup.Dedup
+        .simhashFingerprints(docs, "doc_id", "text", 8).count()),
+      "bigrams" -> time(docs.select(explode(
+        graft.functions.Text.bigrams(col("text")))).count()))
+    dedupSuite(d1) // warm-up
+    val d1r = dedupSuite(d1)
+    val d8r = dedupSuite(d8)
+    println(f"${"dedup op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    d1r.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
     spark.stop()
   }
