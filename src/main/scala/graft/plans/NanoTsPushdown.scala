@@ -82,11 +82,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.expressions.{CosineSim, WordShingles}
+  import graft.functions.expressions.{CosineSim, Md5Prefix60, WordShingles}
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanoTsPushdown)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x) => Md5Prefix60(x)
+        case _ => throw new IllegalArgumentException(
+          "md5_prefix60(x) expects one string column")
+      }))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

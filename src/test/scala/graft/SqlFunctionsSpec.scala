@@ -11,6 +11,14 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got == Seq("a b c", "b c d"))
   }
 
+  test("md5_prefix60 works from SQL and matches the composed form") {
+    val got = spark.sql(
+      """SELECT md5_prefix60('hello') AS native,
+        |  CAST(conv(substring(md5('hello'), 1, 15), 16, 10) AS BIGINT) AS composed"""
+        .stripMargin).as[(Long, Long)].head()
+    assert(got._1 == got._2)
+  }
+
   test("cosine_sim works from SQL") {
     val one = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
