@@ -63,15 +63,14 @@ object Ann {
     Array.fill(planes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
-  private def dotConst(vec: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(vec.cast("array<double>"), typedLit(plane.toSeq),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Sign-bit bucket id from the hyperplane set. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      acc + when(dotConst(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
+  /** Sign-bit bucket id from the hyperplane set — native expression
+    * (the per-plane `aggregate(zip_with(...))` HOF tree it replaces is
+    * interpreter-bound); bit-identical accumulation order. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.LshBucket(
+      ColumnBridge.expression(vec), planes))
+  }
 
   /** ANN top-k via multi-probe random-hyperplane LSH: candidates are
     * corpus rows whose sign-bit bucket is within `probeHamming` of the
