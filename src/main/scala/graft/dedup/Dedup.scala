@@ -94,22 +94,13 @@ object Dedup {
 
   /** 32-bit SimHash fingerprint from md5-derived word hashes: bit i of
     * the fingerprint is the sign of the sum over distinct words of
-    * (±1 by the word hash's bit i). Pure codegen'd HOF expressions —
-    * one pass over the text, no shuffle at all until fingerprints are
-    * bucketed. */
+    * (±1 by the word hash's bit i). Native expression (one pass per
+    * document, exact integer scores); no shuffle at all until
+    * fingerprints are bucketed. */
   def simhash32(text: Column): Column = {
-    val hashes = transform(array_distinct(Text.words(text)),
-      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    // variable-distance shift: floor(h / 2^i) % 2 (exact in double for
-    // h < 2^32, i <= 31 — `shiftright` only takes a literal distance)
-    val bitScores = transform(sequence(lit(0), lit(31)), i =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(
-          (h / pow(lit(2.0), i.cast("double"))).cast("long") % 2 === 1, 1)
-          .otherwise(-1)))
-    // fold MSB-first: acc*2 + sign-bit
-    aggregate(reverse(bitScores), lit(0L),
-      (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.SimHash32(
+      ColumnBridge.expression(text)))
   }
 
   /** Per-doc SimHash + coarse bucket (top `bucketBits` bits). Near-dup
