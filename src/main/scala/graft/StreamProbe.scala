@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc probe for the streaming drains (not part of the driver
-  * contract): times the three streaming queries so the
+  * contract): times the four streaming queries so the
   * GRAFT_STREAM_PARTS state-partition knob can be A/B'd:
   *
   *   GRAFT_STREAM_PARTS=4 sbt "runMain graft.StreamProbe"
@@ -27,7 +27,7 @@ object StreamProbe {
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
     }
     (1 to 2).foreach { round =>
-      println(s"-- round $round (parts=${sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")})")
+      println(s"-- round $round (parts=${sys.env.getOrElse("GRAFT_STREAM_PARTS", "4")})")
       time("ts11 tumbling")(
         graft.streaming.Streams.tumblingDailyStream(spark, sfDir).count())
       time("ts12 sessionize")(

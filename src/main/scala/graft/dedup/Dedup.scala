@@ -157,18 +157,24 @@ object Dedup {
     * diameters this is where the large-star/small-star optimization
     * would slot in; the join shape is identical. */
   def dupClusters(docs: DataFrame, id: String, text: String,
-                  n: Int, perms: Int, bands: Int, maxIter: Int = 15): DataFrame = {
+                  n: Int, perms: Int, bands: Int, maxIter: Int = 64): DataFrame = {
     val pairs = minhashLshPairs(docs, id, text, n, perms, bands)
       .select("id_a", "id_b")
     connectedComponents(docs.select(col(id)), pairs, id, maxIter).orderBy(id)
   }
 
   /** Connected components over an undirected pair list (`id_a`,`id_b`):
-    * every node labeled with its component's minimum id. See
-    * `dupClusters` for the iteration-shape notes; property-tested
-    * against a union-find reference. */
+    * every node labeled with its component's minimum id. Min-label
+    * propagation moves a label one hop per round, so rounds are bounded
+    * by the component diameter; hitting `maxIter` without convergence
+    * throws (silently returning non-minimal labels would corrupt
+    * downstream dedup) — raise the cap, or switch to a
+    * large-star/small-star contraction, for adversarially long chains.
+    * Each round is ONE equi-join + aggregation; the convergence count
+    * reuses the checkpointed join output, not a second join.
+    * Property-tested against a union-find reference. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame, id: String,
-                          maxIter: Int = 15): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
@@ -180,19 +186,20 @@ object Dedup {
       val neigh = edges
         .join(labels.select(col(id).as("id_b"), col("cluster_id").as("nl")), "id_b")
         .groupBy(col("id_a")).agg(min(col("nl")).as("mn"))
-      val next = labels
+      val joined = labels
         .join(neigh, labels(id) === neigh("id_a"), "left_outer")
-        .select(labels(id),
+        .select(labels(id), col("cluster_id"), col("mn"))
+        .localCheckpoint()
+      converged = joined.filter(col("mn") < col("cluster_id")).isEmpty
+      labels = joined
+        .select(col(id),
           least(col("cluster_id"), coalesce(col("mn"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col(s"n.$id") === col(s"o.$id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = next
-      converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds the cap)")
     labels
   }
 }

@@ -1,9 +1,10 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Random-hyperplane sign-bit bucket: bit i of the result is
   * `dot(vec, planes(i)) > 0`. One pass over the vector per plane,
@@ -17,6 +18,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, L
 case class LshBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires array<float>/array<double>, got ${other.sql}")
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

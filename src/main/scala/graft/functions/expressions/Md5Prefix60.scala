@@ -1,8 +1,9 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The 60-bit md5 prefix as a long: identical to
@@ -19,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Prefix60(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix60 requires a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

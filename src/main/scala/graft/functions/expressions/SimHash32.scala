@@ -1,8 +1,9 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 32-bit SimHash over the distinct whitespace words of a document:
@@ -15,6 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash32(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash32 requires a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
@@ -38,7 +43,10 @@ object SimHash32 {
   }
 
   def compute(input: UTF8String): Long = {
-    val words = input.toString.split(' ')
+    // limit -1 keeps trailing empty tokens — bit-identical to Spark's
+    // split(text, " ") and DuckDB's string_split on texts with
+    // trailing/double spaces
+    val words = input.toString.split(" ", -1)
     val seen = new java.util.HashSet[String](words.length * 2)
     val scores = new Array[Int](32)
     val md = digests.get()

@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,6 +32,11 @@ case class WordShingles(child: Expression, n: Int,
 
   require(n >= 1)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string argument, got ${child.dataType.sql}")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -54,7 +60,9 @@ object WordShingles {
   def compute(input: UTF8String, n: Int,
               distinct: Boolean, shortAsSelf: Boolean): GenericArrayData = {
     val s = input.toString
-    val words = s.split(' ')
+    // limit -1 keeps trailing empty tokens (Spark split / DuckDB
+    // string_split parity on texts with trailing/double spaces)
+    val words = s.split(" ", -1)
     if (words.length < n) {
       if (shortAsSelf)
         new GenericArrayData(Array[Any](UTF8String.fromString(s)))

@@ -42,9 +42,12 @@ object Binary {
   def chunked(withPayload: DataFrame, id: String, chunkSize: Int): DataFrame = {
     val nChunks = ceil(octet_length(col("payload")).cast("double") / chunkSize)
       .cast("int")
+    // nChunks=0 must yield NO rows — an unguarded sequence(0, -1) would
+    // count DOWN and posexplode two phantom chunks for an empty payload
+    val idxs = when(nChunks <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
     withPayload
-      .select(col(id), posexplode(transform(
-        sequence(lit(0), nChunks - 1),
+      .select(col(id), posexplode(transform(idxs,
         i => substring(col("payload"), (i * chunkSize) + 1, lit(chunkSize)))))
       .select(col(id), col("pos").as("chunk_idx"),
         octet_length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))

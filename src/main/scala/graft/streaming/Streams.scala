@@ -31,36 +31,34 @@ object Streams {
     * agg materializes one state store per shuffle partition per
     * stateful operator, and that setup cost is pure overhead when the
     * keyspace is small. The batch-session default (32 here,
-    * AQE-coalesced) is wrong for the drain — pin a smaller count for
-    * the stream only, restore after. Default 4; override with
+    * AQE-coalesced) is wrong for the drain. Default 4; override with
     * GRAFT_STREAM_PARTS — at scale this knob is sized to state volume
     * (keys × state row), not to scan parallelism. */
-  private val streamParts: Int =
+  private[streaming] val streamParts: Int =
     sys.env.getOrElse("GRAFT_STREAM_PARTS", "4").toInt
 
-  private[streaming] def withStreamPartitions[A](spark: SparkSession,
-      n: Int = streamParts)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  /** A cloned session (same SparkContext, own SQL conf) with the
+    * drain's shuffle-partition count — concurrent batch queries on the
+    * parent session keep their own setting; nothing global mutates. */
+  private def drainSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
+    s
   }
 
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark) {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      q.processAllAvailable()
-      q.stop()
-    }
-    spark.table(name)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    agg.sparkSession.table(name)
   }
 
   /** Streaming daily tumbling aggregate over events (twin of
     * TimeSeries.tumblingDaily). */
   def tumblingDailyStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventStream(spark, sfDir)
+    val agg = eventStream(drainSession(spark), sfDir)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -108,9 +106,10 @@ object Streams {
     * Batch-driven here (drained synchronously); oracle-checked as
     * ts21, spec-checked equal to the batch window formulation. */
   def versionMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+    val ss = drainSession(spark)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val events = eventStream(spark, sfDir)
+    val events = eventStream(ss, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)]
@@ -131,17 +130,15 @@ object Streams {
     }
 
     val name = "graft_vmon"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark) {
-      val q = events.groupByKey(_._1)
-        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
-        .toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-    }
-    spark.table(name)
+    ss.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
   }
 
   /** Stream-stream interval join: purchases joined to the same user's
@@ -152,12 +149,13 @@ object Streams {
     * the drain here is one micro-batch so the output is provably equal
     * to the batch interval join and the batch-derived oracle. */
   def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = eventStream(spark, sfDir)
+    val ss = drainSession(spark)
+    val p = eventStream(ss, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = eventStream(spark, sfDir)
+    val c = eventStream(ss, sfDir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -169,14 +167,12 @@ object Streams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
     val name = "graft_ts17"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    withStreamPartitions(spark) {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
-    }
-    spark.table(name)
+    ss.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
   }
 
   /** Streaming gap-based sessionization (twin of TimeSeries.sessionize)
@@ -185,7 +181,7 @@ object Streams {
     * path with a watermark evicting closed sessions. Emits the same
     * (user, start, end, n, total) rows as the batch operator. */
   def sessionizeStream(spark: SparkSession, sfDir: String, gap: String): DataFrame = {
-    val agg = eventStream(spark, sfDir)
+    val agg = eventStream(drainSession(spark), sfDir)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

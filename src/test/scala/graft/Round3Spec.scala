@@ -218,6 +218,43 @@ class Round3Spec extends SparkSpec {
     assert(sums.filter($"mx" > 256).count() == 0)
   }
 
+  test("m3: empty payload yields zero chunks, not phantom rows") {
+    val df = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
+    val chunks = graft.multimodal.Binary.chunked(
+      graft.multimodal.Binary.withPayload(df, "doc_id", "text"), "doc_id", 256)
+    assert(chunks.filter($"doc_id" === 1L).count() == 0)
+    assert(chunks.filter($"doc_id" === 2L).count() == 1)
+  }
+
+  test("simhash/shingles keep trailing empty tokens (Spark split parity)") {
+    // the composed HOF formulation SimHash32 replaced — Spark's
+    // split(text, ' ') keeps trailing empties, so the native expression
+    // must too for texts with trailing/double spaces
+    def composed(text: org.apache.spark.sql.Column) = {
+      val hashes = transform(array_distinct(split(text, " ")),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+      val bitScores = transform(sequence(lit(0), lit(31)), i =>
+        aggregate(hashes, lit(0),
+          (acc, h) => acc + when(
+            (h / pow(lit(2.0), i.cast("double"))).cast("long") % 2 === 1, 1)
+            .otherwise(-1)))
+      aggregate(reverse(bitScores), lit(0L),
+        (acc, s) => acc * 2 + when(s > 0, 1L).otherwise(0L))
+    }
+    val tricky = Seq("a b ", " a", "a  b", "plain text", "x")
+      .toDF("text")
+    val bad = tricky.select(
+        graft.dedup.Dedup.simhash32($"text").as("native"),
+        composed($"text").as("composed"))
+      .filter($"native" =!= $"composed").count()
+    assert(bad == 0)
+    // WordShingles: same split semantics -> "a b " has words [a, b, ""]
+    val sh = tricky.filter($"text" === "a b ")
+      .select(graft.functions.Text.shingles($"text", 2))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b "))
+  }
+
   test("Md5Prefix60 equals the composed conv(substring(md5)) form") {
     val docs = Tables.documents(spark, sfDir)
     val mismatches = docs.select(
