@@ -84,6 +84,67 @@ class Round3PropertiesSpec extends SparkSpec {
     }
   }
 
+  // ---- EWMA vs in-memory reference ----------------------------------------
+
+  private val seriesGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(1, 50)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 3)
+      v <- Gen.choose(-1000, 1000)
+    } yield (k.toLong, v / 7.0))
+  } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ewma equals the exact lag-bank reference computation") {
+    val base = 1700000000000000L
+    for (rows <- samples(seriesGen, 6)) {
+      val df = rows.map { case (k, i, v) => (k, base + i * 1000000L, i, v) }
+        .toDF("k", "us", "eid", "v")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+      val got = TimeSeries.ewma(df.select("k", "ts", "eid", "v"),
+          "k", "ts", "eid", "v", 0.5, 3)
+        .select($"eid", $"ewma").as[(Long, Double)].collect().toMap
+      // reference: same left-assoc double arithmetic per key in order
+      val want = rows.groupBy(_._1).values.flatMap { series =>
+        val ordered = series.sortBy(_._2)
+        ordered.zipWithIndex.map { case ((_, eid, v), i) =>
+          var num = v; var den = 1.0
+          for (j <- 1 to 3; if i - j >= 0) {
+            num += ordered(i - j)._3 * math.pow(0.5, j)
+            den += math.pow(0.5, j)
+          }
+          eid -> round6(num / den)
+        }
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("zscore stats match the decimal-exact reference; flags are consistent") {
+    val base = 1700000000000000L
+    for (rows <- samples(seriesGen, 4)) {
+      val df = rows.map { case (k, i, v) => (s"s$k", base + i * 1000000L, i, v) }
+        .toDF("event_type", "us", "event_id", "value")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+      val flagged = TimeSeries.zscoreAnomalies(df, "event_type", "event_id",
+          "value", 1.0)
+        .select($"event_id", $"z").as[(Long, Double)].collect().toMap
+      val want = rows.groupBy(r => s"s${r._1}").flatMap { case (_, series) =>
+        def dec6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val n = series.size
+        val mean = (series.map(r => dec6(r._3)).sum.toDouble) / n
+        val ex2 = (series.map(r => dec6(r._3 * r._3)).sum.toDouble) / n
+        val std = math.sqrt(ex2 - mean * mean)
+        series.map { case (_, eid, v) => eid -> round6((v - mean) / std) }
+          .filter { case (_, z) => math.abs(z) >= 1.0 }
+      }
+      assert(flagged == want)
+    }
+  }
+
   // ---- TWA invariants ------------------------------------------------------
 
   test("timeWeightedAvg of a constant series is the constant") {
