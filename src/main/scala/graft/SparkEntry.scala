@@ -187,6 +187,12 @@ object SparkEntry {
       graft.streaming.Streams.versionMonitorStream(s, d)
         .orderBy("user_id", "version")),
 
+    "ts24_counter_rate" -> ((s, d) =>
+      TimeSeries.counterRate(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")),
+
     // day × event_type counts as a wide pivot (explicit value list ->
     // deterministic schema; one aggregation, Expand-free)
     "ts22_pivot" -> ((s, d) => {
@@ -690,6 +696,22 @@ object SparkEntry {
           |  FROM documents)
           |WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 15 END
           |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      "ts24_counter_rate" ->
+        """WITH s AS (SELECT user_id, epoch_us(ts) AS us, value,
+          |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT user_id, count(*) AS n_samples,
+          |  CAST(sum(CAST(CASE WHEN prev IS NULL THEN NULL
+          |    WHEN value >= prev THEN value - prev
+          |    ELSE value END AS DECIMAL(18,6))) AS DOUBLE) AS total_increase,
+          |  max(us) - min(us) AS elapsed_us,
+          |  round(CAST(sum(CAST(CASE WHEN prev IS NULL THEN NULL
+          |    WHEN value >= prev THEN value - prev
+          |    ELSE value END AS DECIMAL(18,6))) AS DOUBLE)
+          |    / ((max(us) - min(us)) / 1000000.0), 6) AS rate_per_sec
+          |FROM s GROUP BY 1 HAVING max(us) - min(us) > 0
+          |ORDER BY user_id""".stripMargin,
 
       "ts22_pivot" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS day,

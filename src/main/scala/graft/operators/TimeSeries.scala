@@ -278,6 +278,30 @@ object TimeSeries {
       .select(col(id), col(series), col(value), col("z"))
   }
 
+  /** Counter-rate with reset detection (the Prometheus/TimescaleDB
+    * `rate()`/`increase()` semantics): per key, each step contributes
+    * `v - prev` when the counter moved forward, or `v` after a reset
+    * (counter dropped). One window shuffle on the key; the increase sum
+    * is decimal-exact. Keys need ≥2 samples for a rate. */
+  def counterRate(df: DataFrame, key: String, ts: String, tie: String,
+                  value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val prev = lag(col(value), 1).over(w)
+    val step = when(prev.isNull, lit(null))
+      .when(col(value) >= prev, col(value) - prev)
+      .otherwise(col(value)) // reset: the new value is the post-reset increase
+    df.select(col(key), unix_micros(col(ts)).as("__us"), col(tie),
+        col(value), step.as("__inc"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(dec(col("__inc"))).cast("double").as("total_increase"),
+        (max(col("__us")) - min(col("__us"))).as("elapsed_us"))
+      .filter(col("elapsed_us") > 0)
+      .withColumn("rate_per_sec",
+        round(col("total_increase") / (col("elapsed_us") / 1000000.0), 6))
+  }
+
   /** Time-weighted average of a step series per key over [t1, t2):
     * each value holds until the next event (or t2), so the weight is
     * the µs until then. One window shuffle on the key; the weighted
