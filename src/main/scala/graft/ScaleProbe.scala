@@ -111,6 +111,29 @@ object ScaleProbe {
     d1r.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
+
+    // skew: the same 8x volume but EVERY row on one key. The bucketized
+    // interval join keeps its parallelism (the hot key shards across
+    // time buckets); pure per-key windows (sessionize) collapse to one
+    // partition — the documented case for Skew.salted* / AQE.
+    val eSkew = e8.withColumn("user_id", lit(1L))
+    def skewSuite(ev: DataFrame): Map[String, Double] = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+      Map(
+        "interval_join" -> time(TimeSeries.intervalCount(
+          purchases, clicks, "user_id", "ts", "event_id", 3600000000L).count()),
+        "sessionize" -> time(TimeSeries.sessionize(
+          ev.select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 1800L).count()))
+    }
+    val uni = skewSuite(e8)
+    val skw = skewSuite(eSkew)
+    println(f"${"8x skew op"}%-14s ${"uniform"}%8s ${"1-key"}%8s ratio")
+    uni.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${uni(k)}%8.2f ${skw(k)}%8.2f ${skw(k) / uni(k)}%5.1fx")
+    }
     spark.stop()
   }
 }
