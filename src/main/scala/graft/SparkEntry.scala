@@ -187,6 +187,23 @@ object SparkEntry {
       graft.streaming.Streams.versionMonitorStream(s, d)
         .orderBy("user_id", "version")),
 
+    // trailing-1h per-row aggregate as a RANGE window frame (the
+    // window-function twin of the ts16 interval JOIN): one sort per
+    // key, frame bounds in µs — no self-join at all
+    "ts25_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     "ts24_counter_rate" -> ((s, d) =>
       TimeSeries.counterRate(
           ev(s, d).select("user_id", "ts", "event_id", "value"),
@@ -279,6 +296,21 @@ object SparkEntry {
     "q20_qty_suppliers" -> ((s, d) => Analytics.q20QtySuppliers(s, d, "blue", 1996, 2.0)),
     "q21_returned_sole" -> ((s, d) => Analytics.q21ReturnedSole(s, d, 20)),
     "q23_rollup_revenue" -> ((s, d) => Analytics.q23RollupRevenue(s, d)),
+
+    // set operators: EXCEPT/INTERSECT compile to anti/semi joins over
+    // the distinct key sets — churn analysis shape (active-then-gone)
+    "q24_set_ops" -> ((s, d) => {
+      def custsIn(year: Int) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val churned = custsIn(1996).except(custsIn(1997))
+      val retained = custsIn(1996).intersect(custsIn(1997))
+      churned.withColumn("cohort", lit("churned"))
+        .unionByName(retained.withColumn("cohort", lit("retained")))
+        .groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+        .orderBy("cohort")
+    }),
     "q22_idle_customers" -> ((s, d) =>
       Analytics.q22IdleCustomers(s, d, Seq(1, 3, 5, 7, 9, 11, 13), "1999-01-01")),
 
@@ -696,6 +728,29 @@ object SparkEntry {
           |  FROM documents)
           |WHERE bucket < CASE WHEN lang = 'en' THEN 40 ELSE 15 END
           |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+      "q24_set_ops" ->
+        """WITH c96 AS (SELECT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+          |c97 AS (SELECT o_custkey FROM orders
+          |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+          |churned AS (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97),
+          |retained AS (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+          |SELECT 'churned' AS cohort, count(*) AS n_customers FROM churned
+          |UNION ALL
+          |SELECT 'retained' AS cohort, count(*) AS n_customers FROM retained
+          |ORDER BY cohort""".stripMargin,
+
+      "ts25_range_window" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          |  count(*) OVER w AS n_1h,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
       "ts24_counter_rate" ->
         """WITH s AS (SELECT user_id, epoch_us(ts) AS us, value,
