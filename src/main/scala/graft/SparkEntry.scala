@@ -492,7 +492,36 @@ object SparkEntry {
          |  FROM e GROUP BY doc_id),
          |bands AS ($bandRows)""".stripMargin
     }
+    // a2's bucket bits recomputed in SQL from the SAME seeded planes
+    // (deterministic scala.util.Random(42) Gaussians, inlined as
+    // literals); both engines accumulate the dot left-to-right in
+    // double, so the sign bits — hence the candidate sets — agree.
+    val a2Sql: String = {
+      val ps = graft.ann.Ann.lshPlanes(64, 8, 42L)
+      val bucketExpr = ps.zipWithIndex.map { case (plane, p) =>
+        val lits = plane.map(java.lang.Double.toString).mkString(", ")
+        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("\n      + ")
+      s"""WITH pb AS (SELECT vec_id, embedding,
+         |    ($bucketExpr)::BIGINT AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+         |  FROM pb WHERE vec_id IN (0, 1, 2, 3, 4))
+         |SELECT query_id, nn_id, cos, rank FROM (
+         |  SELECT query_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+         |  FROM (
+         |    SELECT q.query_id, c.vec_id AS nn_id,
+         |      round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         |        / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+         |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+         |    FROM q JOIN pb c ON c.vec_id <> q.query_id
+         |      AND bit_count(xor(c.bucket, q.q_bucket)) <= 3))
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }
     Map(
+      "a2_ann_lsh" -> a2Sql,
+
       "t1_asof_snapshot" -> s"$asofState\nORDER BY user_id",
 
       "t2_version_history" ->

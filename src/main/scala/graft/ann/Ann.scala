@@ -69,30 +69,51 @@ object Ann {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.expressions.LshBucket(
-      ColumnBridge.expression(vec), planes))
+      ColumnBridge.expression(vec), planes.map(_.toIndexedSeq).toIndexedSeq))
+  }
+
+  /** All XOR masks with popcount <= `h` over `bits` bit positions —
+    * the hamming ball a multi-probe query enumerates:
+    * sum of C(bits, 0..h) masks, ascending popcount. */
+  def hammingBall(bits: Int, h: Int): Seq[Long] = {
+    def combos(start: Int, k: Int): Seq[Long] =
+      if (k == 0) Seq(0L)
+      else (start to bits - k).flatMap(p => combos(p + 1, k - 1).map(_ | (1L << p)))
+    (0 to math.min(h, bits)).flatMap(combos(0, _))
   }
 
   /** ANN top-k via multi-probe random-hyperplane LSH: candidates are
     * corpus rows whose sign-bit bucket is within `probeHamming` of the
     * query's bucket; ranking is exact cosine over that candidate set.
-    * At corpus scale the bucket column is precomputed + bucketed-by, the
-    * (tiny) query side is broadcast, and a probe touches only the
-    * enumerated buckets instead of the corpus. Recall vs `knnBrute` is
-    * spec-checked. */
+    *
+    * The hamming ball is enumerated on the QUERY side — each query
+    * explodes into its C(planes, <=probeHamming) adjacent bucket ids —
+    * so the candidate lookup is an EQUI-join on `bucket`. The physical
+    * plan is a BroadcastHashJoin keyed on the bucket (never a
+    * nested-loop over the corpus): with the corpus bucketed/partitioned
+    * by `bucket` at scale, a probe batch touches only the enumerated
+    * buckets' partitions. Recall vs `knnBrute` is spec-checked and the
+    * full pipeline is oracle-checked (a2), the seeded planes being
+    * deterministic on both engines. */
   def knnLsh(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
              k: Int, planes: Int, probeHamming: Int, seed: Long): DataFrame = {
+    require(planes <= 63, s"at most 63 hyperplanes supported, got $planes")
     val dims = 64
     val ps = lshPlanes(dims, planes, seed)
+    val masks = hammingBall(planes, probeHamming)
     val bucketed = emb.select(col(id), col(vec),
       lshBucket(col(vec), ps).as("bucket"))
     val corpus = bucketed.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
       col("bucket"))
-    val queries = bucketed.filter(col(id).isin(queryIds: _*))
+    // distinct masks -> distinct probe buckets per query, so each
+    // (query, corpus row) pair joins at most once — no dedup needed
+    val probes = bucketed.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
         col("bucket").as("q_bucket"))
-    val scored = corpus.join(broadcast(queries),
-        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeHamming &&
-          col("nn_id") =!= col("query_id"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)))
+    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))

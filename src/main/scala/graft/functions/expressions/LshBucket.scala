@@ -14,9 +14,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * which Catalyst cannot codegen (boxed lambda per element, per
   * plane). The plane matrix rides along as a literal in the plan, the
   * same way the broadcast side of a map-side join would at scale.
+  *
+  * Planes are held as `IndexedSeq` (value equality) so two
+  * semantically identical LshBucket expressions canonicalize equal —
+  * subexpression elimination and exchange reuse see through them; an
+  * `Array` field would compare by reference. At most 63 planes: bit
+  * 63 is the Long sign bit and `1L << p` wraps beyond it.
   */
-case class LshBucket(child: Expression, planes: Array[Array[Double]])
+case class LshBucket(child: Expression,
+                     planes: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
+
+  require(planes.length <= 63,
+    s"lsh_bucket supports at most 63 planes, got ${planes.length}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -28,14 +38,18 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
 
   @transient private lazy val elemIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hot-loop view of the plane matrix (the case-class field stays a
+  // Seq for semantic equality)
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dims = arr.numElements()
     var bucket = 0L
     var p = 0
-    while (p < planes.length) {
-      val plane = planes(p)
+    while (p < planeArr.length) {
+      val plane = planeArr(p)
       var dot = 0.0
       var i = 0
       val n = math.min(dims, plane.length)
