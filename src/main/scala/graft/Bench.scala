@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Headline benchmark: one JSON line on stdout (the driver contract)
+  * with per-query seconds, plus the same JSON written to a file
+  * (GRAFT_BENCH_OUT, default BENCH_MEDIANS.json) so per-query numbers
+  * survive driver-log truncation. GRAFT_BENCH_REPS > 1 runs each query
+  * that many times and reports the per-query MEDIAN — the
+  * noise-controlled artifact checked in per round. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "1").toInt
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_MEDIANS.json")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -21,15 +29,25 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     spark.range(1000000L).selectExpr("md5(cast(id as string)) h")
       .agg(org.apache.spark.sql.functions.min("h")).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.toSeq.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => once(fn)).sorted
+      name -> times(times.length / 2) // median (= the run itself at reps=1)
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

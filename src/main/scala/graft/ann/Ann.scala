@@ -124,12 +124,25 @@ object Ann {
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau within the same coarse cell
-    * (cell-blocked so the pair space never goes quadratic corpus-wide). */
+    * (cell-blocked so the pair space never goes quadratic corpus-wide).
+    *
+    * The in-cell pair work is additionally sharded into `subBlocks`
+    * deterministic hash sub-blocks: the probe side replicates to every
+    * sub-block and the build side keeps its own, so the join key is
+    * (cell, sub-block) and a HOT cell's O(n²) candidate work spreads
+    * over `subBlocks` tasks instead of serializing in one straggler.
+    * Each unordered pair still surfaces exactly once — (x,y) meets at
+    * y's sub-block, (y,x) at x's, and the id_a < id_b filter keeps one
+    * — so the output set is identical to the unsharded join (the
+    * sub-block id never reaches the output, and the oracle is
+    * unchanged). Replication cost: probe side × subBlocks. */
   def nearDupPairs(emb: DataFrame, id: String, vec: String, cell: String,
-                   tau: Double): DataFrame = {
+                   tau: Double, subBlocks: Int = 8): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("vec_a"), col(cell).as("cell"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vec_b"), col(cell).as("cell"))
-    a.join(b, Seq("cell"))
+      .withColumn("sb", explode(array((0 until subBlocks).map(lit): _*)))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vec_b"), col(cell).as("cell"),
+      pmod(hash(col(id)), lit(subBlocks)).as("sb"))
+    a.join(b, Seq("cell", "sb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cell"), col("id_a"), col("id_b"),
         Vec.cosine(col("vec_a"), col("vec_b")).as("cos"))

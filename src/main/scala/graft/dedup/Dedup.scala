@@ -111,17 +111,46 @@ object Dedup {
     docs.select(col(id), simhash32(col(text)).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 32 - bucketBits))
 
-  /** Same-bucket pairs with hamming distance ≤ maxHamming. */
+  /** ALL pairs with hamming distance ≤ maxHamming, via the pigeonhole
+    * chunk join (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
+    * for Web Crawling" — public): split the 32-bit fingerprint into
+    * `maxHamming + 1` chunks; a pair within `maxHamming` differing
+    * bits must agree EXACTLY on at least one chunk, so candidates come
+    * from equi-joins on (chunk_idx, chunk_value) and recall is 100% —
+    * unlike the former coarse top-bits bucket, which missed pairs
+    * whose differing bits fell in the bucket. Hot-bucket-immune for
+    * skew: a cluster hot in one bit range still shards across the
+    * other chunks' values; only true fingerprint-equal groups collide
+    * on every chunk, and those emit output pairs anyway. */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   bucketBits: Int, maxHamming: Int): DataFrame = {
-    val fp = simhashFingerprints(docs, id, text, bucketBits)
-    val a = fp.select(col(id).as("id_a"), col("simhash").as("sh_a"), col("bucket"))
-    val b = fp.select(col(id).as("id_b"), col("simhash").as("sh_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+                   bucketBits: Int, maxHamming: Int): DataFrame =
+    simhashPairsFromFp(
+      docs.select(col(id), simhash32(col(text)).as("simhash")), id, maxHamming)
+
+  /** The chunk-join core of `simhashPairs`, over precomputed
+    * fingerprints (`simhash` column) — also the probe surface for the
+    * ScaleProbe hot-bucket suite. */
+  def simhashPairsFromFp(fp: DataFrame, id: String, maxHamming: Int): DataFrame = {
+    val cc = maxHamming + 1
+    val w = 32 / cc
+    def chunk(c: Column, i: Int): Column = {
+      val lo = i * w
+      val width = if (i == cc - 1) 32 - lo else w
+      shiftright(c, lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    val keyed = fp.select(col(id), col("simhash"),
+        posexplode(array((0 until cc).map(i => chunk(col("simhash"), i)): _*)))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "ck")
+    val a = keyed.select(col(id).as("id_a"), col("simhash").as("sh_a"),
+      col("ci"), col("ck"))
+    val b = keyed.select(col(id).as("id_b"), col("simhash").as("sh_b"),
+      col("ci"), col("ck"))
+    a.join(b, Seq("ci", "ck"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      // a pair agreeing on several chunks surfaces once per chunk
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** Banded-LSH candidate pairs: docs sharing ≥1 identical band of the
@@ -164,42 +193,63 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list (`id_a`,`id_b`):
-    * every node labeled with its component's minimum id. Min-label
-    * propagation moves a label one hop per round, so rounds are bounded
-    * by the component diameter; hitting `maxIter` without convergence
-    * throws (silently returning non-minimal labels would corrupt
-    * downstream dedup) — raise the cap, or switch to a
-    * large-star/small-star contraction, for adversarially long chains.
-    * Each round is ONE equi-join + aggregation; the convergence count
-    * reuses the checkpointed join output, not a second join.
-    * Property-tested against a union-find reference. */
+    * every node labeled with its component's minimum id.
+    *
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public):
+    * each round, every node first hangs its LARGER neighbors off its
+    * minimum neighbor (large-star), then itself and its SMALLER
+    * neighbors off their minimum (small-star). Distances to the
+    * component minimum roughly halve per round, so convergence takes
+    * O(log n) rounds even on adversarial chain/path graphs — where
+    * plain min-label propagation needs diameter rounds. At fixpoint the
+    * edge set is a star per component, centered at the component min.
+    * Each phase is one aggregation + one equi-join on the (small,
+    * ≪ corpus) candidate edge set; `localCheckpoint` cuts the per-round
+    * lineage. Hitting `maxIter` without a fixpoint throws — silently
+    * returning non-minimal labels would corrupt downstream dedup.
+    * Property-tested against a union-find reference, including a
+    * 300-node path graph. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame, id: String,
                           maxIter: Int = 64): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    var labels = ids.select(col(id), col(id).cast("long").as("cluster_id"))
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v")))
       .localCheckpoint()
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
-      val neigh = edges
-        .join(labels.select(col(id).as("id_b"), col("cluster_id").as("nl")), "id_b")
-        .groupBy(col("id_a")).agg(min(col("nl")).as("mn"))
-      val joined = labels
-        .join(neigh, labels(id) === neigh("id_a"), "left_outer")
-        .select(labels(id), col("cluster_id"), col("mn"))
+      // large-star: every neighbor v > u re-links to u's min (or u)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(sym.filter(col("v") > col("u")).join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v")))
         .localCheckpoint()
-      converged = joined.filter(col("mn") < col("cluster_id")).isEmpty
-      labels = joined
-        .select(col(id),
-          least(col("cluster_id"), coalesce(col("mn"), col("cluster_id")))
-            .as("cluster_id"))
+      // small-star: u and its smaller neighbors re-link to their min
+      val sym2 = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val smaller = sym2.filter(col("v") < col("u"))
+      val mins2 = smaller.groupBy("u").agg(min("v").as("m"))
+      val small = canon(
+          smaller.join(mins2, "u").select(col("v").as("u"), col("m").as("v"))
+            .union(mins2.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds the cap)")
-    labels
+      s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint edges are (center=min, member) stars; centers and
+    // singletons label themselves
+    ids.select(col(id))
+      .join(edges.select(col("u").as("__cc_min"), col("v").as("__cc_id")),
+        col(id).cast("long") === col("__cc_id"), "left_outer")
+      .select(col(id),
+        coalesce(col("__cc_min"), col(id).cast("long")).as("cluster_id"))
   }
 }

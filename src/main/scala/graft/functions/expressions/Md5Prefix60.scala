@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,12 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * digest goes straight to a long; `doGenCode` is a static call so the
   * surrounding pipeline stays in whole-stage codegen.
   */
-case class Md5Prefix60(child: Expression) extends UnaryExpression {
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"md5_prefix60 requires a string argument, got ${child.dataType.sql}")
+  // implicit-cast inputs so SQL-registered md5_prefix60(numeric_col)
+  // analyzes like the composed conv(substring(md5(x))) form would
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

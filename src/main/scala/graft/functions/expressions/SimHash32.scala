@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,12 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * sums, so the result is order-independent and bit-identical to both
   * the composed form and the DuckDB oracle (d3).
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"simhash32 requires a string argument, got ${child.dataType.sql}")
+  // implicit-cast inputs: simhash32(numeric_col) analyzes via cast
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 

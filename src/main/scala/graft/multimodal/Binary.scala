@@ -1,10 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
-  * decode / feature-extract stages as per-partition batch transforms.
+  * decode / feature-extract stages as pure column expressions.
   *
   * The container ships no image/audio codecs, so the DECODE STEP IS A
   * DETERMINISTIC STUB (clearly marked below) — the Spark-side plumbing
@@ -53,24 +53,31 @@ object Binary {
         octet_length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
   }
 
-  /** Frame sampling over the binary payload via mapPartitions — the
-    * batch shape a real video/audio decoder needs (one codec init per
-    * partition, streaming over rows). Samples every `stride`-th byte as
-    * a "frame". STUB: real impl would decode containers/frames. */
-  def frameSample(spark: SparkSession, docs: DataFrame, id: String,
-                  text: String, stride: Int): DataFrame = {
-    import spark.implicits._
-    val ds: Dataset[(Long, Array[Byte])] =
-      withPayload(docs, id, text)
-        .select(col(id).cast("long"), col("payload"))
-        .as[(Long, Array[Byte])]
-    ds.mapPartitions { it =>
-      // per-partition init would happen here (codec handle, model, ...)
-      it.map { case (docId, bytes) =>
-        val frames = bytes.indices.by(stride).map(bytes(_).toInt & 0xff)
-        (docId, frames.length.toLong, frames.map(_.toLong).sum,
-          frames.take(8).mkString(","))
-      }
-    }.toDF(id, "n_frames", "frame_sum", "head_frames")
+  /** Frame sampling: every `stride`-th byte as a "frame", with count /
+    * sum / head-of-stream per document. STUB: a real impl decodes
+    * containers and samples frames; the sampling arithmetic, schema and
+    * per-doc aggregation shape are the real plumbing.
+    *
+    * Expressed entirely as array expressions (sequence → transform →
+    * aggregate, the m3 pattern) rather than `mapPartitions`: no
+    * Dataset[T] round-trip, so the plan has no
+    * SerializeFromObject/DeserializeToObject barrier and the operator
+    * composes with pushdown/pruning like any other projection. ASCII
+    * payloads make `substr` on the text column byte-accurate (same
+    * convention as `chunked`). */
+  def frameSample(docs: DataFrame, id: String, text: String,
+                  stride: Int): DataFrame = {
+    val nFrames = ceil(length(col(text)).cast("double") / stride).cast("int")
+    // nFrames=0 must yield an EMPTY frame list (sequence(0,-1) counts down)
+    val idxs = when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nFrames - 1))
+    val frames = transform(idxs,
+      i => ascii(col(text).substr(i * stride + lit(1), lit(1))))
+    docs.select(col(id).cast("long").as(id),
+        frames.as("__frames"))
+      .select(col(id),
+        size(col("__frames")).cast("long").as("n_frames"),
+        aggregate(col("__frames"), lit(0L), (acc, x) => acc + x).as("frame_sum"),
+        concat_ws(",", slice(col("__frames"), 1, 8)).as("head_frames"))
   }
 }

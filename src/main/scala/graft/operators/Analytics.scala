@@ -338,21 +338,23 @@ object Analytics {
   }
 
   /** TPC-H Q17 flavor: revenue impact of small-quantity orders for one
-    * brand. The correlated per-part average becomes a partial-agg
-    * shuffle on l_partkey over the whole fact (the brand filter cannot
-    * be applied there — the average is over ALL lineitems of the part),
-    * re-joined to the brand-filtered lineitems. The average is computed
-    * decimal-sum/count so it is order-independent. */
+    * brand. The correlated per-part average is over ALL lineitems of a
+    * part, but brand is a function of partkey — so the brand-part
+    * semi-join (broadcast) is pushed BELOW the per-part aggregation:
+    * only the brand's parts (~1/25 of the taxonomy) are aggregated and
+    * shuffled, and the averages over that subset are identical to the
+    * full-fact formulation. The average is computed decimal-sum/count
+    * so it is order-independent. */
   def q17SmallQtyRevenue(spark: SparkSession, sfDir: String, brand: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select("p_partkey")
     val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
         .as("avg_qty"))
-    val p = Tables.part(spark, sfDir)
-      .filter(col("p_brand") === brand).select("p_partkey")
-    li.select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("a_partkey"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(round(sum(dec2(col("l_extendedprice"))).cast("double") / 7.0, 6)
         .as("avg_yearly"))

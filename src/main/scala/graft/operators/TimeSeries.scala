@@ -262,7 +262,10 @@ object TimeSeries {
   /** Per-series z-score anomalies. Mean and E[x²] come from DECIMAL
     * sums (order-independent, exact) so the derived std and z-scores
     * are bit-identical across engines and partitionings; the tiny
-    * per-series stats broadcast back onto the scan. */
+    * per-series stats broadcast back onto the scan. Constant series
+    * (std = 0) are excluded up front — z would be 0/0 = NaN there, and
+    * NaN's compares-greater ordering would flag every row of a flat
+    * series as anomalous. The oracle mirrors the guard. */
   def zscoreAnomalies(df: DataFrame, series: String, id: String,
                       value: String, threshold: Double): DataFrame = {
     val stats = df.groupBy(col(series))
@@ -272,6 +275,7 @@ object TimeSeries {
           count(lit(1))).as("ex2"))
       .select(col(series), col("mean"),
         sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+      .filter(col("std") > 0)
     df.join(broadcast(stats), series)
       .withColumn("z", round((col(value) - col("mean")) / col("std"), 6))
       .filter(abs(col("z")) >= threshold)

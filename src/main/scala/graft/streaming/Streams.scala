@@ -47,7 +47,9 @@ object Streams {
   }
 
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    // the drain session owns the started query — guard there, not on
+    // the parent session's StreamingQueryManager
+    agg.sparkSession.streams.active.filter(_.name == name).foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
     q.processAllAvailable()

@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   */
 class TemporalVault(
     spark: SparkSession, root: String,
-    key: String = "record_id", ts: String = "ts", tie: String = "seq") {
+    key: String = "record_id", ts: String = "ts", tie: String = "seq",
+    cacheTtlSeconds: Long = 3600L, cacheMaxEntries: Int = 64,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private val logDir = s"$root/log"
   private val snapDir = s"$root/snapshot"
@@ -58,10 +60,17 @@ class TemporalVault(
   def log: DataFrame = spark.read.parquet(logDir)
 
   /** Append a batch of new record versions (POST /records,
-    * app/main.py:67-98). */
+    * app/main.py:67-98). Cache invalidation is precise, not global:
+    * an appended version at time t can only change AS-OF reads at
+    * `at >= t`, so cached states strictly before the batch's earliest
+    * ts stay valid and stay cached; per-record entries are dropped
+    * only for the record ids the batch touches (the reference's
+    * `redis_client.delete(f"record:{record_id}")`, app/main.py:94). */
   def append(batch: DataFrame): Unit = {
     writeLog(batch.withColumn(Op, lit("I")))
-    invalidateCache()
+    val minTs = batch.agg(min(col(ts))).head().getTimestamp(0)
+    invalidateQueriesSince(if (minTs == null) Long.MinValue else minTs.getTime)
+    invalidateRecords(batch)
   }
 
   /** Version labels (v1, v2, ... per record, time order) — computed,
@@ -103,31 +112,116 @@ class TemporalVault(
     query(TimeParse.parse(phrase, now))
 
   // --- query-result cache (the reference's Redis layer, main.py:60-64:
-  // cached reads keyed by timestamp, invalidated on every write) -------
-  private val cache =
-    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+  // `query:{timestamp}` entries written with `setex(key, 3600, ...)`
+  // i.e. a 1h TTL, app/main.py:147; `record:{record_id}` entries
+  // deleted individually on write, app/main.py:94) ---------------------
+  private case class Entry(df: DataFrame, bornMs: Long, atEpochMs: Option[Long])
+  private val cache = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+  private val recordCache =
+    scala.collection.mutable.LinkedHashMap.empty[String, Entry]
   @volatile private var cacheHitCount = 0L
+  @volatile private var cacheMissCount = 0L
+  @volatile private var cacheEvictCount = 0L
+  @volatile private var cacheExpireCount = 0L
+
+  private def parseEpochMs(at: String): Option[Long] =
+    try Some(java.sql.Timestamp.valueOf(at).getTime)
+    catch { case _: IllegalArgumentException =>
+      try Some(java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.parse(at)).getTime)
+      catch { case _: Exception => None }
+    }
+
+  /** TTL + LRU bookkeeping shared by both caches: expired entries are
+    * unpersisted on access; a hit re-queues the entry (LRU order);
+    * inserts evict the least-recently-used entry past `cacheMaxEntries`.
+    * Eviction/expiry always unpersists — a long-lived session querying
+    * many distinct timestamps holds at most `cacheMaxEntries` states
+    * in executor memory, mirroring the reference's bounded Redis TTL. */
+  private def cachedIn(m: scala.collection.mutable.LinkedHashMap[String, Entry],
+                       k: String, atEpoch: Option[Long])(load: => DataFrame): DataFrame =
+    m.synchronized {
+      val now = clock()
+      m.get(k) match {
+        case Some(e) if now - e.bornMs < cacheTtlSeconds * 1000L =>
+          cacheHitCount += 1
+          m.remove(k); m.put(k, e) // LRU touch
+          e.df
+        case stale =>
+          stale.foreach { e =>
+            e.df.unpersist(); m.remove(k); cacheExpireCount += 1
+          }
+          cacheMissCount += 1
+          val df = load.persist()
+          if (m.size >= cacheMaxEntries) {
+            val (oldK, oldE) = m.head
+            oldE.df.unpersist(); m.remove(oldK); cacheEvictCount += 1
+          }
+          m.put(k, Entry(df, now, atEpoch))
+          df
+      }
+    }
 
   /** AS-OF read memoized per timestamp: the state DataFrame is
     * persisted in executor memory on first use (the Spark analog of
-    * the reference's Redis setex) and served partition-local after
-    * that. `append`/`rollback` invalidate everything, as the reference
-    * deletes affected keys on create (app/main.py:94). */
-  def queryCached(at: String): DataFrame = cache.synchronized {
-    cache.get(at) match {
-      case Some(df) => cacheHitCount += 1; df
-      case None =>
-        val df = query(at).persist()
-        cache.put(at, df)
-        df
+    * the reference's Redis `setex(query:{ts}, 3600, ...)`) and served
+    * partition-local after that, with the same 1h TTL and an LRU size
+    * cap. Invalidation on write is PRECISE where the reference relies
+    * on TTL alone: an append's earliest version ts drops exactly the
+    * cached states it can affect (`at >= t`) — never stale, and
+    * historical snapshots stay hot across writers. */
+  def queryCached(at: String): DataFrame =
+    cachedIn(cache, at, parseEpochMs(at))(query(at))
+
+  /** Latest state of one record, memoized per record id — the
+    * reference's `record:{record_id}` Redis entry. Appends drop only
+    * the touched ids' entries (app/main.py:94). */
+  def recordCached(recordId: String): DataFrame =
+    cachedIn(recordCache, recordId, None)(
+      Temporal.asOf(log.filter(col(key) === recordId), key, ts, tie,
+          lit("9999-12-31 00:00:00").cast("timestamp"))
+        .filter(col(Op) =!= "D").drop(Op, Day))
+
+  def cacheHits: Long = cacheHitCount
+  def cacheStats: Map[String, Long] = Map(
+    "hits" -> cacheHitCount, "misses" -> cacheMissCount,
+    "evictions" -> cacheEvictCount, "expirations" -> cacheExpireCount,
+    "entries" -> (cache.synchronized(cache.size) +
+      recordCache.synchronized(recordCache.size)).toLong)
+
+  /** Drop cached AS-OF states a write at epoch `sinceMs` can affect
+    * (at >= since). Entries whose key didn't parse are dropped
+    * conservatively. */
+  private def invalidateQueriesSince(sinceMs: Long): Unit = cache.synchronized {
+    val doomed = cache.collect {
+      case (k, e) if e.atEpochMs.forall(_ >= sinceMs) => k
+    }.toSeq
+    doomed.foreach { k => cache(k).df.unpersist(); cache.remove(k) }
+  }
+
+  /** Drop per-record entries for the ids `batch` touches: the few
+    * cached ids (≤ cacheMaxEntries) are matched against the batch —
+    * bounded work however large the append is. */
+  private def invalidateRecords(batch: DataFrame): Unit = {
+    val cachedIds = recordCache.synchronized(recordCache.keys.toSeq)
+    if (cachedIds.nonEmpty) {
+      val touched = batch.filter(col(key).cast("string").isin(cachedIds: _*))
+        .select(col(key).cast("string")).distinct().collect().map(_.getString(0))
+      recordCache.synchronized {
+        touched.foreach { k =>
+          recordCache.get(k).foreach { e => e.df.unpersist(); recordCache.remove(k) }
+        }
+      }
     }
   }
 
-  def cacheHits: Long = cacheHitCount
-
-  private def invalidateCache(): Unit = cache.synchronized {
-    cache.values.foreach(_.unpersist())
-    cache.clear()
+  private def invalidateCache(): Unit = {
+    cache.synchronized {
+      cache.values.foreach(_.df.unpersist()); cache.clear()
+    }
+    recordCache.synchronized {
+      recordCache.values.foreach(_.df.unpersist()); recordCache.clear()
+    }
   }
 
   /** Field-level diff of one record between two timestamps

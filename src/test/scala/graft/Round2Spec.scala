@@ -72,9 +72,9 @@ class Round2Spec extends SparkSpec {
 
   test("frame sampling is deterministic and stride-bounded") {
     val docs = Tables.documents(spark, sfDir).limit(50)
-    val a = graft.multimodal.Binary.frameSample(spark, docs, "doc_id", "text", 7)
+    val a = graft.multimodal.Binary.frameSample(docs, "doc_id", "text", 7)
       .select("doc_id", "frame_sum").as[(Long, Long)].collect().toMap
-    val b = graft.multimodal.Binary.frameSample(spark, docs, "doc_id", "text", 7)
+    val b = graft.multimodal.Binary.frameSample(docs, "doc_id", "text", 7)
       .select("doc_id", "frame_sum").as[(Long, Long)].collect().toMap
     assert(a == b && a.nonEmpty)
   }

@@ -47,6 +47,17 @@ class Round3PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents converges in O(log n) rounds on a 300-node path") {
+    // min-label propagation would need 299 rounds here; the alternating
+    // large-star/small-star contraction must finish within 12
+    val n = 300
+    val ids = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs, "id", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   // ---- bucketized interval count vs naive scan ----------------------------
 
   // events at µs offsets, including exact window-boundary collisions
@@ -138,7 +149,8 @@ class Round3PropertiesSpec extends SparkSpec {
         val mean = (series.map(r => dec6(r._3)).sum.toDouble) / n
         val ex2 = (series.map(r => dec6(r._3 * r._3)).sum.toDouble) / n
         val std = math.sqrt(ex2 - mean * mean)
-        series.map { case (_, eid, v) => eid -> round6((v - mean) / std) }
+        if (std <= 0) Nil // constant series excluded (mirrors the engine guard)
+        else series.map { case (_, eid, v) => eid -> round6((v - mean) / std) }
           .filter { case (_, z) => math.abs(z) >= 1.0 }
       }
       assert(flagged == want)
