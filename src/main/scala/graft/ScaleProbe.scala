@@ -144,7 +144,18 @@ object ScaleProbe {
     //  - simhash chunk join: synthetic fingerprints where every doc
     //    collides on chunk 0 (few surviving pairs — the straggler
     //    shape) vs uniform random fingerprints of the same size.
-    val emb = Tables.embeddings(spark, sfDir).limit(4000)
+    // broadcast off for this suite: at probe scale AQE would broadcast
+    // the 4k-row side and sidestep the hot shuffle partition entirely —
+    // the 100 TB shape is a shuffle join, where ONE key = ONE partition
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // sf0.1 has only 2000 vectors — replicate 3x (distinct ids) so the
+    // single hot cell is big enough for the unsharded counterfactual
+    // to actually straggle (6000 rows -> 36M ordered candidate rows)
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val emb = (0 until 3).map(i => embBase.select(
+        (col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
       .select(col("vec_id"), col("embedding"), lit(0L).as("cell"))
       .localCheckpoint()
     val nd1 = time(graft.ann.Ann.nearDupPairs(

@@ -112,44 +112,60 @@ object Dedup {
       .withColumn("bucket", shiftright(col("simhash"), 32 - bucketBits))
 
   /** ALL pairs with hamming distance ≤ maxHamming, via the pigeonhole
-    * chunk join (Manku/Jain/Sarma, WWW'07 "Detecting Near-Duplicates
-    * for Web Crawling" — public): split the 32-bit fingerprint into
-    * `maxHamming + 1` chunks; a pair within `maxHamming` differing
-    * bits must agree EXACTLY on at least one chunk, so candidates come
-    * from equi-joins on (chunk_idx, chunk_value) and recall is 100% —
-    * unlike the former coarse top-bits bucket, which missed pairs
-    * whose differing bits fell in the bucket. Hot-bucket-immune for
-    * skew: a cluster hot in one bit range still shards across the
-    * other chunks' values; only true fingerprint-equal groups collide
-    * on every chunk, and those emit output pairs anyway. */
+    * combination join (Manku/Jain/Sarma, WWW'07 "Detecting
+    * Near-Duplicates for Web Crawling" — public): split the 32-bit
+    * fingerprint into `chunks` ≥ maxHamming+1 pieces; a pair within
+    * `maxHamming` differing bits leaves at least `chunks - maxHamming`
+    * pieces untouched, so every such pair agrees exactly on at least
+    * one (chunks−maxHamming)-sized chunk COMBINATION. Candidates come
+    * from equi-joins on the C(chunks, chunks−maxHamming) packed
+    * combination keys — recall is 100% (unlike the former coarse
+    * top-bits bucket, which missed pairs whose differing bits fell in
+    * the bucket), and the key width is (chunks−maxHamming) pieces, not
+    * one: with the default chunks = 2·maxHamming the keys carry ~16 of
+    * the 32 bits, so a corpus hot in any one bit range still shards
+    * across the other pieces' values — the planted-hot-chunk ScaleProbe
+    * suite measures the difference. Only fingerprint-near-equal groups
+    * collide on every key, and those emit output pairs anyway. */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   bucketBits: Int, maxHamming: Int): DataFrame =
+                   chunks: Int, maxHamming: Int): DataFrame =
     simhashPairsFromFp(
-      docs.select(col(id), simhash32(col(text)).as("simhash")), id, maxHamming)
+      docs.select(col(id), simhash32(col(text)).as("simhash")),
+      id, maxHamming, chunks)
 
-  /** The chunk-join core of `simhashPairs`, over precomputed
+  /** The combination-join core of `simhashPairs`, over precomputed
     * fingerprints (`simhash` column) — also the probe surface for the
-    * ScaleProbe hot-bucket suite. */
-  def simhashPairsFromFp(fp: DataFrame, id: String, maxHamming: Int): DataFrame = {
-    val cc = maxHamming + 1
-    val w = 32 / cc
+    * ScaleProbe hot-bucket suite. `chunks` ≤ maxHamming means "use the
+    * default" (2·maxHamming, floored at maxHamming+1). */
+  def simhashPairsFromFp(fp: DataFrame, id: String, maxHamming: Int,
+                         chunks: Int = 0): DataFrame = {
+    val t = if (chunks > maxHamming) chunks
+            else math.max(maxHamming + 1, 2 * maxHamming)
+    require(t <= 32, s"at most 32 chunks over a 32-bit fingerprint, got $t")
+    val w = 32 / t
     def chunk(c: Column, i: Int): Column = {
       val lo = i * w
-      val width = if (i == cc - 1) 32 - lo else w
+      val width = if (i == t - 1) 32 - lo else w
       shiftright(c, lo).bitwiseAND(lit((1L << width) - 1))
     }
+    // one packed long key per (chunks−maxHamming)-sized index subset:
+    // subset ordinal in the high bits, member chunk values below
+    val subsets = (0 until t).combinations(t - maxHamming).toIndexedSeq
+    val keys = subsets.zipWithIndex.map { case (s, ord) =>
+      s.foldLeft(lit(ord.toLong)) { (acc, i) =>
+        val width = if (i == t - 1) 32 - i * w else w
+        shiftleft(acc, width).bitwiseOR(chunk(col("simhash"), i))
+      }
+    }
     val keyed = fp.select(col(id), col("simhash"),
-        posexplode(array((0 until cc).map(i => chunk(col("simhash"), i)): _*)))
-      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "ck")
-    val a = keyed.select(col(id).as("id_a"), col("simhash").as("sh_a"),
-      col("ci"), col("ck"))
-    val b = keyed.select(col(id).as("id_b"), col("simhash").as("sh_b"),
-      col("ci"), col("ck"))
-    a.join(b, Seq("ci", "ck"))
+        explode(array(keys: _*)).as("ck"))
+    val a = keyed.select(col(id).as("id_a"), col("simhash").as("sh_a"), col("ck"))
+    val b = keyed.select(col(id).as("id_b"), col("simhash").as("sh_b"), col("ck"))
+    a.join(b, Seq("ck"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      // a pair agreeing on several chunks surfaces once per chunk
+      // a pair agreeing on several combinations surfaces once per key
       .select("id_a", "id_b", "hamming").distinct()
   }
 
