@@ -337,6 +337,12 @@ object SparkEntry {
     "d6_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
 
+    // survivorship: one kept doc per near-dup cluster (longest text,
+    // ties to smallest id) + the bytes the cluster saves
+    "d7_dedup_survivors" -> ((s, d) =>
+      graft.operators.Pipeline.dedupSurvivors(Tables.documents(s, d),
+        "doc_id", "text", "n_chars", 3, 16, 4)),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -403,6 +409,17 @@ object SparkEntry {
           sum(col("n_chars")).as("sampled_chars"))
         .orderBy("lang")
     }),
+
+    // concat-and-chunk packing: md5-sharded, id-ordered, 512-token bins
+    "x7_pack_sequences" -> ((s, d) =>
+      graft.operators.Pipeline.packSequences(Tables.documents(s, d),
+        "doc_id", "text", 512, 8)),
+
+    // eval-set decontamination: corpus docs sharing >= 3 distinct
+    // 3-shingles with a benchmark doc (bench set = doc_id % 20 == 0)
+    "x8_decontamination" -> ((s, d) =>
+      graft.operators.Pipeline.decontaminate(Tables.documents(s, d),
+        "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3)),
 
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
@@ -492,6 +509,23 @@ object SparkEntry {
          |  FROM e GROUP BY doc_id),
          |bands AS ($bandRows)""".stripMargin
     }
+    // connected-component labels over the d2 candidate graph, shared by
+    // d6 (raw clusters) and d7 (survivorship reduction)
+    val ccCtes: String =
+      s"""$minhashCtes,
+         |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |ed AS (SELECT id_a, id_b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+         |reach(s, t) AS (
+         |  SELECT id_a, id_b FROM ed
+         |  UNION
+         |  SELECT r.s, e2.id_b FROM reach r JOIN ed e2 ON r.t = e2.id_a),
+         |cl AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(mr.mn, d.doc_id)) AS cluster_id
+         |  FROM documents d
+         |  LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr
+         |    ON mr.s = d.doc_id)""".stripMargin
     // a2's bucket bits recomputed in SQL from the SAME seeded planes
     // (deterministic scala.util.Random(42) Gaussians, inlined as
     // literals); both engines accumulate the dot left-to-right in
@@ -892,6 +926,38 @@ object SparkEntry {
            |        / CAST(sum(w) AS BIGINT), 6) AS twa
            |FROM wt GROUP BY 1 ORDER BY user_id""".stripMargin,
 
+      // sharded contiguous packing: same md5 shard + cumsum-before math
+      "x7_pack_sequences" ->
+        """WITH t AS (SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+          |  FROM documents),
+          |c AS (SELECT *, CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          |  FROM t)
+          |SELECT shard, CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+          |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+          |  min(doc_id) AS first_id
+          |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+
+      // decontamination: distinct-shingle overlap vs the % 20 bench set
+      "x8_decontamination" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh),
+          |b AS (SELECT doc_id AS bench_id, shingle FROM e WHERE doc_id % 20 = 0),
+          |c AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0),
+          |o AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+          |  FROM c JOIN b USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3)
+          |SELECT doc_id, bench_id, n_shared FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (
           |  SELECT lang, bigram, n,
@@ -1148,21 +1214,25 @@ object SparkEntry {
 
       // connected components over the d2 candidate graph: transitive
       // closure via a recursive CTE, component label = min reachable id
+      // (ccCtes is shared with d7's survivorship reduction)
       "d6_dup_clusters" ->
-        s"""WITH RECURSIVE $minhashCtes,
-           |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-           |    AND a.doc_id < b.doc_id),
-           |ed AS (SELECT id_a, id_b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
-           |reach(s, t) AS (
-           |  SELECT id_a, id_b FROM ed
-           |  UNION
-           |  SELECT r.s, e2.id_b FROM reach r JOIN ed e2 ON r.t = e2.id_a)
-           |SELECT d.doc_id,
-           |  least(d.doc_id, coalesce(mr.mn, d.doc_id)) AS cluster_id
-           |FROM documents d
-           |LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr ON mr.s = d.doc_id
-           |ORDER BY doc_id""".stripMargin,
+        s"""WITH RECURSIVE $ccCtes
+           |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+      // survivorship: longest-text doc per cluster (ties -> min id),
+      // member/char totals and the chars saved by dropping the rest
+      "d7_dedup_survivors" ->
+        s"""WITH RECURSIVE $ccCtes,
+           |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars
+           |  FROM cl JOIN documents d USING (doc_id)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |        ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+           |SELECT cluster_id,
+           |  min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+           |  count(*) AS n_members,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(sum(n_chars) - max(n_chars) AS BIGINT) AS saved_chars
+           |FROM r GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
       "d4_ngram_jaccard" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.Text
+
+/** Training-data pipeline operators beyond dedup/ANN: the packing,
+  * survivorship and decontamination passes a corpus goes through on the
+  * way to a tokenizer. All are deterministic (hash shards, total-order
+  * tie-breaks) and oracle-reproducible in ANSI SQL.
+  */
+object Pipeline {
+
+  /** Deterministic sharded sequence packing: documents are dealt to
+    * `shards` md5-hash shards (pure function of the id — reproducible
+    * on any cluster size) and packed contiguously in id order into
+    * bins of `budgetTokens` whitespace tokens — the concat-and-chunk
+    * pass that turns a corpus into fixed-length training sequences.
+    * One window + one aggregation per shard; shards bound the
+    * sequential dependency, so parallelism is `shards`-wide however
+    * large the corpus (a single global cumsum would serialize at
+    * 100 TB). A document longer than the budget overflows its own bin
+    * (count ≥ 1 per bin), matching streaming packers. */
+  def packSequences(docs: DataFrame, id: String, text: String,
+                    budgetTokens: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(id), Text.wsTokenCount(col(text)).cast("long").as("toks"),
+        Text.hashBucket(col(id), shards).as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("cum_before") / lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("total_tokens"),
+        min(col(id)).as("first_id"))
+      .orderBy("shard", "bin")
+  }
+
+  /** Survivorship dedup: connected-component near-dup clusters (the d6
+    * pipeline) reduced to one surviving document per cluster — the doc
+    * with the most characters, ties to the smallest id — plus what the
+    * cluster saves: member count, total chars, chars dropped by
+    * keeping only the survivor. The window and the aggregation share
+    * the cluster_id partitioning, so the reduction costs one exchange
+    * beyond the clustering itself. */
+  def dedupSurvivors(docs: DataFrame, id: String, text: String,
+                     nChars: String, n: Int, perms: Int, bands: Int): DataFrame = {
+    val clusters = Dedup.dupClusters(docs, id, text, n, perms, bands)
+    val sized = clusters.join(docs.select(col(id), col(nChars)), Seq(id))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(nChars).desc, col(id).asc)
+    sized.withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("rn") === 1, col(id))).as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        sum(col(nChars)).cast("long").as("total_chars"),
+        (sum(col(nChars)) - max(col(nChars))).cast("long").as("saved_chars"))
+      .orderBy("cluster_id")
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with any document of
+    * the (small) benchmark/eval set, each reported against its
+    * worst-overlap benchmark doc (ties to the smallest bench id).
+    * The benchmark side is broadcast — eval sets are tiny next to the
+    * corpus — so the check is one broadcast join over the corpus
+    * shingle postings, no shuffle of the corpus at all beyond the
+    * per-doc aggregation. */
+  def decontaminate(docs: DataFrame, id: String, text: String, n: Int,
+                    isBench: Column, minShared: Int): DataFrame = {
+    val sh = docs.repartition(col(id))
+      .select(col(id), isBench.as("__bench"),
+        explode(Text.shingles(col(text), n)).as("__s"))
+      .select(col(id), col("__bench"), Text.md5Prefix60(col("__s")).as("shingle"))
+    val bench = sh.filter(col("__bench"))
+      .select(col(id).as("bench_id"), col("shingle"))
+    val corpus = sh.filter(!col("__bench")).select(col(id), col("shingle"))
+    val overlaps = corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col(id), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    overlaps.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(id), col("bench_id"), col("n_shared"))
+      .orderBy(id)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.Tables
+
+/** Round-4 training-data pipeline operators: sequence packing,
+  * survivorship dedup, benchmark decontamination. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences conserves documents and packs contiguous bins per shard") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = Pipeline.packSequences(docs, "doc_id", "text", 512, 8)
+      .select($"shard", $"bin", $"n_docs", $"total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.map(_._3).sum == docs.count())
+    // bins are a contiguous 0..max range within each shard
+    packed.groupBy(_._1).foreach { case (_, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.head == 0L && ids.sameElements(0L until ids.length.toLong))
+    }
+    // deterministic: identical on recomputation
+    val again = Pipeline.packSequences(docs, "doc_id", "text", 512, 8)
+      .select($"shard", $"bin", $"n_docs", $"total_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.toSet == again.toSet)
+  }
+
+  test("packSequences: a bin never starts past the budget boundary mid-document") {
+    // cum_before of a bin's first doc is < (bin+1) * budget by
+    // construction; equivalently every bin holds >= 1 doc and bins are
+    // dense — the overflow case is a single over-budget doc owning its bin
+    val docs = Seq((1L, "a " * 600), (2L, "b " * 10), (3L, "c " * 10))
+      .toDF("doc_id", "text")
+    val packed = Pipeline.packSequences(docs, "doc_id", "text", 512, 1)
+      .select($"bin", $"n_docs", $"total_tokens").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // doc 1 (600 tokens) overflows bin 0 alone; docs 2+3 land in bin 1
+    assert(packed.length == 2)
+    assert(packed(0) == ((0L, 1L, 601L)) || packed(0)._2 == 1L)
+  }
+
+  test("dedupSurvivors keeps the longest member (ties to min id) per cluster") {
+    val docs = Tables.documents(spark, sfDir)
+    val survivors = Pipeline
+      .dedupSurvivors(docs, "doc_id", "text", "n_chars", 3, 16, 4)
+      .select($"cluster_id", $"survivor_id", $"n_members", $"saved_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    val clusters = graft.dedup.Dedup
+      .dupClusters(docs, "doc_id", "text", 3, 16, 4)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .select($"cluster_id", $"doc_id", $"n_chars".cast("long"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(survivors.length == clusters.size)
+    survivors.foreach { case (cid, sid, n, saved) =>
+      val members = clusters(cid)
+      assert(n == members.length)
+      val expect = members.map { case (_, id, ch) => (ch, -id) }.max
+      assert(sid == -expect._2, s"cluster $cid")
+      assert(saved == members.map(_._3).sum - expect._1)
+    }
+  }
+
+  test("decontaminate flags a planted benchmark copy and only that") {
+    val docs = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"), // bench
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // copy
+      (2L, "completely unrelated text about training data pipelines here"),
+      (40L, "another benchmark document with its own distinct phrasing")) // bench
+      .toDF("doc_id", "text")
+    val flagged = Pipeline.decontaminate(docs, "doc_id", "text", 3,
+        pmod(col("doc_id"), lit(20)) === 0, 3)
+      .select($"doc_id", $"bench_id", $"n_shared").as[(Long, Long, Long)]
+      .collect().toList
+    assert(flagged.map(f => (f._1, f._2)) == List((1L, 20L)))
+    assert(flagged.head._3 >= 3)
+  }
+}
