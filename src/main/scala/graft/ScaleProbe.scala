@@ -177,8 +177,34 @@ object ScaleProbe {
     println(f"${"neardup_1cell_sb1v8"}%-22s $nd8%8.2f $nd1%8.2f ${nd1 / nd8}%5.1fx")
     println(f"${"simhash_hotchunk"}%-22s $shU%8.2f $shH%8.2f ${shH / shU}%5.1fx")
 
+    // hot-group exact dedup: ONE content hash shared by 1M (then 8M)
+    // docs — the dup-heavy-corpus shape (billions of boilerplate docs).
+    // The bounded CollectMinK keeps every agg buffer ≤ K; the unbounded
+    // `slice(sort_array(collect_list(id)),1,K)` twin materializes the
+    // whole 1M-id group in one buffer before slicing. Flat = the
+    // bounded path's time tracks the scan, not the group size.
+    def hotDocs(n: Long) = spark.range(n)
+      .select(col("id").as("doc_id"), lit("same boilerplate").as("text"))
+    def exactUnbounded(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            slice(sort_array(collect_list(col("doc_id"))), 1, 100)
+              .cast("array<string>")).as("doc_ids"))
+    val h1 = hotDocs(1000000L).localCheckpoint()
+    val h8 = hotDocs(8000000L).localCheckpoint()
+    graft.dedup.Dedup.exact(h1, "doc_id", "text").count() // warm-up
+    val de1 = time(graft.dedup.Dedup.exact(h1, "doc_id", "text").count())
+    val de8 = time(graft.dedup.Dedup.exact(h8, "doc_id", "text").count())
+    val du1 = time(exactUnbounded(h1).count())
+    val du8 = time(exactUnbounded(h8).count())
+    println(f"${"hot-group dedup"}%-22s ${"1M(s)"}%8s ${"8M(s)"}%8s ratio")
+    println(f"${"bounded_collect_min_k"}%-22s $de1%8.2f $de8%8.2f ${de8 / de1}%5.1fx")
+    println(f"${"unbounded_collect_list"}%-22s $du1%8.2f $du8%8.2f ${du8 / du1}%5.1fx")
+
     // machine-readable artifact (judge-facing): per-op seconds + ratios
-    val out = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_r4.json")
+    val out = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_r5.json")
     def sect(a: Map[String, Double], b: Map[String, Double]): String =
       a.keys.toSeq.sorted.map { k =>
         f"""  "$k": {"base_s": ${a(k)}%.3f, "probe_s": ${b(k)}%.3f, "ratio": ${b(k) / a(k)}%.2f}"""
@@ -193,6 +219,13 @@ object ScaleProbe {
          |    {"base_s": ${f"$nd8%.3f"}, "probe_s": ${f"$nd1%.3f"}, "ratio": ${f"${nd1 / nd8}%.2f"}},
          |  "simhash_hot_chunk_vs_uniform_200k":
          |    {"base_s": ${f"$shU%.3f"}, "probe_s": ${f"$shH%.3f"}, "ratio": ${f"${shH / shU}%.2f"}}
+         |},
+         |"hot_group_exact_dedup": {
+         |  "bounded_1m_vs_8m":
+         |    {"base_s": ${f"$de1%.3f"}, "probe_s": ${f"$de8%.3f"}, "ratio": ${f"${de8 / de1}%.2f"}},
+         |  "unbounded_twin_1m_vs_8m":
+         |    {"base_s": ${f"$du1%.3f"}, "probe_s": ${f"$du8%.3f"}, "ratio": ${f"${du8 / du1}%.2f"}},
+         |  "unbounded_over_bounded_8m": ${f"${du8 / de8}%.2f"}
          |}
          |}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

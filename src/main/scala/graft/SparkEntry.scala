@@ -1199,11 +1199,18 @@ object SparkEntry {
           |    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // doc_ids is the BOUNDED sample of the 100 smallest member ids
+      // (string_agg skips the NULLed rows past rank 100); n_docs stays
+      // the exact group size — mirrors Dedup.exact(sampleK = 100)
       "d1_exact_dedup" ->
-        """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        """WITH r AS (SELECT doc_id, md5(text) AS content_hash,
+          |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM documents)
+          |SELECT content_hash, min(doc_id) AS canonical_id,
           |  count(*) AS n_docs,
-          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
-          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+          |  string_agg(CASE WHEN rn <= 100 THEN CAST(doc_id AS VARCHAR) END,
+          |             ',' ORDER BY doc_id) AS doc_ids
+          |FROM r GROUP BY 1 ORDER BY canonical_id""".stripMargin,
 
       "d2_minhash_lsh" ->
         s"""WITH $minhashCtes

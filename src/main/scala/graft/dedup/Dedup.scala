@@ -24,15 +24,32 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Exact-duplicate groups: content hash, canonical (min) id, group
-    * size, member ids. */
-  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+  /** Bounded "k smallest" aggregate (native CollectMinK): every
+    * aggregation buffer — map-side partial, shuffle row, final merge —
+    * holds ≤ k values, however large the group. The scale-safe twin of
+    * `slice(sort_array(collect_list(c)), 1, k)`, which materializes the
+    * whole group in one buffer before slicing. */
+  def collectMinK(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.CollectMinK(ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+  }
+
+  /** Exact-duplicate groups: content hash, canonical (min) id, exact
+    * group size, and a BOUNDED id sample (the `sampleK` smallest ids).
+    * On a dup-heavy corpus (billions of empty/boilerplate docs sharing
+    * one content hash) an unbounded member list is a single multi-GB
+    * row in one task; the count stays exact, the list is a sample. */
+  def exact(docs: DataFrame, id: String, text: String,
+            sampleK: Int = 100): DataFrame =
     docs.select(col(id), md5(col(text)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(
         min(col(id)).as("canonical_id"),
         count(lit(1)).as("n_docs"),
-        concat_ws(",", sort_array(collect_list(col(id)))).as("doc_ids"))
+        concat_ws(",", collectMinK(col(id), sampleK).cast("array<string>"))
+          .as("doc_ids"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ tau).
     * Inverted-index join: explode distinct shingles AFTER projecting to

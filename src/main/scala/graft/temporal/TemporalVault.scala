@@ -36,6 +36,7 @@ class TemporalVault(
     spark: SparkSession, root: String,
     key: String = "record_id", ts: String = "ts", tie: String = "seq",
     cacheTtlSeconds: Long = 3600L, cacheMaxEntries: Int = 64,
+    auditSampleK: Int = 100,
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private val logDir = s"$root/log"
@@ -247,9 +248,15 @@ class TemporalVault(
         payloadCols.map(col) :+
         when(col("action") === "DELETE", lit("D")).otherwise(lit("R")).as(Op): _*)
     writeLog(compensation)
+    // exact affected count + a BOUNDED id sample (k smallest): the
+    // reference serializes every id into one JSON row (app/main.py:178),
+    // which at 100 TB would make the audit row itself a straggler/OOM —
+    // CollectMinK keeps every aggregation buffer ≤ auditSampleK
     val audit = rset.agg(
         count(lit(1)).as("affected_records"),
-        concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
+        concat_ws(",",
+          graft.dedup.Dedup.collectMinK(col(key).cast("string"), auditSampleK))
+          .as("record_ids"))
       .withColumn("rollback_to", lit(at))
       .withColumn("rollback_ts", lit(rollbackTs))
     audit.write.mode(SaveMode.Append).parquet(rbDir)

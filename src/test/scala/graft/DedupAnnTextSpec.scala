@@ -17,6 +17,38 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(got == Set((1L, 2L, "1,2"), (3L, 1L, "3")))
   }
 
+  test("collect_min_k bounds the sample and matches slice(sort_array(collect_list))") {
+    val n = 1000
+    val df = spark.range(n).select(
+      (col("id") % 7).as("g"),
+      // reversed ids so arrival order != sorted order
+      (lit(n.toLong) - col("id")).as("v"))
+    val got = df.groupBy("g")
+      .agg(Dedup.collectMinK(col("v"), 5).as("k5"),
+        slice(sort_array(collect_list(col("v"))), 1, 5).as("ref5"),
+        Dedup.collectMinK(col("v"), 10000).as("kAll"),
+        sort_array(collect_list(col("v"))).as("refAll"))
+    assert(got.filter(col("k5") =!= col("ref5") ||
+      col("kAll") =!= col("refAll")).isEmpty)
+    // string children too (rollback-audit path)
+    val s = df.withColumn("v", concat(lit("id_"), col("v")))
+      .groupBy("g")
+      .agg(Dedup.collectMinK(col("v"), 3).as("k3"),
+        slice(sort_array(collect_list(col("v"))), 1, 3).as("ref3"))
+    assert(s.filter(col("k3") =!= col("ref3")).isEmpty)
+  }
+
+  test("exact dedup keeps the exact count with a bounded id sample") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") < 400, lit("same boilerplate text"))
+        .otherwise(concat(lit("unique "), col("id"))).as("text"))
+    val hot = Dedup.exact(docs, "doc_id", "text", sampleK = 10)
+      .filter(col("n_docs") === 400)
+      .select("canonical_id", "doc_ids").as[(Long, String)].head()
+    assert(hot._1 == 0L)
+    assert(hot._2 == (0L until 10L).mkString(","))
+  }
+
   test("ngram jaccard finds a near-identical pair and scores 1.0 for clones") {
     val docs = Seq(
       (1L, "a b c d e f g"),
