@@ -126,7 +126,12 @@ object ScaleProbe {
           purchases, clicks, "user_id", "ts", "event_id", 3600000000L).count()),
         "sessionize" -> time(TimeSeries.sessionize(
           ev.select("user_id", "ts", "event_id", "value"),
-          "user_id", "ts", "event_id", "value", 1800L).count()))
+          "user_id", "ts", "event_id", "value", 1800L).count()),
+        // the skew-safe variant ts4 now uses: hot key shards over
+        // hour-chunks instead of one window partition
+        "sessionize_chunked" -> time(TimeSeries.sessionizeChunked(
+          ev.select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value", 1800L, 3600L).count()))
     }
     val uni = skewSuite(e8)
     val skw = skewSuite(eSkew)

@@ -116,8 +116,10 @@ object SparkEntry {
           col("prev_value"), col("delta"), col("elapsed_us"))
         .orderBy("user_id", "ts_us", "event_id")),
 
+    // chunked variant: identical numbering to the single-window form,
+    // but a hot user's timeline shards over day-chunks (skew-safe)
     "ts4_sessionize" -> ((s, d) =>
-      TimeSeries.sessionize(
+      TimeSeries.sessionizeChunked(
           ev(s, d).select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", 1800L)
         .orderBy("user_id", "session_id")),
@@ -385,13 +387,19 @@ object SparkEntry {
           sum(Text.regexTokenCount(col("text"))).as("re_tokens"))
         .orderBy("source")),
 
-    "x4_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+    // groupBy-min + re-join rather than min() OVER (PARTITION BY fp):
+    // the aggregate is map-side partial (a hot fingerprint never funnels
+    // its members through one window partition) and the per-fp side is
+    // tiny — broadcast at this scale, AQE-splittable shuffle join at 100 TB
+    "x4_fingerprint" -> ((s, d) => {
+      val fps = Tables.documents(s, d)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
-        .withColumn("canonical_id",
-          min(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-        .orderBy("doc_id")),
+      val canon = fps.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      fps.join(canon, Seq("fp"))
+        .select("doc_id", "fp", "canonical_id")
+        .orderBy("doc_id")
+    }),
 
     // deterministic stratified sampling: per-language hash-bucket
     // quotas (en kept at 40%, everything else at 15%) — the decision

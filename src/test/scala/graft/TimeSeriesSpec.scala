@@ -42,6 +42,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("sessionizeChunked equals sessionize on real events, any chunk size") {
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "value")
+    val want = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .collect().toSet
+    // chunks much larger, comparable to, and much smaller than the gap
+    for (chunk <- Seq(86400L, 3600L, 600L)) {
+      val got = TimeSeries.sessionizeChunked(
+        ev, "user_id", "ts", "event_id", "value", 1800L, chunk).collect().toSet
+      assert(got == want, s"chunkSeconds=$chunk diverged")
+    }
+  }
+
+  test("sessionizeChunked equals sessionize with every row on one key") {
+    val ev = Tables.events(spark, sfDir)
+      .select(lit(1L).as("user_id"), col("ts"), col("event_id"), col("value"))
+    val want = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .collect().toSet
+    val got = TimeSeries.sessionizeChunked(
+      ev, "user_id", "ts", "event_id", "value", 1800L, 3600L).collect().toSet
+    assert(got == want)
+  }
+
   test("topk is deterministic and ranked") {
     val got = TimeSeries.topkByTotal(Tables.events(spark, sfDir), "user_id", "value", 5)
       .select("rank", "user_id").as[(Int, Long)].collect()
