@@ -116,10 +116,10 @@ object SparkEntry {
           col("prev_value"), col("delta"), col("elapsed_us"))
         .orderBy("user_id", "ts_us", "event_id")),
 
-    // chunked variant: identical numbering to the single-window form,
+    // hot-key-adaptive: identical numbering to the single-window form,
     // but a hot user's timeline shards over day-chunks (skew-safe)
     "ts4_sessionize" -> ((s, d) =>
-      TimeSeries.sessionizeChunked(
+      TimeSeries.sessionizeSkewSafe(
           ev(s, d).select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", 1800L)
         .orderBy("user_id", "session_id")),

@@ -122,7 +122,7 @@ object Dedup {
 
   /** Per-doc SimHash + coarse bucket (top `bucketBits` bits). Near-dup
     * candidates are same-bucket pairs within small hamming distance —
-    * see `simhashPairs`. */
+    * see `simhashHammingPairs`. */
   def simhashFingerprints(docs: DataFrame, id: String, text: String,
                           bucketBits: Int): DataFrame =
     docs.select(col(id), simhash32(col(text)).as("simhash"))
@@ -144,13 +144,13 @@ object Dedup {
     * across the other pieces' values — the planted-hot-chunk ScaleProbe
     * suite measures the difference. Only fingerprint-near-equal groups
     * collide on every key, and those emit output pairs anyway. */
-  def simhashPairs(docs: DataFrame, id: String, text: String,
+  def simhashHammingPairs(docs: DataFrame, id: String, text: String,
                    chunks: Int, maxHamming: Int): DataFrame =
     simhashPairsFromFp(
       docs.select(col(id), simhash32(col(text)).as("simhash")),
       id, maxHamming, chunks)
 
-  /** The combination-join core of `simhashPairs`, over precomputed
+  /** The combination-join core of `simhashHammingPairs`, over precomputed
     * fingerprints (`simhash` column) — also the probe surface for the
     * ScaleProbe hot-bucket suite. `chunks` ≤ maxHamming means "use the
     * default" (2·maxHamming, floored at maxHamming+1). */
@@ -210,14 +210,11 @@ object Dedup {
 
   /** Duplicate clusters: connected components over the MinHash-LSH
     * candidate graph, labeled by the component's minimum doc id.
-    * Iterative min-label propagation — each round is one equi-join +
-    * one aggregation, and the iteration count is bounded by the
-    * component diameter, which for LSH dup clusters (near-cliques:
-    * every member shares a band bucket with most others) is 1-2. The
-    * loop runs on the driver but every round is fully distributed;
-    * `localCheckpoint` truncates the growing lineage. At larger
-    * diameters this is where the large-star/small-star optimization
-    * would slot in; the join shape is identical. */
+    * Delegates to [[connectedComponents]] — alternating large-star/
+    * small-star contraction (O(log n) rounds even on adversarial
+    * chains; LSH dup clusters are near-cliques, so typically 1-2).
+    * The driver only steers the loop; every round is one distributed
+    * aggregation + equi-join on the candidate edge set. */
   def dupClusters(docs: DataFrame, id: String, text: String,
                   n: Int, perms: Int, bands: Int, maxIter: Int = 64): DataFrame = {
     val pairs = minhashLshPairs(docs, id, text, n, perms, bands)

@@ -56,21 +56,27 @@ case class CollectMinK(
 
   override def createAggregationBuffer(): java.util.PriorityQueue[Any] = newQueue()
 
-  private def add(buf: java.util.PriorityQueue[Any], v: Any): Unit =
-    if (buf.size < k) buf.add(v)
+  // own() runs only when a value actually enters the buffer, so the
+  // overwhelmingly common hot-group path (v >= current kth-smallest)
+  // costs one compare and zero allocation per row
+  private def add(buf: java.util.PriorityQueue[Any], v: Any,
+                  own: Any => Any = identity): Unit =
+    if (buf.size < k) buf.add(own(v))
     else if (v.asInstanceOf[Comparable[Any]].compareTo(buf.peek()) < 0) {
-      buf.poll(); buf.add(v)
+      buf.poll(); buf.add(own(v))
     }
+
+  // UTF8String from an unsafe row is backed by reused memory — copy
+  // iff the value outlives this input row (i.e. it is kept)
+  @transient private lazy val ownValue: Any => Any = {
+    case s: UTF8String => s.clone()
+    case other => other
+  }
 
   override def update(buf: java.util.PriorityQueue[Any], input: InternalRow)
       : java.util.PriorityQueue[Any] = {
     val v = child.eval(input)
-    // UTF8String from an unsafe row is backed by reused memory — copy
-    // before the value outlives this input row
-    if (v != null) add(buf, v match {
-      case s: UTF8String => s.clone()
-      case other => other
-    })
+    if (v != null) add(buf, v, ownValue)
     buf
   }
 

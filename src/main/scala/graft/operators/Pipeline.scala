@@ -22,13 +22,22 @@ object Pipeline {
     * sequential dependency, so parallelism is `shards`-wide however
     * large the corpus (a single global cumsum would serialize at
     * 100 TB). A document longer than the budget overflows its own bin
-    * (count ≥ 1 per bin), matching streaming packers. */
+    * (count ≥ 1 per bin), matching streaming packers.
+    *
+    * `shards <= 0` (the default) resolves to the cluster's
+    * `defaultParallelism`, so the cumsum stage scales with the cluster
+    * instead of capping at a constant. Pass an explicit count when the
+    * output must be reproducible across cluster sizes (the shard id is
+    * part of the output). */
   def packSequences(docs: DataFrame, id: String, text: String,
-                    budgetTokens: Int, shards: Int): DataFrame = {
+                    budgetTokens: Int, shards: Int = 0): DataFrame = {
+    val nShards =
+      if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy(col("shard")).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(id), Text.wsTokenCount(col(text)).cast("long").as("toks"),
-        Text.hashBucket(col(id), shards).as("shard"))
+        Text.hashBucket(col(id), nShards).as("shard"))
       .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
       .withColumn("bin",
         floor(col("cum_before") / lit(budgetTokens.toDouble)).cast("long"))

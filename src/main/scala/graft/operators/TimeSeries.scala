@@ -131,6 +131,47 @@ object TimeSeries {
         sum(dec(col(value))).cast("double").as("total_value"))
   }
 
+  /** Hot-key-adaptive sessionize: identical output to `sessionize`, with
+    * the chunked (skew-safe) plan applied ONLY to keys that are actually
+    * hot. A cheap partial-aggregated count per key finds keys with more
+    * than `hotRowThreshold` rows; those route through
+    * [[sessionizeChunked]] (timeline sharded over time-chunks), the rest
+    * through the plain single-window form. On uniform data the hot set
+    * is empty and the only overhead is the count aggregation + a
+    * broadcast-joined flag; on skewed data the hot keys no longer
+    * collapse into one window partition. This is the window-operator
+    * analog of AQE's skew-join split, which does not apply to windows. */
+  def sessionizeSkewSafe(df: DataFrame, key: String, ts: String, tie: String,
+                         value: String, gapSeconds: Long,
+                         chunkSeconds: Long = 86400L,
+                         hotRowThreshold: Long = 1000000L,
+                         maxIsolatedHotKeys: Int = 256): DataFrame = {
+    // runtime stats, AQE-style: one partial-aggregated count job finds
+    // the hot keys (bounded: at most totalRows/threshold of them). The
+    // plan is then CHOSEN on the driver, so the common uniform case
+    // carries zero plan overhead beyond this count.
+    val hotKeys = df.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotRowThreshold)
+      .select(col(key))
+      .limit(maxIsolatedHotKeys + 1)
+      .collect().map(_.get(0))
+    if (hotKeys.isEmpty)
+      // no skew: the plain single-window plan, untouched
+      sessionize(df, key, ts, tie, value, gapSeconds)
+    else if (hotKeys.length <= maxIsolatedHotKeys) {
+      // a few whales: isolate them with literal IN filters (both push
+      // down to the scan — no flag join) and shard only their timelines
+      val cold = df.filter(!col(key).isin(hotKeys: _*))
+      val hot = df.filter(col(key).isin(hotKeys: _*))
+      sessionize(cold, key, ts, tie, value, gapSeconds)
+        .unionByName(sessionizeChunked(
+          hot, key, ts, tie, value, gapSeconds, chunkSeconds))
+    } else
+      // skew is pervasive, not a key list — chunk everything
+      sessionizeChunked(df, key, ts, tie, value, gapSeconds, chunkSeconds)
+  }
+
   /** Daily OHLC downsample per series: open/close by time order (min_by /
     * max_by — partial-aggregable, no window sort), high/low by value. */
   def downsampleOhlc(df: DataFrame, series: String, ts: String, value: String): DataFrame =

@@ -68,10 +68,16 @@ class TemporalVault(
     * only for the record ids the batch touches (the reference's
     * `redis_client.delete(f"record:{record_id}")`, app/main.py:94). */
   def append(batch: DataFrame): Unit = {
-    writeLog(batch.withColumn(Op, lit("I")))
-    val minTs = batch.agg(min(col(ts))).head().getTimestamp(0)
-    invalidateQueriesSince(if (minTs == null) Long.MinValue else minTs.getTime)
-    invalidateRecords(batch)
+    // one materialization: the write, the min-ts probe and the
+    // invalidation filter must all see the SAME rows even when the
+    // caller's plan is non-deterministic or reads a moving source
+    val b = batch.persist()
+    try {
+      writeLog(b.withColumn(Op, lit("I")))
+      val minTs = b.agg(min(col(ts))).head().getTimestamp(0)
+      invalidateQueriesSince(if (minTs == null) Long.MinValue else minTs.getTime)
+      invalidateRecords(b)
+    } finally b.unpersist()
   }
 
   /** Version labels (v1, v2, ... per record, time order) — computed,
@@ -125,13 +131,20 @@ class TemporalVault(
   @volatile private var cacheEvictCount = 0L
   @volatile private var cacheExpireCount = 0L
 
-  private def parseEpochMs(at: String): Option[Long] =
-    try Some(java.sql.Timestamp.valueOf(at).getTime)
-    catch { case _: IllegalArgumentException =>
-      try Some(java.sql.Timestamp.valueOf(
-        java.time.LocalDateTime.parse(at)).getTime)
-      catch { case _: Exception => None }
-    }
+  /** Epoch of a zone-less timestamp string, interpreted in the SPARK
+    * SESSION time zone — the same zone `lit(at).cast("timestamp")`
+    * uses inside `query(at)`. Parsing with the JVM default zone would
+    * silently mis-window the precise invalidation when the two zones
+    * differ (cached states an append affects would survive it). */
+  private def parseEpochMs(at: String): Option[Long] = {
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    def ldt(s: String): java.time.LocalDateTime =
+      try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(s.trim).atStartOfDay }
+    try Some(ldt(at).atZone(zone).toInstant.toEpochMilli)
+    catch { case _: Exception => None }
+  }
 
   /** TTL + LRU bookkeeping shared by both caches: expired entries are
     * unpersisted on access; a hit re-queues the entry (LRU order);
@@ -264,10 +277,26 @@ class TemporalVault(
     spark.read.parquet(rbDir).filter(col("rollback_ts") === rollbackTs)
   }
 
-  /** Rollback audit log (GET /rollback/history, app/main.py:249). */
+  /** Rollback audit log, newest first (GET /rollback/history,
+    * app/main.py:249). */
   def rollbackHistory: DataFrame =
     if (exists(rbDir)) spark.read.parquet(rbDir).orderBy(desc("rollback_ts"))
     else spark.emptyDataFrame
+
+  /** The reference endpoint's paged form: newest `limit` audit entries
+    * (`limit: int = 10`, app/main.py:254). */
+  def rollbackHistory(limit: Int): DataFrame = rollbackHistory.limit(limit)
+
+  /** EVERY version with ts ≤ `at` — the literal semantics of the
+    * reference's `GET /query?timestamp=T` dump (app/main.py:127-129
+    * returns all matching versions, not latest-per-record; `query(at)`
+    * is the AS-OF state the endpoint is used for). Version labels are
+    * computed on the pruned prefix — identical to labels over the full
+    * log, since a label depends only on earlier versions of its key. */
+  def versionsAsOf(at: String): DataFrame =
+    Temporal.versioned(
+      log.filter(col(Day) <= at.take(10) && col(ts) <= lit(at).cast("timestamp")),
+      key, ts, tie).drop(Day)
 
   /** Materialize the full live state at `at` (the reference's Snapshot
     * table, app/models.py:27); later AS-OF reads replay only the log

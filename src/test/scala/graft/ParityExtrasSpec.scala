@@ -118,6 +118,24 @@ class ParityExtrasSpec extends SparkSpec {
     assert(Metrics.totalSeconds("asof_read") >= 0.0)
   }
 
+  test("concurrent timed operations attribute counts to their own labels") {
+    Metrics.install(spark)
+    val beforeA = Metrics.count("conc_a")
+    val beforeB = Metrics.count("conc_b")
+    // two threads, interleaved actions: labels ride on per-thread job
+    // tags, so each execution lands on the operation that launched it
+    val ta = new Thread(() => Metrics.timed(spark, "conc_a") {
+      (1 to 3).foreach(_ => spark.range(50).count())
+    })
+    val tb = new Thread(() => Metrics.timed(spark, "conc_b") {
+      (1 to 5).foreach(_ => spark.range(50).count())
+    })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    org.apache.spark.sql.graftbridge.ColumnBridge.flushListeners(spark)
+    assert(Metrics.count("conc_a") == beforeA + 3)
+    assert(Metrics.count("conc_b") == beforeB + 5)
+  }
+
   test("metrics latency histogram is cumulative; source registration is idempotent") {
     Metrics.registerSource(spark)
     Metrics.registerSource(spark) // second call must be a no-op

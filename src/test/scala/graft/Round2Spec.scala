@@ -65,7 +65,7 @@ class Round2Spec extends SparkSpec {
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(2L))
     assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 8, 3)
+    val pairs = Dedup.simhashHammingPairs(docs, "doc_id", "text", 8, 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }

@@ -66,6 +66,39 @@ class TemporalVaultSpec extends SparkSpec {
     assert(v.rollbackHistory.count() == 1)
   }
 
+  test("rollbackHistory(limit) pages newest-first like the reference endpoint") {
+    val v = mkVault()
+    v.append(batch(("u1", "2024-01-01 00:00:00", 1, "a")))
+    v.append(batch(("u1", "2024-01-02 00:00:00", 2, "b")))
+    v.append(batch(("u1", "2024-01-03 00:00:00", 3, "c")))
+    v.rollback("2024-01-01 12:00:00", "2024-01-10 00:00:00")
+    v.rollback("2024-01-02 12:00:00", "2024-01-11 00:00:00")
+    v.rollback("2024-01-03 12:00:00", "2024-01-12 00:00:00")
+    assert(v.rollbackHistory.count() == 3)
+    val top2 = v.rollbackHistory(2).select("rollback_ts").as[String].collect()
+    assert(top2.toSeq == Seq("2024-01-12 00:00:00", "2024-01-11 00:00:00"))
+  }
+
+  test("versionsAsOf dumps every version <= at, not latest-per-record") {
+    val v = mkVault()
+    v.append(batch(
+      ("u1", "2024-01-01 00:00:00", 1, "a"),
+      ("u1", "2024-01-03 00:00:00", 2, "b"),
+      ("u1", "2024-01-05 00:00:00", 3, "c"),
+      ("u2", "2024-01-02 00:00:00", 4, "x")))
+    // GET /query?timestamp=T literal semantics: ALL versions with
+    // ts <= T (app/main.py:127-129) — u1 contributes v1 AND v2
+    val dump = v.versionsAsOf("2024-01-04 00:00:00")
+      .select("record_id", "version", "data")
+      .as[(String, String, String)].collect().toSet
+    assert(dump == Set(
+      ("u1", "v1", "a"), ("u1", "v2", "b"), ("u2", "v1", "x")))
+    // labels on the pruned prefix match labels over the full log
+    val full = v.versionedLog.filter($"record_id" === "u1")
+      .select("version", "data").as[(String, String)].collect().toSet
+    assert(full == Set(("v1", "a"), ("v2", "b"), ("v3", "c")))
+  }
+
   test("compaction preserves reads at and after the compaction point") {
     val v = mkVault()
     v.append(batch(

@@ -64,6 +64,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionizeSkewSafe equals sessionize at every hot-threshold regime") {
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "value")
+    val want = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .collect().toSet
+    // all keys cold, all keys hot, and a mixed split
+    for (threshold <- Seq(1000000L, 0L, 40L)) {
+      val got = TimeSeries.sessionizeSkewSafe(
+        ev, "user_id", "ts", "event_id", "value", 1800L,
+        chunkSeconds = 3600L, hotRowThreshold = threshold).collect().toSet
+      assert(got == want, s"hotRowThreshold=$threshold diverged")
+    }
+  }
+
   test("topk is deterministic and ranked") {
     val got = TimeSeries.topkByTotal(Tables.events(spark, sfDir), "user_id", "value", 5)
       .select("rank", "user_id").as[(Int, Long)].collect()
