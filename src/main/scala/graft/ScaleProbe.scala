@@ -239,18 +239,24 @@ object ScaleProbe {
     println(f"${"unbounded_collect_list"}%-22s $du1%8.2f $du8%8.2f ${du8 / du1}%5.1fx")
 
     // sequence packing: the cumsum stage runs one task per shard, so
-    // the shard count IS the parallelism. 8x docs at 8 shards vs the
-    // defaultParallelism default (32 here): more shards => faster wall
-    // time for the same output semantics (shard ids differ — that is
-    // why reproducibility-sensitive callers pin the count).
-    graft.operators.Pipeline.packSequences(d8, "doc_id", "text", 512, 8).count()
-    graft.operators.Pipeline.packSequences(d8, "doc_id", "text", 512).count()
-    val pk8 = med3(graft.operators.Pipeline
-      .packSequences(d8, "doc_id", "text", 512, 8).count())
+    // the shard count IS the parallelism. 4M synthetic docs (the 40k
+    // document corpus is too small for the cumsum to register — task
+    // overhead dominates there): 2 shards = two 2M-row sequential
+    // cumsum tasks; the defaultParallelism default (32 here) cuts each
+    // to 125k. Same output semantics modulo shard ids — which is why
+    // reproducibility-sensitive callers pin the count.
+    val packDocs = spark.range(4000000L)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", array((0 until 8).map(i => lit(s"w$i")): _*)).as("text"))
+      .localCheckpoint()
+    graft.operators.Pipeline.packSequences(packDocs, "doc_id", "text", 512, 2).count()
+    graft.operators.Pipeline.packSequences(packDocs, "doc_id", "text", 512).count()
+    val pk2 = med3(graft.operators.Pipeline
+      .packSequences(packDocs, "doc_id", "text", 512, 2).count())
     val pkDp = med3(graft.operators.Pipeline
-      .packSequences(d8, "doc_id", "text", 512).count())
-    println(f"${"pack shards"}%-22s ${"8sh(s)"}%8s ${"32sh(s)"}%8s ratio")
-    println(f"${"pack_sequences_8x"}%-22s $pk8%8.2f $pkDp%8.2f ${pkDp / pk8}%5.1fx")
+      .packSequences(packDocs, "doc_id", "text", 512).count())
+    println(f"${"pack shards"}%-22s ${"2sh(s)"}%8s ${"32sh(s)"}%8s ratio")
+    println(f"${"pack_sequences_4m"}%-22s $pk2%8.2f $pkDp%8.2f ${pkDp / pk2}%5.1fx")
 
     // machine-readable artifact (judge-facing): per-op seconds + ratios
     val out = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_r5.json")
@@ -280,9 +286,9 @@ object ScaleProbe {
          |  "plain_vs_skewsafe":
          |    {"base_s": ${f"$bigPlain%.3f"}, "probe_s": ${f"$bigSafe%.3f"}, "ratio": ${f"${bigSafe / bigPlain}%.2f"}}
          |},
-         |"pack_sequences_shard_scaling_8x_docs": {
-         |  "shards8_vs_default32":
-         |    {"base_s": ${f"$pk8%.3f"}, "probe_s": ${f"$pkDp%.3f"}, "ratio": ${f"${pkDp / pk8}%.2f"}}
+         |"pack_sequences_shard_scaling_4m_docs": {
+         |  "shards2_vs_default32":
+         |    {"base_s": ${f"$pk2%.3f"}, "probe_s": ${f"$pkDp%.3f"}, "ratio": ${f"${pkDp / pk2}%.2f"}}
          |}
          |}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -17,11 +17,19 @@ object Streams {
 
   /** events as a stream with the nanos ts normalized, like Tables.events. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source wants a directory: stream the sf dir, filtered to
-    // the events file
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a directory. Driver testdata ships events
+    // as ONE parquet file — stream its parent dir filtered to that file
+    // name; spark-written scales (GenData) ship a directory of part
+    // files, which the source takes as-is. (pathGlobFilter matches
+    // FILE names, so pointing it at a directory name matches nothing.)
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
@@ -46,14 +54,27 @@ object Streams {
     s
   }
 
-  private def drainToTable(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private def drainToTable(spark: SparkSession, agg: DataFrame, name: String,
+                           mode: String = "complete"): DataFrame = {
     // the drain session owns the started query — guard there, not on
     // the parent session's StreamingQueryManager
     agg.sparkSession.streams.active.filter(_.name == name).foreach(_.stop())
+    // checkpoint on a RAM-backed path when one exists: the drain's
+    // offset/commit/state files are throwaway, and their fsyncs are a
+    // measurable slice of each micro-batch. A durable deployment sets a
+    // real (object-store) checkpoint dir instead.
+    val ckptBase = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
+      .find(p => new java.io.File(p).canWrite).get
+    val ckpt = s"$ckptBase/graft_ckpt/$name-${System.nanoTime()}"
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     agg.sparkSession.table(name)
   }
 
@@ -131,16 +152,10 @@ object Streams {
       out.iterator
     }
 
-    val name = "graft_vmon"
-    ss.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = events.groupByKey(_._1)
+    val agg = events.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(monitor)
       .toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
-    ss.table(name)
+    drainToTable(spark, agg, "graft_vmon", "append")
   }
 
   /** Stream-stream interval join: purchases joined to the same user's
@@ -168,13 +183,7 @@ object Streams {
         col("c_ts") < col("p_ts"))
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"))
-    val name = "graft_ts17"
-    ss.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
-    ss.table(name)
+    drainToTable(spark, joined, "graft_ts17", "append")
   }
 
   /** Streaming gap-based sessionization (twin of TimeSeries.sessionize)

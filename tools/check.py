@@ -12,7 +12,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver testdata is one file per table; generated scales (GenData)
+    # are spark-written directories of part files
+    path = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
@@ -44,8 +47,30 @@ for name, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(a) != len(b):
         print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); fails += 1; continue
+    # GRAFT_CHECK_TOL=1 (generated-scale runs only; the driver gate and
+    # default mode stay bit-exact): accept cross-engine float artifacts
+    # that appear above sf0.1 magnitudes — decimal->double conversion is
+    # not bit-identical across engines once sums cross 2^53 (rel ~1e-16),
+    # and round(x, 6) of a value sitting on a .5 boundary can differ by
+    # exactly 1e-6. Everything else still compares exact.
+    tol = os.environ.get("GRAFT_CHECK_TOL") == "1"
+    def float_close(x, y):
+        import numpy as np
+        xv, yv = x.to_numpy(dtype=float), y.to_numpy(dtype=float)
+        both_nan = pd.isna(xv) & pd.isna(yv)
+        ad = abs(xv - yv)
+        rd = ad / np.maximum(abs(xv), 1e-300)
+        return bool(((ad <= 1.5e-6) | (rd <= 1e-12) | both_nan).all())
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        if tol:
+            for c in a.columns:
+                if str(a[c].dtype).startswith("float"):
+                    assert float_close(a[c], b[c]), f"float col {c} out of tolerance"
+                else:
+                    pd.testing.assert_series_equal(
+                        a[c], b[c], check_dtype=False, check_exact=True)
+        else:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         print(f"OK   {name} ({len(a)} rows)")
     except AssertionError as e:
         print(f"FAIL {name}: {str(e).splitlines()[0]}")
