@@ -14,8 +14,9 @@ import graft.operators.TimeSeries
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val bigPath = "/tmp/graft_scale/events8"
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val slug = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val bigPath = s"/tmp/graft_scale/$slug/events8"
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master("local[32]")
@@ -86,7 +87,7 @@ object ScaleProbe {
     // postings ×8 → ×64 join output — 27x measured for exact Jaccard —
     // which is the corpus property that makes MinHash-LSH, whose
     // band buckets stay tiny, the 100 TB path.)
-    val docsPath = "/tmp/graft_scale/documents8"
+    val docsPath = s"/tmp/graft_scale/$slug/documents8"
     val d1 = graft.sources.Tables.documents(spark, sfDir)
     if (!new java.io.File(docsPath).exists()) {
       val alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -152,7 +153,9 @@ object ScaleProbe {
     // parallelism win — here the single-task sort dominates and the
     // chunked plan wins outright, which is the 100 TB hot-user shape.
     // Single-shot timings: the effect size dwarfs run noise.
-    val eHot1 = (0 until 8).map(_ => eSkew).reduce(_ unionByName _)
+    val skewRows = eSkew.count()
+    val reps = math.max(1, math.ceil(6400000.0 / skewRows).toInt)
+    val eHot1 = (0 until reps).map(_ => eSkew).reduce(_ unionByName _)
       .localCheckpoint()
     val bigPlain = time(TimeSeries.sessionize(
       eHot1.select("user_id", "ts", "event_id", "value"),

@@ -58,10 +58,15 @@ object Text {
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0)))
 
   /** Canonical text for near-dup fingerprinting: lowercase, strip
-    * non-alphanumerics, collapse whitespace. */
-  def normalized(text: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    * non-alphanumerics, collapse whitespace. Native one-pass expression
+    * — the two-regex composed form costs ~30µs/doc and join planning
+    * evaluates the join key up to four times (null filter + projection,
+    * both sides); see NormalizeAscii for the exact-equivalence note. */
+  def normalized(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NormalizeAscii(
+      ColumnBridge.expression(text)))
+  }
 
   /** Normalized-text fingerprint (md5 — portable to the oracle). */
   def fingerprint(text: Column): Column = md5(normalized(text))

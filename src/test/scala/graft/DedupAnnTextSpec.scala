@@ -106,6 +106,23 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("native normalize matches the regex chain on real docs and edges") {
+    val chain = (t: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""), " +", " "))
+    val edges = Seq("", "   ", "!!!", "  A  b\tC!! d9 ",
+      "ümlaut ÉTÉ 中文 mixedÜcase", "a", " trailing ", "UPPER lower 0123")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .unionByName(edges)
+    val diff = corpus.select(
+        Text.normalized(col("text")).as("native"), chain(col("text")).as("regex"))
+      .filter(col("native") =!= col("regex") ||
+        col("native").isNull =!= col("regex").isNull)
+      .count()
+    assert(diff == 0)
+  }
+
   test("shingles: n-gram count and short-text fallback") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
     val got = df.select(col("id"), Text.shingles(col("text"), 3).as("sh"))
