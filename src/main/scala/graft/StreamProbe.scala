@@ -27,7 +27,7 @@ object StreamProbe {
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
     }
     (1 to 2).foreach { round =>
-      println(s"-- round $round (parts=${sys.env.getOrElse("GRAFT_STREAM_PARTS", "4")})")
+      println(s"-- round $round (parts=${sys.env.getOrElse("GRAFT_STREAM_PARTS", "auto")})")
       time("ts11 tumbling")(
         graft.streaming.Streams.tumblingDailyStream(spark, sfDir).count())
       time("ts12 sessionize")(

@@ -35,24 +35,38 @@ object Streams {
     else raw
   }
 
-  /** State-store partition count for the drains: a stateful streaming
-    * agg materializes one state store per shuffle partition per
-    * stateful operator, and that setup cost is pure overhead when the
-    * keyspace is small. The batch-session default (32 here,
-    * AQE-coalesced) is wrong for the drain. Default 4; override with
-    * GRAFT_STREAM_PARTS — at scale this knob is sized to state volume
-    * (keys × state row), not to scan parallelism. */
-  private[streaming] val streamParts: Int =
-    sys.env.getOrElse("GRAFT_STREAM_PARTS", "4").toInt
+  /** State-store partition count for a drain: a stateful streaming agg
+    * materializes one state store per shuffle partition per stateful
+    * operator — setup cost is pure overhead when state is small, but
+    * too few partitions starves the stateful stage once state grows.
+    * No single number is right across operators OR scales, so each
+    * drain sizes its own partitions from its expected STATE rows (one
+    * partition per ~64k state rows, clamped to [4, 32]):
+    * session aggs carry O(sessions) state and win with more partitions
+    * as input grows (StreamProbe sf1, 1M events: 16 parts 4.8s vs 4
+    * parts 7.0s), while watermark-bounded join state stays small and
+    * MORE partitions only multiply state-store setup (ts17 sf1: 3.0s at
+    * 4 vs 7.2s at 32). GRAFT_STREAM_PARTS overrides everything; at
+    * production scale the same rule sizes to state volume (keys ×
+    * state row), never to scan width. */
+  private[streaming] def sizedParts(stateRows: Long): Int =
+    sys.env.get("GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(
+      math.min(32L, math.max(4L, stateRows / 65536L)).toInt)
 
   /** A cloned session (same SparkContext, own SQL conf) with the
     * drain's shuffle-partition count — concurrent batch queries on the
     * parent session keep their own setting; nothing global mutates. */
-  private def drainSession(spark: SparkSession): SparkSession = {
+  private def drainSession(spark: SparkSession, stateRows: Long): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
+    s.conf.set("spark.sql.shuffle.partitions", sizedParts(stateRows).toString)
     s
   }
+
+  /** Exact row count from the parquet footers — one cheap metadata-only
+    * job at drain-construction time (the streaming twin of ts4's
+    * adaptive hot-key probe: spend one small job to pick the plan). */
+  private def sourceRows(spark: SparkSession, sfDir: String): Long =
+    spark.read.parquet(s"$sfDir/events.parquet").count()
 
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String,
                            mode: String = "complete"): DataFrame = {
@@ -81,7 +95,8 @@ object Streams {
   /** Streaming daily tumbling aggregate over events (twin of
     * TimeSeries.tumblingDaily). */
   def tumblingDailyStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventStream(drainSession(spark), sfDir)
+    // state = O(windows x event_types) — tiny at any input scale
+    val agg = eventStream(drainSession(spark, stateRows = 1L), sfDir)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -129,7 +144,8 @@ object Streams {
     * Batch-driven here (drained synchronously); oracle-checked as
     * ts21, spec-checked equal to the batch window formulation. */
   def versionMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = drainSession(spark)
+    // state = one small record per key (users), not per event
+    val ss = drainSession(spark, stateRows = 1L)
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val events = eventStream(ss, sfDir)
@@ -166,7 +182,9 @@ object Streams {
     * the drain here is one micro-batch so the output is provably equal
     * to the batch interval join and the batch-derived oracle. */
   def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = drainSession(spark)
+    // join state is watermark-bounded (a click lives until the
+    // watermark passes click.ts + window) — small regardless of input
+    val ss = drainSession(spark, stateRows = 1L)
     val p = eventStream(ss, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
@@ -192,7 +210,9 @@ object Streams {
     * path with a watermark evicting closed sessions. Emits the same
     * (user, start, end, n, total) rows as the batch operator. */
   def sessionizeStream(spark: SparkSession, sfDir: String, gap: String): DataFrame = {
-    val agg = eventStream(drainSession(spark), sfDir)
+    // session state is O(sessions) = O(input keys x activity) — the one
+    // drain whose state grows with the corpus; size parts to it
+    val agg = eventStream(drainSession(spark, sourceRows(spark, sfDir)), sfDir)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
