@@ -429,6 +429,12 @@ object SparkEntry {
       graft.operators.Pipeline.decontaminate(Tables.documents(s, d),
         "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3)),
 
+    // Gopher repetition filters: top-bigram char fraction + duplicate
+    // trigram fraction (Rae et al. 2021, appendix A1.1)
+    "x9_repetition" -> ((s, d) =>
+      graft.operators.Pipeline.repetitionSignals(
+        Tables.documents(s, d), "doc_id", "text")),
+
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
@@ -965,6 +971,30 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "x9_repetition" ->
+        """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+          |    string_split(text, ' ') AS words FROM documents),
+          |bge AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+          |    ELSE [array_to_string(words[i:i+1], ' ')
+          |          for i in range(1, len(words))] END) AS g FROM w),
+          |bc AS (SELECT doc_id, g, count(*) AS cnt FROM bge GROUP BY 1, 2),
+          |bt AS (SELECT doc_id, g AS top_bigram, cnt AS top_bigram_n FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY cnt DESC, g DESC) AS rn FROM bc) WHERE rn = 1),
+          |tge AS (SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN []::VARCHAR[]
+          |    ELSE [array_to_string(words[i:i+2], ' ')
+          |          for i in range(1, len(words) - 1)] END) AS g FROM w),
+          |tc AS (SELECT doc_id, g, count(*) AS cnt FROM tge GROUP BY 1, 2),
+          |tt AS (SELECT doc_id, sum(cnt) AS n_tri,
+          |    count(*) AS n_tri_distinct FROM tc GROUP BY 1)
+          |SELECT w.doc_id, len(w.words) AS n_words, bt.top_bigram,
+          |  bt.top_bigram_n,
+          |  round(bt.top_bigram_n * length(bt.top_bigram) / w.n_chars, 6)
+          |    AS frac_top_bigram,
+          |  round(1.0 - tt.n_tri_distinct / tt.n_tri, 6) AS dup_tri_frac
+          |FROM w JOIN bt USING (doc_id) JOIN tt USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (

@@ -27,10 +27,15 @@ object Text {
   /** Word bigrams (order-preserving, non-distinct); documents shorter
     * than two words contribute none. Native expression — the HOF
     * `transform(sequence, element_at)` form is interpreter-bound. */
-  def bigrams(text: Column): Column = {
+  def bigrams(text: Column): Column = ngrams(text, 2)
+
+  /** Order-preserving, non-distinct word n-grams (the repetition-
+    * counting unit — `shingles` dedups, which loses multiplicity);
+    * documents shorter than n words contribute none. */
+  def ngrams(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.expressions.WordShingles(
-      ColumnBridge.expression(text), 2, distinct = false, shortAsSelf = false))
+      ColumnBridge.expression(text), n, distinct = false, shortAsSelf = false))
   }
 
   /** Deterministic hash bucket in [0, buckets) from the md5 of a key —

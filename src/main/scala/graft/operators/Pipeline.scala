@@ -99,4 +99,43 @@ object Pipeline {
       .select(col(id), col("bench_id"), col("n_shared"))
       .orderBy(id)
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    * the character fraction covered by the most frequent word bigram
+    * and the duplicate word-trigram fraction — the standard repetition
+    * filters a corpus passes before quality sampling. Boilerplate and
+    * template spam score high; prose scores near zero.
+    *
+    * Shape: one explode per n-gram order, counts keyed (doc, gram)
+    * then doc — map-side partial aggregation throughout, per-doc
+    * cardinality bounded by document length, no window over an
+    * unbounded partition. The top bigram resolves ties to the
+    * lexicographically largest gram via a struct max, so the result is
+    * total-order deterministic. Documents shorter than three words
+    * have no trigram (or bigram) population and are dropped by the
+    * inner joins — mirrored in the oracle. */
+  def repetitionSignals(docs: DataFrame, id: String, text: String): DataFrame = {
+    val base = docs.select(col(id), length(col(text)).as("n_chars"),
+      Text.wsTokenCount(col(text)).as("n_words"))
+    val top = docs.select(col(id), explode(Text.bigrams(col(text))).as("g"))
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id)).agg(
+        max(struct(col("cnt"), col("g"))).as("top"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col(id), col("top.g").as("top_bigram"),
+        col("top.cnt").as("top_bigram_n"))
+    val tri = docs.select(col(id), explode(Text.ngrams(col(text), 3)).as("g"))
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id)).agg(
+        sum(col("cnt")).as("n_tri"),
+        count(lit(1)).as("n_tri_distinct"))
+    base.join(top, Seq(id)).join(tri, Seq(id))
+      .select(col(id), col("n_words"), col("top_bigram"),
+        col("top_bigram_n").cast("long").as("top_bigram_n"),
+        round(col("top_bigram_n") * length(col("top_bigram")) /
+          col("n_chars"), 6).as("frac_top_bigram"),
+        round(lit(1.0) - col("n_tri_distinct") / col("n_tri"), 6)
+          .as("dup_tri_frac"))
+      .orderBy(id)
+  }
 }

@@ -76,4 +76,22 @@ class PipelineSpec extends SparkSpec {
     assert(flagged.map(f => (f._1, f._2)) == List((1L, 20L)))
     assert(flagged.head._3 >= 3)
   }
+
+  test("repetition signals: planted boilerplate scores, prose near zero") {
+    val docs = Seq(
+      (1L, "a b a b a b"),               // top bigram "a b" x3 of 5; tri 4 total / 2 distinct
+      (2L, "one two three four five six"),  // no repetition at all
+      (3L, "x y"))                       // no trigram population -> dropped
+      .toDF("doc_id", "text")
+    val got = Pipeline.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Int, String, Long, Double, Double)].collect().toList
+    assert(got.map(_._1) == List(1L, 2L))
+    val d1 = got.head
+    // "a b a b a b": 11 chars, top bigram "a b" (3 hits x 3 chars)
+    assert(d1._3 == "a b" && d1._4 == 3L)
+    assert(d1._5 == math.rint(3 * 3.0 / 11 * 1e6) / 1e6)
+    assert(d1._6 == 0.5) // 4 trigrams, 2 distinct
+    val d2 = got(1)
+    assert(d2._4 == 1L && d2._6 == 0.0)
+  }
 }
