@@ -435,6 +435,20 @@ object SparkEntry {
       graft.operators.Pipeline.repetitionSignals(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // semi-structured metadata extraction: JSON prop pulled with
+    // get_json_object in the scan projection (no object barrier, the
+    // filter/agg stays declarative) — the metadata-filtering pass every
+    // training pipeline runs over crawl/provenance JSON sidecars
+    "x10_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+        .withColumn("avg_k", round(col("sum_k") / col("n"), 6))
+        .orderBy("event_type")),
+
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
@@ -995,6 +1009,15 @@ object SparkEntry {
           |  round(1.0 - tt.n_tri_distinct / tt.n_tri, 6) AS dup_tri_frac
           |FROM w JOIN bt USING (doc_id) JOIN tt USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      "x10_json_extract" ->
+        """SELECT event_type, count(k) AS n, min(k) AS min_k,
+          |  max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k,
+          |  round(sum(k) / count(k), 6) AS avg_k
+          |FROM (SELECT event_type,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  FROM events)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (
