@@ -181,10 +181,14 @@ object ScaleProbe {
     // the 100 TB shape is a shuffle join, where ONE key = ONE partition
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    // sf0.1 has only 2000 vectors — replicate 3x (distinct ids) so the
-    // single hot cell is big enough for the unsharded counterfactual
-    // to actually straggle (6000 rows -> 36M ordered candidate rows)
-    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // plant a FIXED-size hot cell (~6000 vectors -> 36M ordered
+    // candidate rows unsharded) regardless of corpus sf: the
+    // counterfactual's cost is quadratic in cell size, so an
+    // sf-proportional cell would measure "how big is this sf" (at
+    // O(n^2) single-task probe cost — ~45 min at sf1) instead of the
+    // sharding win. limit(2000) is a no-op at sf0.1 (2000 vectors).
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").limit(2000)
     val emb = (0 until 3).map(i => embBase.select(
         (col("vec_id") + lit(i * 100000L)).as("vec_id"), col("embedding")))
       .reduce(_ unionByName _)
