@@ -41,6 +41,52 @@ object AnnSweep {
       .select("query_id", "nn_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+    // Three recall notions, because they answer different questions:
+    //  - recall@k vs the exact brute top-k: on a near-uniform corpus
+    //    most of a query's top-10 are just random directions (cosine
+    //    ~0.3-0.5) — no LSH at any realistic probe radius finds those,
+    //    so this number COLLAPSES once bucket space >> corpus. That is
+    //    uniform-data physics, not an implementation defect.
+    //  - corpus pair recall at tau=0.25 (d5's near-dup threshold; this
+    //    synthetic corpus's max pair cosine is ~0.6, so 0.25 IS its
+    //    near-dup tier): fraction of such pairs whose buckets differ by
+    //    <= probeHamming bits. tau=0.25 pairs sit ~75 deg apart —
+    //    angular LSH cannot and should not bridge that, so this number
+    //    is honest about the corpus, not about the operator.
+    //  - planted pair reachability at cosine ~0.95 (a REAL near-dup —
+    //    re-encoded/boilerplate content): each sample vector is
+    //    deterministically perturbed (xxhash64 noise, no RNG state) to
+    //    ~0.95 cosine and the probe-reach probability measured. This
+    //    characterizes the operator's geometry independent of the
+    //    corpus and is the number that predicts 100 TB dedup recall.
+    // Fixed 2000-vector sample so the cost is sf-independent.
+    val sample = emb.select(col("vec_id").as("sid"), col("embedding").as("sv"))
+      .limit(2000).localCheckpoint()
+    // distinct projections, not .as() dataset aliases: a self-join of
+    // one checkpointed plan can resolve both sides of the condition to
+    // the same attribute and silently produce zero rows
+    val sideA = sample.select(col("sid").as("sa"), col("sv").as("va"))
+    val sideB = sample.select(col("sid").as("sb"), col("sv").as("vb"))
+    val closePairs = sideA.join(sideB, col("sa") < col("sb"))
+      .filter(graft.functions.Vec.cosine(col("va"), col("vb")) >= 0.25)
+      .localCheckpoint()
+    val nClose = closePairs.count()
+
+    // noise scale 0.329*|v| on an orthogonal-in-expectation direction
+    // -> cos ~ 1/sqrt(1+0.329^2) ~ 0.95; the artifact records the
+    // MEASURED mean cosine, not the target
+    val planted = sample
+      .withColumn("u", transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("sid"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0))
+      .withColumn("scale",
+        lit(0.329) * graft.functions.Vec.norm(col("sv")) / graft.functions.Vec.norm(col("u")))
+      .withColumn("pv", zip_with(col("sv").cast("array<double>"), col("u"),
+        (a, b) => a + col("scale") * b).cast("array<float>"))
+      .select(col("sid"), col("sv"), col("pv"))
+      .localCheckpoint()
+    val plantedCos = planted
+      .agg(avg(graft.functions.Vec.cosine(col("sv"), col("pv")))).head().getDouble(0)
+
     val configs = Seq((8, 3), (16, 2), (16, 3), (24, 2), (24, 3), (24, 4))
     val rows = configs.map { case (planes, h) =>
       val q = Ann.knnLsh(emb, "vec_id", "embedding", queries, k, planes, h, 42L)
@@ -58,14 +104,31 @@ object AnnSweep {
         .select(col("bucket").as("qb"))
       val probed = qb.collect().map(_.getLong(0)).flatMap(b =>
         Ann.hammingBall(planes, h).map(b ^ _)).toSet
-      val cand = bucketed.filter(col("bucket").isin(probed.toSeq: _*)).count()
-      println(f"planes=$planes%2d h=$h recall=$recall%.2f lat=$lat%.2fs " +
-        f"ball=$ball/${1L << planes} candidates=$cand")
+      // join, not isin: the probed set reaches ~65k buckets at
+      // (24, h=4) and a 65k-literal In() blows up codegen
+      import spark.implicits._
+      val probedDf = probed.toSeq.toDF("bucket")
+      val cand = bucketed.join(broadcast(probedDf), "bucket").count()
+      val pairRecall = if (nClose == 0) -1.0 else closePairs
+        .select((bit_count(Ann.lshBucket(col("va"), ps)
+          .bitwiseXOR(Ann.lshBucket(col("vb"), ps))) <= h).cast("int").as("hit"))
+        .agg(avg(col("hit"))).head().getDouble(0)
+      val plantedReach = planted
+        .select((bit_count(Ann.lshBucket(col("sv"), ps)
+          .bitwiseXOR(Ann.lshBucket(col("pv"), ps))) <= h).cast("int").as("hit"))
+        .agg(avg(col("hit"))).head().getDouble(0)
+      println(f"planes=$planes%2d h=$h recall=$recall%.2f " +
+        f"pair_recall_t025=$pairRecall%.2f planted_reach=$plantedReach%.2f " +
+        f"lat=$lat%.2fs ball=$ball/${1L << planes} candidates=$cand")
       f"""  {"planes": $planes, "probe_hamming": $h, "recall_at_$k": $recall%.3f,
+         |   "corpus_pair_recall_tau025": $pairRecall%.3f,
+         |   "planted_pair_reach": $plantedReach%.3f,
          |   "median_s": $lat%.3f, "ball_buckets": $ball,
          |   "bucket_space": ${1L << planes}, "candidate_rows": $cand}""".stripMargin
     }
     val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
+                  |"corpus_pairs_tau025": $nClose,
+                  |"planted_pairs": 2000, "planted_mean_cos": ${f"$plantedCos%.4f"},
                   |"configs": [
                   |${rows.mkString(",\n")}
                   |]}""".stripMargin

@@ -110,8 +110,13 @@ object Ann {
     val probes = bucketed.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
         col("bucket").as("q_bucket"))
-      .withColumn("bucket",
-        explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*)))
+      // ONE constant array literal, XOR after the explode: a per-mask
+      // array(q_bucket ^ lit(m), ...) inlines every element into the
+      // generated code and blows janino's 64KB method cap at
+      // C(24, <=3) = 2325 masks
+      .withColumn("m", explode(lit(masks.toArray)))
+      .withColumn("bucket", col("q_bucket").bitwiseXOR(col("m")))
+      .drop("m")
     val scored = corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
