@@ -614,10 +614,16 @@ object SparkEntry {
            |FROM aff LEFT JOIN st ON aff.user_id = st.user_id
            |ORDER BY aff.user_id""".stripMargin,
 
+      // record_ids is the BOUNDED sample of the 100 smallest affected ids
+      // (string_agg skips the NULLed rows past rank 100); affected_records
+      // stays the exact distinct count — mirrors rollbackLog(sampleK = 100)
       "t6_rollback_log" ->
-        s"""SELECT count(*) AS affected_records,
-           |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS record_ids
-           |FROM (SELECT DISTINCT user_id FROM events WHERE ts > TIMESTAMP '$T')""".stripMargin,
+        s"""WITH r AS (SELECT DISTINCT user_id FROM events WHERE ts > TIMESTAMP '$T'),
+           |n AS (SELECT user_id, row_number() OVER (ORDER BY user_id) AS rn FROM r)
+           |SELECT count(*) AS affected_records,
+           |  string_agg(CASE WHEN rn <= 100 THEN CAST(user_id AS VARCHAR) END,
+           |             ',' ORDER BY user_id) AS record_ids
+           |FROM n""".stripMargin,
 
       "t7_version_stats" ->
         s"""SELECT user_id, count(*) AS n_versions, epoch_us(min(ts)) AS first_us,

@@ -93,7 +93,14 @@ object TimeSeries {
     * Global id = offset + local id reproduces `sessionize`'s numbering
     * exactly (spec-checked equal on uniform and one-key data). Cost on
     * non-skewed data: one extra (small) join vs the single-window
-    * form — use this variant when keys can be hot. */
+    * form — use this variant when keys can be hot.
+    *
+    * PRECONDITION: `ts` must be non-null. A null timestamp has no time
+    * chunk (`__chunk` is NULL), so such rows would sit in their own
+    * never-merged chunk, whereas plain `sessionize` sorts them first
+    * within the key and merges them into session 0. Both chunked
+    * variants share this precondition; [[sessionizeSkewSafe]] inherits
+    * it only for rows routed to a HOT key. */
   def sessionizeChunked(df: DataFrame, key: String, ts: String, tie: String,
                         value: String, gapSeconds: Long,
                         chunkSeconds: Long = 86400L): DataFrame = {
@@ -121,7 +128,13 @@ object TimeSeries {
           .over(wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
           sum(col("__merge")).over(wk.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col(key), col("__chunk"), col("__offset"))
-    local.join(offsets, Seq(key, "__chunk"))
+    // NULL-safe key equality: a plain equi-join would silently drop a
+    // NULL key's rows here (NULL never equals NULL), and the NULL key
+    // is exactly the hot key this variant exists for
+    local.join(
+        offsets.withColumnRenamed(key, "__ok").withColumnRenamed("__chunk", "__oc"),
+        col(key) <=> col("__ok") && col("__chunk") === col("__oc"))
+      .drop("__ok", "__oc")
       .withColumn("session_id", col("__offset") + col("__lsid"))
       .groupBy(col(key), col("session_id"))
       .agg(
@@ -161,12 +174,25 @@ object TimeSeries {
       sessionize(df, key, ts, tie, value, gapSeconds)
     else if (hotKeys.length <= maxIsolatedHotKeys) {
       // a few whales: isolate them with literal IN filters (both push
-      // down to the scan — no flag join) and shard only their timelines
-      val cold = df.filter(!col(key).isin(hotKeys: _*))
-      val hot = df.filter(col(key).isin(hotKeys: _*))
-      sessionize(cold, key, ts, tie, value, gapSeconds)
+      // down to the scan — no flag join) and shard only their timelines.
+      // Routing is NULL-safe: `isin` is three-valued (NULL for a NULL
+      // key), so without the explicit isNull/isNotNull arms a NULL-key
+      // row would match NEITHER branch and silently vanish — and a NULL
+      // key is a classic hot key, so it may legitimately be in the hot
+      // set itself (collected as null from the count job).
+      val nullIsHot = hotKeys.contains(null)
+      val nonNullHot = hotKeys.filterNot(_ == null)
+      val inHot =
+        if (nonNullHot.nonEmpty) col(key).isin(nonNullHot: _*) else lit(false)
+      val hotPred =
+        if (nullIsHot) col(key).isNull || inHot
+        else col(key).isNotNull && inHot
+      val coldPred =
+        if (nullIsHot) col(key).isNotNull && !inHot
+        else col(key).isNull || !inHot
+      sessionize(df.filter(coldPred), key, ts, tie, value, gapSeconds)
         .unionByName(sessionizeChunked(
-          hot, key, ts, tie, value, gapSeconds, chunkSeconds))
+          df.filter(hotPred), key, ts, tie, value, gapSeconds, chunkSeconds))
     } else
       // skew is pervasive, not a key list — chunk everything
       sessionizeChunked(df, key, ts, tie, value, gapSeconds, chunkSeconds)

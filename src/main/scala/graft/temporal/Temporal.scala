@@ -125,12 +125,23 @@ object Temporal {
   /** Rollback audit aggregate — the content the reference writes to
     * `rollback_logs` (app/main.py:169-186): affected-record count and the
     * sorted id list. Emitted as one row; ids as a comma-joined string so
-    * the artifact is engine-portable. */
-  def rollbackLog(df: DataFrame, key: String, ts: String, at: Column): DataFrame =
+    * the artifact is engine-portable.
+    *
+    * `affected_records` is the EXACT distinct count; `record_ids` is a
+    * BOUNDED sample (the `sampleK` smallest ids, via the native
+    * CollectMinK aggregate) — a rollback touching billions of records
+    * must not materialize a multi-GB id string in the one final-merge
+    * task. Every aggregation buffer (map-side partial, shuffle row,
+    * final merge) stays ≤ sampleK entries. Same treatment as
+    * `Dedup.exact`'s `doc_ids` and the vault audit's `record_ids`. */
+  def rollbackLog(df: DataFrame, key: String, ts: String, at: Column,
+                  sampleK: Int = 100): DataFrame =
     df.filter(col(ts) > at).select(col(key)).distinct()
       .agg(
         count(lit(1)).as("affected_records"),
-        concat_ws(",", sort_array(collect_list(col(key)))).as("record_ids"))
+        concat_ws(",",
+          graft.dedup.Dedup.collectMinK(col(key), sampleK).cast("array<string>"))
+          .as("record_ids"))
 
   /** Snapshot + delta-replay read — the reference's `Snapshot` table
     * (app/models.py:27-37) semantics: the state at `at` is the last full

@@ -40,6 +40,19 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("r1", "RESTORE", "b"), ("r2", "DELETE", null)))
   }
 
+  test("rollbackLog keeps the exact count but a bounded id sample") {
+    // 250 records all versioned after T: count must be exact (250),
+    // the id string must carry only the sampleK smallest, sorted
+    val big = spark.range(250)
+      .select(col("id").as("rid"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("ts"))
+    val got = Temporal.rollbackLog(big, "rid", "ts",
+        lit("2024-01-03 00:00:00").cast("timestamp"), sampleK = 10)
+      .as[(Long, String)].collect().head
+    assert(got._1 == 250L)
+    assert(got._2 == (0 until 10).mkString(","))
+  }
+
   test("changesBetween reports created records and changed fields") {
     val got = Temporal.changesBetween(chain, "rid", "ts", "eid",
         lit("2024-01-03 00:00:00").cast("timestamp"),

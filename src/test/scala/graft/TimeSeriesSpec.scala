@@ -77,6 +77,25 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeSkewSafe keeps NULL-key rows in every routing regime") {
+    val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "value")
+      // plant NULL-key rows: a small cold group and (at low thresholds)
+      // a hot one — null keys are classic hot keys in real data
+      .withColumn("user_id",
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")))
+    val want = TimeSeries.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .collect().toSet
+    assert(want.exists(_.isNullAt(0)), "test data must contain a NULL-key session")
+    // all cold / all hot (incl. the NULL key) / mixed with NULL hot
+    for (threshold <- Seq(1000000L, 0L, 40L)) {
+      val got = TimeSeries.sessionizeSkewSafe(
+        ev, "user_id", "ts", "event_id", "value", 1800L,
+        chunkSeconds = 3600L, hotRowThreshold = threshold).collect().toSet
+      assert(got == want, s"hotRowThreshold=$threshold diverged on NULL keys")
+    }
+  }
+
   test("topk is deterministic and ranked") {
     val got = TimeSeries.topkByTotal(Tables.events(spark, sfDir), "user_id", "value", 5)
       .select("rank", "user_id").as[(Int, Long)].collect()

@@ -38,7 +38,9 @@ for q in sorted(names):
     out["queries"][q] = {
         "spark_sec": spark, "duckdb_sec": round(med, 3), "rows": n,
         "ratio_spark_over_duckdb": round(spark / med, 3) if spark else None}
-    print(f"{q:28s} spark={spark:7.2f}s duckdb={med:7.2f}s "
-          f"ratio={spark/med:5.2f}x rows={n}")
+    spark_s = f"{spark:7.2f}s" if spark else "    n/a"
+    ratio_s = f"{spark/med:5.2f}x" if spark else "  n/a"
+    print(f"{q:28s} spark={spark_s} duckdb={med:7.2f}s "
+          f"ratio={ratio_s} rows={n}")
 json.dump(out, open(out_path, "w"), indent=1)
 print(f"wrote {out_path}")
