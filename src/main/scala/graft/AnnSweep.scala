@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ann.Ann
 import graft.sources.Tables
@@ -87,44 +87,66 @@ object AnnSweep {
     val plantedCos = planted
       .agg(avg(graft.functions.Vec.cosine(col("sv"), col("pv")))).head().getDouble(0)
 
-    val configs = Seq((8, 3), (16, 2), (16, 3), (24, 2), (24, 3), (24, 4))
-    val rows = configs.map { case (planes, h) =>
-      val q = Ann.knnLsh(emb, "vec_id", "embedding", queries, k, planes, h, 42L)
+    // (planes, probeHamming, tables): the r5 single-table rows plus the
+    // OR-amplified multi-table grid at production plane counts — the
+    // union recall should track 1-(1-q1)^L for the single-table q1
+    val configs = Seq(
+      (8, 3, 1), (16, 2, 1), (16, 3, 1), (24, 3, 1),
+      (16, 2, 4), (16, 2, 8), (16, 3, 4), (16, 3, 8),
+      (16, 3, 12), (16, 3, 16), (24, 3, 16), (24, 4, 16))
+    val rows = configs.map { case (planes, h, tables) =>
+      val q = Ann.knnLsh(emb, "vec_id", "embedding", queries, k, planes, h,
+        42L, tables)
       q.count() // warm
       val lat = med3(q.count())
       val got = q.select("query_id", "nn_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & truth).size.toDouble / truth.size
-      // candidate volume: corpus rows landing in any probed bucket
+      // candidate volume: corpus rows landing in any probed (table,
+      // bucket) — candidate_rows is what the equi-join processes
+      // (once per colliding table), candidate_distinct the deduped
+      // union that reaches the ranker
       val ball = Ann.hammingBall(planes, h).size
-      val ps = Ann.lshPlanes(64, planes, 42L)
-      val bucketed = emb.select(col("vec_id"),
-        Ann.lshBucket(col("embedding"), ps).as("bucket"))
-      val qb = bucketed.filter(col("vec_id").isin(queries: _*))
-        .select(col("bucket").as("qb"))
-      val probed = qb.collect().map(_.getLong(0)).flatMap(b =>
-        Ann.hammingBall(planes, h).map(b ^ _)).toSet
+      val perTable = (0 until tables).map(t =>
+        Ann.lshPlanes(64, planes, 42L + t))
+      val bucketed = emb.select(col("vec_id") +:
+        perTable.zipWithIndex.map { case (ps, t) =>
+          Ann.lshBucket(col("embedding"), ps).as(s"b$t") }: _*)
+      val qb = bucketed.filter(col("vec_id").isin(queries: _*)).collect()
+      val probed: Seq[(Int, Long)] = qb.flatMap(r =>
+        (0 until tables).flatMap(t =>
+          Ann.hammingBall(planes, h).map(m => (t, r.getLong(1 + t) ^ m)))).distinct
       // join, not isin: the probed set reaches ~65k buckets at
       // (24, h=4) and a 65k-literal In() blows up codegen
       import spark.implicits._
-      val probedDf = probed.toSeq.toDF("bucket")
-      val cand = bucketed.join(broadcast(probedDf), "bucket").count()
+      val probedDf = probed.toDF("tbl", "bucket")
+      val exploded = bucketed.select(col("vec_id"),
+          posexplode(array((0 until tables).map(t => col(s"b$t")): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      val candJoined = exploded.join(broadcast(probedDf), Seq("tbl", "bucket"))
+        .localCheckpoint()
+      val candRows = candJoined.count()
+      val candDistinct = candJoined.select("vec_id").distinct().count()
+      def anyTableHit(a: Column, b: Column): Column =
+        perTable.map(ps => bit_count(Ann.lshBucket(a, ps)
+          .bitwiseXOR(Ann.lshBucket(b, ps))) <= h)
+          .reduce(_ || _).cast("int")
       val pairRecall = if (nClose == 0) -1.0 else closePairs
-        .select((bit_count(Ann.lshBucket(col("va"), ps)
-          .bitwiseXOR(Ann.lshBucket(col("vb"), ps))) <= h).cast("int").as("hit"))
+        .select(anyTableHit(col("va"), col("vb")).as("hit"))
         .agg(avg(col("hit"))).head().getDouble(0)
       val plantedReach = planted
-        .select((bit_count(Ann.lshBucket(col("sv"), ps)
-          .bitwiseXOR(Ann.lshBucket(col("pv"), ps))) <= h).cast("int").as("hit"))
+        .select(anyTableHit(col("sv"), col("pv")).as("hit"))
         .agg(avg(col("hit"))).head().getDouble(0)
-      println(f"planes=$planes%2d h=$h recall=$recall%.2f " +
+      println(f"planes=$planes%2d h=$h L=$tables%2d recall=$recall%.2f " +
         f"pair_recall_t025=$pairRecall%.2f planted_reach=$plantedReach%.2f " +
-        f"lat=$lat%.2fs ball=$ball/${1L << planes} candidates=$cand")
-      f"""  {"planes": $planes, "probe_hamming": $h, "recall_at_$k": $recall%.3f,
+        f"lat=$lat%.2fs ball=$ball/${1L << planes} cand=$candRows/$candDistinct")
+      f"""  {"planes": $planes, "probe_hamming": $h, "tables": $tables,
+         |   "recall_at_$k": $recall%.3f,
          |   "corpus_pair_recall_tau025": $pairRecall%.3f,
          |   "planted_pair_reach": $plantedReach%.3f,
          |   "median_s": $lat%.3f, "ball_buckets": $ball,
-         |   "bucket_space": ${1L << planes}, "candidate_rows": $cand}""".stripMargin
+         |   "bucket_space": ${1L << planes},
+         |   "candidate_rows": $candRows, "candidate_distinct": $candDistinct}""".stripMargin
     }
     val json = s"""{"sf_dir": "$sfDir", "k": $k, "queries": ${queries.size},
                   |"corpus_pairs_tau025": $nClose,

@@ -24,6 +24,16 @@ object SparkEntry {
   private val T2 = "2024-01-25 00:00:00"
   private val RecId = 42
   private val Stopwords = Seq("the", "a")
+  // a2's multi-table LSH shape: production plane count (65k buckets —
+  // the space actually shards a corpus), small per-table probe ball
+  // (697/65536 ≈ 1%), recall OR-amplified across 16 independent tables
+  // (1-(1-q)^L — ANN_SWEEP_r6: recall@10 0.08→0.78 at sf0.1 and
+  // 0.18→0.9+ at sf1 going L=1→16; planted real near-dups reach 1.00
+  // from L=4). Shared by the entry and the oracle SQL builder.
+  private val A2Planes = 16
+  private val A2Probe = 3
+  private val A2Tables = 16
+  private val A2Seed = 42L
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -352,7 +362,7 @@ object SparkEntry {
 
     "a2_ann_lsh" -> ((s, d) =>
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        Seq(0L, 1L, 2L, 3L, 4L), 10, 8, 3, 42L)),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, A2Planes, A2Probe, A2Seed, A2Tables)),
 
     "a3_ivf_coarse" -> ((s, d) =>
       Ann.knnBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -554,20 +564,29 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr
          |    ON mr.s = d.doc_id)""".stripMargin
-    // a2's bucket bits recomputed in SQL from the SAME seeded planes
-    // (deterministic scala.util.Random(42) Gaussians, inlined as
-    // literals); both engines accumulate the dot left-to-right in
-    // double, so the sign bits — hence the candidate sets — agree.
+    // a2's per-table bucket bits recomputed in SQL from the SAME seeded
+    // planes (deterministic scala.util.Random(seed + table) Gaussians,
+    // inlined as literals); both engines accumulate the dot
+    // left-to-right in double, so the sign bits — hence the candidate
+    // sets — agree. The multi-table candidate UNION is the OR across
+    // per-table hamming tests (each pair joins at most once in SQL, so
+    // no dedup is needed where the Spark side distincts its union).
     val a2Sql: String = {
-      val ps = graft.ann.Ann.lshPlanes(64, 8, 42L)
-      val bucketExpr = ps.zipWithIndex.map { case (plane, p) =>
-        val lits = plane.map(java.lang.Double.toString).mkString(", ")
-        s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString("\n      + ")
+      val bucketCols = (0 until A2Tables).map { t =>
+        val ps = graft.ann.Ann.tablePlanes(64, A2Planes, A2Seed, t)
+        val e = ps.zipWithIndex.map { case (plane, p) =>
+          val lits = plane.map(java.lang.Double.toString).mkString(", ")
+          s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$lits]) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("\n      + ")
+        s"    ($e)::BIGINT AS b$t"
+      }.mkString(",\n")
+      val qCols = (0 until A2Tables).map(t => s"b$t AS qb$t").mkString(", ")
+      val anyTable = (0 until A2Tables).map(t =>
+        s"bit_count(xor(c.b$t, q.qb$t)) <= $A2Probe").mkString("\n        OR ")
       s"""WITH pb AS (SELECT vec_id, embedding,
-         |    ($bucketExpr)::BIGINT AS bucket
+         |$bucketCols
          |  FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, $qCols
          |  FROM pb WHERE vec_id IN (0, 1, 2, 3, 4))
          |SELECT query_id, nn_id, cos, rank FROM (
          |  SELECT query_id, nn_id, cos,
@@ -578,7 +597,7 @@ object SparkEntry {
          |        / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
          |    FROM q JOIN pb c ON c.vec_id <> q.query_id
-         |      AND bit_count(xor(c.bucket, q.q_bucket)) <= 3))
+         |      AND ($anyTable)))
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
     Map(

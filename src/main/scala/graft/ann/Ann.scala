@@ -82,45 +82,74 @@ object Ann {
     (0 to math.min(h, bits)).flatMap(combos(0, _))
   }
 
-  /** ANN top-k via multi-probe random-hyperplane LSH: candidates are
-    * corpus rows whose sign-bit bucket is within `probeHamming` of the
-    * query's bucket; ranking is exact cosine over that candidate set.
+  /** The hyperplane set of table `t` in an OR-amplified multi-table
+    * index: an independent seeded draw per table (the d2 band trick —
+    * independent hash families whose candidate sets union). */
+  def tablePlanes(dims: Int, planes: Int, seed: Long, t: Int): Array[Array[Double]] =
+    lshPlanes(dims, planes, seed + t)
+
+  /** ANN top-k via multi-probe, multi-TABLE random-hyperplane LSH:
+    * candidates are corpus rows whose sign-bit bucket in ANY of the
+    * `tables` independent hyperplane tables is within `probeHamming`
+    * of the query's bucket in that same table; ranking is exact cosine
+    * over the deduplicated candidate union.
+    *
+    * Why multi-table: one table's per-neighbor hit probability q is
+    * bought only with the probe radius, and at production plane counts
+    * (16+, where the bucket space actually shards a corpus) no radius
+    * both keeps the ball small and finds moderate-angle neighbors. L
+    * independent tables amplify recall as 1-(1-q)^L while the ball per
+    * table stays small — the standard OR-amplification construction
+    * (same trick d2's MinHash bands use). Measured in ANN_SWEEP_r6:
+    * recall@10 goes 0.18 (L=1) to >=0.9 (L=12+) at 16 planes, h=3.
     *
     * The hamming ball is enumerated on the QUERY side — each query
-    * explodes into its C(planes, <=probeHamming) adjacent bucket ids —
-    * so the candidate lookup is an EQUI-join on `bucket`. The physical
-    * plan is a BroadcastHashJoin keyed on the bucket (never a
-    * nested-loop over the corpus): with the corpus bucketed/partitioned
-    * by `bucket` at scale, a probe batch touches only the enumerated
-    * buckets' partitions. Recall vs `knnBrute` is spec-checked and the
-    * full pipeline is oracle-checked (a2), the seeded planes being
+    * explodes into `tables` x C(planes, <=probeHamming) (table,
+    * bucket) probes — so the candidate lookup is an EQUI-join on
+    * (table, bucket), a BroadcastHashJoin, never a nested-loop over
+    * the corpus. At scale the corpus index is written bucketed by
+    * (table, bucket) — L tables = L x index storage, the standard
+    * multi-table cost — and a probe batch touches only the enumerated
+    * buckets' partitions. A pair colliding in several tables surfaces
+    * once per table; the distinct() collapses the union before
+    * ranking. Recall vs `knnBrute` is spec-checked and the full
+    * pipeline is oracle-checked (a2), the seeded planes being
     * deterministic on both engines. */
   def knnLsh(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
-             k: Int, planes: Int, probeHamming: Int, seed: Long): DataFrame = {
+             k: Int, planes: Int, probeHamming: Int, seed: Long,
+             tables: Int = 1): DataFrame = {
     require(planes <= 63, s"at most 63 hyperplanes supported, got $planes")
+    require(tables >= 1, s"need at least one hash table, got $tables")
     val dims = 64
-    val ps = lshPlanes(dims, planes, seed)
     val masks = hammingBall(planes, probeHamming)
-    val bucketed = emb.select(col(id), col(vec),
-      lshBucket(col(vec), ps).as("bucket"))
-    val corpus = bucketed.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
-      col("bucket"))
-    // distinct masks -> distinct probe buckets per query, so each
-    // (query, corpus row) pair joins at most once — no dedup needed
+    val bucketCols = (0 until tables).map(t =>
+      lshBucket(col(vec), tablePlanes(dims, planes, seed, t)).as(s"__b$t"))
+    val bucketed = emb.select(col(id) +: col(vec) +: bucketCols: _*)
+    val tableArr = array((0 until tables).map(t => col(s"__b$t")): _*)
+    val corpus = bucketed
+      .select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+        posexplode(tableArr))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
     val probes = bucketed.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
-        col("bucket").as("q_bucket"))
+        posexplode(tableArr))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "q_bucket")
       // ONE constant array literal, XOR after the explode: a per-mask
       // array(q_bucket ^ lit(m), ...) inlines every element into the
       // generated code and blows janino's 64KB method cap at
       // C(24, <=3) = 2325 masks
       .withColumn("m", explode(lit(masks.toArray)))
       .withColumn("bucket", col("q_bucket").bitwiseXOR(col("m")))
-      .drop("m")
-    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .drop("m", "q_bucket")
+    val scored = corpus.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+      // union across tables: a pair colliding in several tables (or,
+      // with tables=1, never — masks are distinct) surfaces once
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -52,28 +52,59 @@ object Dedup {
           .as("doc_ids"))
 
   /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ tau).
-    * Inverted-index join: explode distinct shingles AFTER projecting to
-    * (id, shingle) so the raw text never enters the shuffle. */
+    *
+    * Candidate generation is a PPJoin-style PREFIX-FILTERED inverted-
+    * index join (Xiao/Wang/Lin/Yu, WWW'08 "Efficient Similarity Joins
+    * for Near Duplicate Detection" — public method): under any global
+    * total order of shingles, two sets with |A∩B| ≥ o must share an
+    * element among their first |set|−o+1 elements, and J ≥ tau implies
+    * |A∩B| ≥ ceil(tau·max(|A|,|B|)); so each doc needs to index only
+    * its floor((1−tau)·|d|)+1 FIRST shingles. Ordering rarest-first
+    * (global document frequency asc) makes the prefix drop exactly the
+    * hottest postings — the Σdf² candidate blowup lives in the most
+    * frequent shingles, so the cut is far larger than the ~(1−tau)
+    * entry fraction suggests. df=1 prefix entries are also dropped
+    * (they only ever self-join). Verification then counts the exact
+    * shared-shingle overlap for the (small) candidate pair set with
+    * the same postings equi-join as before — output is IDENTICAL to
+    * the unfiltered join (the prefix lemma is lossless; the prefix
+    * length carries +1e-6 slack so float rounding can only LENGTHEN
+    * it, and covers the round-6 boundary of the final J filter).
+    *
+    * Postings join on the 59-bit md5 prefix, not the raw shingle
+    * string: the exchange carries (id, int64) instead of (id, ~30B
+    * text) and the join compares longs — same md5 derivation as the
+    * oracle, so any (vanishingly rare) collision is mirrored there. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int, tau: Double): DataFrame = {
     val sh = docs.repartition(col(id))
       .select(col(id), Text.shingles(col(text), n).as("sh"))
-      // postings join on the 59-bit md5 prefix, not the raw shingle
-      // string: the exchange carries (id, int64) instead of (id, ~30B
-      // text) and the join compares longs — same md5 derivation as the
-      // oracle, so any (vanishingly rare) collision is mirrored there
       .select(col(id), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("__s"))
       .select(col(id), col("n_sh"),
         Text.md5Prefix60(col("__s")).as("shingle"))
-    val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // global df → rarest-first rank within each doc → prefix
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("shingle"))
+    val prefixLen = floor(lit(1.0 - tau + 1e-6) * col("n_sh")) + 1
+    val prefix = sh.join(dfc, "shingle")
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen && col("__df") >= 2)
+      .select(col(id), col("n_sh"), col("shingle"))
+    val pa = prefix.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val pb = prefix.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    val cand = pa.join(pb, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         // size bound: J(A,B) <= min/max, so pairs violating
         // min >= tau*max can never reach tau — prune before the
         // aggregation (exact-semantics preserving)
         least(col("n_a"), col("n_b")) >= lit(tau) * greatest(col("n_a"), col("n_b")))
+      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    // exact verify: count the full shared-shingle overlap per candidate
+    val ea = sh.select(col(id).as("id_a"), col("shingle"))
+    val eb = sh.select(col(id).as("id_b"), col("shingle"))
+    cand.join(ea, "id_a")
+      .join(eb, Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",

@@ -60,6 +60,58 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("prefix-filtered jaccard equals the unfiltered inverted-index join") {
+    import org.apache.spark.sql.DataFrame
+    // the pre-PPJoin formulation: full postings self-join, no prefix
+    def unfiltered(docs: DataFrame, tau: Double): Set[(Long, Long, Long, Double)] = {
+      val sh = docs
+        .select(col("doc_id"), graft.functions.Text.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("__s"))
+        .select(col("doc_id"), col("n_sh"),
+          graft.functions.Text.md5Prefix60(col("__s")).as("shingle"))
+      val a = sh.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard", round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("jaccard") >= tau)
+        .select("id_a", "id_b", "shared", "jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    for (tau <- Seq(0.12, 0.5)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val want = unfiltered(docs, tau)
+      assert(want.nonEmpty || tau > 0.12, s"tau=$tau reference found no pairs")
+      assert(got == want, s"tau=$tau prefix filter changed the output")
+    }
+  }
+
+  test("multi-table LSH amplifies single-table recall at production planes") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def recall(tables: Int): Double = {
+      val brute = Ann.knnBrute(emb, "vec_id", "embedding", qs, 10)
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      val got = Ann.knnLsh(emb, "vec_id", "embedding", qs, 10, 16, 3, 42L, tables)
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 >= r1, s"union of 8 tables lost recall: $r1 -> $r8")
+    assert(r8 > 0.3, s"recall@10 with 8 tables = $r8")
+    // ranks stay contiguous per query after the cross-table dedup
+    val ranks = Ann.knnLsh(emb, "vec_id", "embedding", qs, 10, 16, 3, 42L, 8)
+      .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .select("mx", "n").as[(Int, Long)].collect()
+    assert(ranks.forall { case (mx, n) => mx.toLong == n })
+  }
+
   test("minhash LSH candidates include exact clones") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
