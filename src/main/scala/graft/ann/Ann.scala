@@ -21,16 +21,21 @@ import graft.functions.Vec
 object Ann {
 
   /** Exact top-k cosine neighbors for each id in `queryIds`.
-    * Deterministic: ranked by rounded cosine desc, then neighbor id. */
+    * Deterministic: ranked by rounded cosine desc, then neighbor id.
+    * Norms are precomputed per ROW (O(n)), so the O(n·q) hot loop
+    * pays only the dot — bit-equal to full per-pair cosine. */
   def knnBrute(emb: DataFrame, id: String, vec: String,
                queryIds: Seq[Long], k: Int): DataFrame = {
-    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"))
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+      Vec.normNative(col(vec)).as("nn_nrm"))
     val queries = emb.filter(col(id).isin(queryIds: _*))
-      .select(col(id).as("query_id"), col(vec).as("q_vec"))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -42,13 +47,15 @@ object Ann {
   def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
     val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
-      col(cell).as("nn_cell"))
+      col(cell).as("nn_cell"), Vec.normNative(col(vec)).as("nn_nrm"))
     val queries = emb.filter(col(id).isin(queryIds: _*))
-      .select(col(id).as("query_id"), col(vec).as("q_vec"), col(cell).as("q_cell"))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        col(cell).as("q_cell"), Vec.normNative(col(vec)).as("q_nrm"))
     val scored = corpus.join(broadcast(queries),
         col("nn_cell") === col("q_cell") && col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -124,16 +131,17 @@ object Ann {
     val masks = hammingBall(planes, probeHamming)
     val bucketCols = (0 until tables).map(t =>
       lshBucket(col(vec), tablePlanes(dims, planes, seed, t)).as(s"__b$t"))
-    val bucketed = emb.select(col(id) +: col(vec) +: bucketCols: _*)
+    val bucketed = emb.select(
+      col(id) +: col(vec) +: Vec.normNative(col(vec)).as("__nrm") +: bucketCols: _*)
     val tableArr = array((0 until tables).map(t => col(s"__b$t")): _*)
     val corpus = bucketed
       .select(col(id).as("nn_id"), col(vec).as("nn_vec"),
-        posexplode(tableArr))
+        col("__nrm").as("nn_nrm"), posexplode(tableArr))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val probes = bucketed.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
-        posexplode(tableArr))
+        col("__nrm").as("q_nrm"), posexplode(tableArr))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "q_bucket")
       // ONE constant array literal, XOR after the explode: a per-mask
@@ -146,7 +154,8 @@ object Ann {
     val scored = corpus.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        Vec.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
       // union across tables: a pair colliding in several tables (or,
       // with tables=1, never — masks are distinct) surfaces once
       .distinct()
@@ -169,17 +178,30 @@ object Ann {
     * y's sub-block, (y,x) at x's, and the id_a < id_b filter keeps one
     * — so the output set is identical to the unsharded join (the
     * sub-block id never reaches the output, and the oracle is
-    * unchanged). Replication cost: probe side × subBlocks. */
+    * unchanged). Replication cost: probe side × subBlocks.
+    *
+    * Norms are precomputed per ROW (`normNative`, O(n) total), so the
+    * O(pairs) in-cell loop pays only the dot — bit-equal to the full
+    * per-pair cosine at a third of its arithmetic. (A norm-PRODUCT
+    * candidate prune is vacuous here: embedding corpora are unit-norm,
+    * every pair's norm product is 1.0 — and in high dimension no cheap
+    * per-vector scalar separates cos ≥ tau pairs; the honest cuts are
+    * the cell block, the sub-block sharding, and cheaper arithmetic.) */
   def nearDupPairs(emb: DataFrame, id: String, vec: String, cell: String,
                    tau: Double, subBlocks: Int = 8): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("vec_a"), col(cell).as("cell"))
+    val withNorm = emb.select(col(id), col(vec), col(cell),
+      Vec.normNative(col(vec)).as("__nrm"))
+    val a = withNorm.select(col(id).as("id_a"), col(vec).as("vec_a"),
+        col(cell).as("cell"), col("__nrm").as("na"))
       .withColumn("sb", explode(array((0 until subBlocks).map(lit): _*)))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vec_b"), col(cell).as("cell"),
+    val b = withNorm.select(col(id).as("id_b"), col(vec).as("vec_b"),
+      col(cell).as("cell"), col("__nrm").as("nb"),
       pmod(hash(col(id)), lit(subBlocks)).as("sb"))
     a.join(b, Seq("cell", "sb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("cell"), col("id_a"), col("id_b"),
-        Vec.cosine(col("vec_a"), col("vec_b")).as("cos"))
+        Vec.cosinePrenormed(col("vec_a"), col("vec_b"),
+          col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy(col("id_a"), col("id_b"))
   }

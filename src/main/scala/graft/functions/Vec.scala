@@ -29,4 +29,25 @@ object Vec {
     round(ColumnBridge.column(graft.functions.expressions.CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b))), 6)
   }
+
+  /** Native dot product (one tight codegen loop, double accumulation,
+    * strict left-to-right — CosineSim's loop minus the norms). */
+  def dotNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The norm CosineSim computes internally, as a per-ROW column:
+    * `sqrt` of the self-dot, same accumulation order. Precompute this
+    * once per side before a pairwise join and use [[cosinePrenormed]]
+    * in the O(pairs) hot loop. */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** Cosine from a per-pair dot and two PRECOMPUTED [[normNative]]
+    * norms — bit-equal to [[cosine]] (identical accumulation order,
+    * sqrt, multiply, divide, round) at a third of the per-pair
+    * arithmetic: the norms are O(rows) instead of O(pairs). */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    round(dotNative(a, b) / (normA * normB), 6)
 }

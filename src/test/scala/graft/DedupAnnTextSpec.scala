@@ -112,6 +112,22 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(ranks.forall { case (mx, n) => mx.toLong == n })
   }
 
+  test("prenormed cosine is bit-equal to the fused CosineSim on real pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Vec.normNative(col("embedding")).as("nrm"))
+      .limit(60)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val diff = a.join(b, col("ia") < col("ib"))
+      .select(
+        graft.functions.Vec.cosine(col("va"), col("vb")).as("fused"),
+        graft.functions.Vec.cosinePrenormed(col("va"), col("vb"),
+          col("na"), col("nb")).as("pre"))
+      .filter(not(col("fused") <=> col("pre"))).count()
+    assert(diff == 0, s"$diff pairs diverged between fused and prenormed cosine")
+  }
+
   test("minhash LSH candidates include exact clones") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
