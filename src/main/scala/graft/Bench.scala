@@ -34,10 +34,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map(_ => once(fn)).sorted
-      name -> times(times.length / 2) // median (= the run itself at reps=1)
-    }
+    // dev convenience: GRAFT_BENCH_ONLY=d4_ngram_jaccard,a2_... times a
+    // subset (driver contract unchanged when unset)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map(_ => once(fn)).sorted
+        name -> times(times.length / 2) // median (= the run itself at reps=1)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -116,6 +116,37 @@ object ScaleProbe {
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
 
+    // hot-shingle exact Jaccard, in PPJoin's actual win zone: docs
+    // DOMINATED by shared boilerplate (df = n_docs shingles carry the
+    // Σdf² mass) at a HIGH similarity threshold (tau = 0.8 → each doc
+    // indexes only its ~20% rarest shingles, which excludes every
+    // boilerplate shingle). The direct join's volume is quadratic in
+    // the corpus here; the prefix join touches only the rare tails.
+    // At LOW tau the prefix is ~the whole doc and candidates explode
+    // regardless of ordering — which is why d4 (tau = 0.12, flat df)
+    // routes direct: the r6 probe of that shape measured prefix 0.7×
+    // (a loss) even with planted boilerplate. The router's skew
+    // statistic (top-0.1%-df share of Σdf²) sends THIS corpus to the
+    // prefix plan and the flat corpora above to the direct join.
+    val boiler = (1 to 72).map(i => s"boiler${i % 9}").mkString(" ")
+    val hotJacDocs = d1.filter(col("doc_id") < 1000)
+      .withColumn("text", concat_ws(" ", lit(boiler),
+        substring_index(col("text"), " ", 30)))
+      .localCheckpoint()
+    val shJ = graft.dedup.Dedup
+      .shinglePostings(hotJacDocs, "doc_id", "text", 3).localCheckpoint()
+    val dfcJ = shJ.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df")).localCheckpoint()
+    val jacD = med3(graft.dedup.Dedup.jaccardDirect(shJ, 0.8).count())
+    val jacP = med3(graft.dedup.Dedup.jaccardPrefix(shJ, dfcJ, 0.8).count())
+    // the two plans must agree here too (the spec pins sf0.001; this
+    // is the adversarial corpus) — and the router must pick prefix
+    val pairsD = graft.dedup.Dedup.jaccardDirect(shJ, 0.8).count()
+    val pairsP = graft.dedup.Dedup.jaccardPrefix(shJ, dfcJ, 0.8).count()
+    require(pairsD == pairsP, s"plans disagree: direct=$pairsD prefix=$pairsP")
+    println(f"${"hot-shingle jaccard"}%-20s direct $jacD%8.2f prefix $jacP%8.2f " +
+      f"ratio ${jacD / jacP}%5.1fx pairs=$pairsD")
+
     // skew: the same 8x volume but EVERY row on one key. The bucketized
     // interval join keeps its parallelism (the hot key shards across
     // time buckets); pure per-key windows (sessionize) collapse to one
@@ -145,6 +176,34 @@ object ScaleProbe {
     uni.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${uni(k)}%8.2f ${skw(k)}%8.2f ${skw(k) / uni(k)}%5.1fx")
     }
+
+    // Decompose the one-key interval-join ratio: with every row on ONE
+    // key the MATCH COUNT itself grows ~#keys-fold (each purchase now
+    // sees every user's clicks in its window, and that IS the correct
+    // answer), so wall-time must follow the true output — that is work
+    // growth, not a straggler. The density-normalized counterfactual
+    // shrinks the window by the original key count, so per-bucket
+    // candidate density matches the uniform run: if the hot key had
+    // serialized the join, this leg would stay slow; it returning to
+    // ~uniform wall-time shows the (key, time-bucket) join key kept
+    // its parallelism and only the candidate volume moved.
+    def ivTimed(ev: DataFrame, win: Long): (Double, Long) = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+      val df = TimeSeries.intervalCount(purchases, clicks,
+        "user_id", "ts", "event_id", win)
+      val t = med3(df.count())
+      val m = df.agg(sum(col("n_matches"))).head().getLong(0)
+      (t, m)
+    }
+    val nKeys = e8.select("user_id").distinct().count()
+    val winUs = 3600000000L
+    val (ivUniS, ivUniM) = ivTimed(e8, winUs)
+    val (ivHotS, ivHotM) = ivTimed(eSkew, winUs)
+    val (ivNrmS, ivNrmM) = ivTimed(eSkew, math.max(1L, winUs / nKeys))
+    println(f"interval decompose: uniform $ivUniS%.2fs/$ivUniM matches, " +
+      f"one-key $ivHotS%.2fs/$ivHotM, density-normalized $ivNrmS%.2fs/$ivNrmM")
 
     // the decisive straggler case: ONE key carrying 6.4M rows. The
     // plain per-key window sorts the whole timeline in a single task;
@@ -276,6 +335,19 @@ object ScaleProbe {
          |"events_8x_vs_1x": ${sect(r1, r8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
          |"skew_all_rows_one_key_vs_uniform_8x": ${sect(uni, skw)},
+         |"interval_join_skew_decomposition": {
+         |  "keys": $nKeys,
+         |  "uniform": {"s": ${f"$ivUniS%.3f"}, "matches": $ivUniM},
+         |  "one_key_same_window": {"s": ${f"$ivHotS%.3f"}, "matches": $ivHotM},
+         |  "one_key_density_normalized_window":
+         |    {"s": ${f"$ivNrmS%.3f"}, "matches": $ivNrmM},
+         |  "note": "one-key match count grows ~keys-fold (true output); density-normalized window returning to ~uniform wall-time = parallelism held, only candidate volume moved"
+         |},
+         |"hot_shingle_jaccard_boilerplate_heavy_tau08": {
+         |  "direct_s": ${f"$jacD%.3f"}, "prefix_s": ${f"$jacP%.3f"},
+         |  "direct_over_prefix": ${f"${jacD / jacP}%.2f"},
+         |  "pairs": $pairsD
+         |},
          |"hot_bucket": {
          |  "neardup_one_cell_unsharded_vs_subblocks8":
          |    {"base_s": ${f"$nd8%.3f"}, "probe_s": ${f"$nd1%.3f"}, "ratio": ${f"${nd1 / nd8}%.2f"}},

@@ -51,53 +51,110 @@ object Dedup {
         concat_ws(",", collectMinK(col(id), sampleK).cast("array<string>"))
           .as("doc_ids"))
 
-  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ tau).
-    *
-    * Candidate generation is a PPJoin-style PREFIX-FILTERED inverted-
-    * index join (Xiao/Wang/Lin/Yu, WWW'08 "Efficient Similarity Joins
-    * for Near Duplicate Detection" — public method): under any global
-    * total order of shingles, two sets with |A∩B| ≥ o must share an
-    * element among their first |set|−o+1 elements, and J ≥ tau implies
-    * |A∩B| ≥ ceil(tau·max(|A|,|B|)); so each doc needs to index only
-    * its floor((1−tau)·|d|)+1 FIRST shingles. Ordering rarest-first
-    * (global document frequency asc) makes the prefix drop exactly the
-    * hottest postings — the Σdf² candidate blowup lives in the most
-    * frequent shingles, so the cut is far larger than the ~(1−tau)
-    * entry fraction suggests. df=1 prefix entries are also dropped
-    * (they only ever self-join). Verification then counts the exact
-    * shared-shingle overlap for the (small) candidate pair set with
-    * the same postings equi-join as before — output is IDENTICAL to
-    * the unfiltered join (the prefix lemma is lossless; the prefix
-    * length carries +1e-6 slack so float rounding can only LENGTHEN
-    * it, and covers the round-6 boundary of the final J filter).
-    *
-    * Postings join on the 59-bit md5 prefix, not the raw shingle
-    * string: the exchange carries (id, int64) instead of (id, ~30B
-    * text) and the join compares longs — same md5 derivation as the
-    * oracle, so any (vanishingly rare) collision is mirrored there. */
-  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-                        n: Int, tau: Double): DataFrame = {
-    val sh = docs.repartition(col(id))
+  /** (id, n_sh, shingle-hash) postings — the shared input of both
+    * exact-Jaccard plans. Joining on the 59-bit md5 prefix, not the
+    * raw shingle string: the exchange carries (id, int64) instead of
+    * (id, ~30B text) and the join compares longs — same md5 derivation
+    * as the oracle, so any (vanishingly rare) collision is mirrored
+    * there. */
+  private[graft] def shinglePostings(docs: DataFrame, id: String, text: String,
+                                     n: Int): DataFrame =
+    docs.repartition(col(id))
       .select(col(id), Text.shingles(col(text), n).as("sh"))
       .select(col(id), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("__s"))
       .select(col(id), col("n_sh"),
         Text.md5Prefix60(col("__s")).as("shingle"))
-    // global df → rarest-first rank within each doc → prefix
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ tau),
+    * ADAPTIVE between two exact plans (same output either way):
+    *
+    *  - DIRECT inverted-index self-join (+ size bound): one join, one
+    *    aggregation. Join volume is Σdf² over shingle document
+    *    frequencies — optimal when df is FLAT (no shingle is hot), as
+    *    in vocabularies where no boilerplate repeats across the corpus.
+    *  - PPJoin-style PREFIX-FILTERED join (Xiao/Wang/Lin/Yu, WWW'08 —
+    *    public method) when df is SKEWED: under any global total order
+    *    of shingles, two sets with |A∩B| ≥ o share an element among
+    *    their first |set|−o+1 elements, and J ≥ tau implies |A∩B| ≥
+    *    ceil(tau·max(|A|,|B|)); each doc indexes only its
+    *    floor((1−tau)·|d|)+1 RAREST shingles (global df asc), so hot
+    *    boilerplate shingles — where the Σdf² blowup lives — never
+    *    enter the join. Candidates are then verified with the exact
+    *    overlap count (the prefix lemma is lossless; the prefix length
+    *    carries +1e-6 slack so float rounding can only LENGTHEN it,
+    *    covering the round-6 boundary of the final J filter too).
+    *
+    * The router measures df-skew with one cheap vocabulary-sized
+    * aggregation (the AQE-style runtime-stats pattern ts4's sessionize
+    * uses): the share of Σdf² carried by shingles above the p99.9 df.
+    * Flat distribution → that share is ~0.1% and the prefix would cut
+    * almost nothing while paying an extra dedup + verify pass
+    * (measured 2.4× slower at sf0.1); Zipf-ish boilerplate → the top
+    * shingles carry most of Σdf² and the prefix excises them
+    * (ScaleProbe's hot-shingle leg measures the win). Note the prefix
+    * plan's leverage also grows with tau (prefix fraction ≈ 1−tau):
+    * at high thresholds it indexes only the rare tail of each doc; at
+    * tau ≈ 0.1 it indexes ~90% of every doc and candidate volume
+    * approaches the direct join's, with extra passes on top — PPJoin
+    * is a high-threshold design (its paper sweeps 0.8–0.95).
+    * Exactness does not depend on the routing decision. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        n: Int, tau: Double,
+                        skewThreshold: Double = 0.5): DataFrame = {
+    val sh = shinglePostings(docs, id, text, n)
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    // df² in double: at corpus scale df can reach 1e9+ and Σdf² would
+    // overflow a long; the routing decision only needs a ratio
+    val df2 = (col("__df") * col("__df")).cast("double")
+    val q = dfc.agg(
+        expr("approx_percentile(__df, 0.999)").as("q999"),
+        sum(df2).as("tot"))
+      .head()
+    val q999 = q.getLong(0)
+    val tot = q.getDouble(1)
+    val hot = dfc.filter(col("__df") > q999)
+      .agg(coalesce(sum(df2), lit(0.0))).head().getDouble(0)
+    if (tot == 0.0 || hot / tot < skewThreshold)
+      jaccardDirect(sh, tau)
+    else jaccardPrefix(sh, dfc, tau)
+  }
+
+  /** The direct postings self-join — optimal on flat-df corpora. */
+  private[graft] def jaccardDirect(sh: DataFrame, tau: Double): DataFrame = {
+    val a = sh.select(col(sh.columns.head).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col(sh.columns.head).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        // size bound: J(A,B) <= min/max, so pairs violating
+        // min >= tau*max can never reach tau — prune before the
+        // aggregation (exact-semantics preserving)
+        least(col("n_a"), col("n_b")) >= lit(tau) * greatest(col("n_a"), col("n_b")))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** The prefix-filtered plan — pays when hot shingles dominate Σdf². */
+  private[graft] def jaccardPrefix(sh: DataFrame, dfc: DataFrame,
+                                   tau: Double): DataFrame = {
+    val id = sh.columns.head
+    // global df → rarest-first rank within each doc → prefix
     val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("shingle"))
     val prefixLen = floor(lit(1.0 - tau + 1e-6) * col("n_sh")) + 1
     val prefix = sh.join(dfc, "shingle")
       .withColumn("__rn", row_number().over(wDoc))
+      // df=1 prefix entries only ever self-join — drop them
       .filter(col("__rn") <= prefixLen && col("__df") >= 2)
       .select(col(id), col("n_sh"), col("shingle"))
     val pa = prefix.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val pb = prefix.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     val cand = pa.join(pb, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
-        // size bound: J(A,B) <= min/max, so pairs violating
-        // min >= tau*max can never reach tau — prune before the
-        // aggregation (exact-semantics preserving)
         least(col("n_a"), col("n_b")) >= lit(tau) * greatest(col("n_a"), col("n_b")))
       .select("id_a", "id_b", "n_a", "n_b").distinct()
     // exact verify: count the full shared-shingle overlap per candidate

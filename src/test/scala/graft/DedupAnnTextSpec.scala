@@ -83,11 +83,15 @@ class DedupAnnTextSpec extends SparkSpec {
     }
     val docs = graft.sources.Tables.documents(spark, sfDir)
     for (tau <- Seq(0.12, 0.5)) {
-      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
-        .as[(Long, Long, Long, Double)].collect().toSet
       val want = unfiltered(docs, tau)
       assert(want.nonEmpty || tau > 0.12, s"tau=$tau reference found no pairs")
-      assert(got == want, s"tau=$tau prefix filter changed the output")
+      // force EACH plan through the router: threshold 0 routes to the
+      // prefix plan, threshold 1.1 to the direct plan
+      for (thr <- Seq(0.0, 1.1)) {
+        val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, tau, thr)
+          .as[(Long, Long, Long, Double)].collect().toSet
+        assert(got == want, s"tau=$tau threshold=$thr plan changed the output")
+      }
     }
   }
 
