@@ -304,6 +304,23 @@ object ScaleProbe {
     println(f"${"bounded_collect_min_k"}%-22s $de1%8.2f $de8%8.2f ${de8 / de1}%5.1fx")
     println(f"${"unbounded_collect_list"}%-22s $du1%8.2f $du8%8.2f ${du8 / du1}%5.1fx")
 
+    // rollback audit at scale: a rollback touching 1M/8M distinct
+    // records. Same CollectMinK bound as d1 — every buffer ≤ K entries
+    // whatever the rollback size — so the single audit row's cost must
+    // track the scan, never the affected-record count (this was t6's
+    // unbounded collect_list row until r6).
+    def auditRows(n: Long) = spark.range(n)
+      .select(col("id").as("rid"),
+        lit("2024-02-01 00:00:00").cast("timestamp").as("ts"))
+    val a1m = auditRows(1000000L).localCheckpoint()
+    val a8m = auditRows(8000000L).localCheckpoint()
+    val rbAt = lit("2024-01-01 00:00:00").cast("timestamp")
+    Temporal.rollbackLog(a1m, "rid", "ts", rbAt).count() // warm-up
+    Temporal.rollbackLog(a8m, "rid", "ts", rbAt).count()
+    val rb1 = med3(Temporal.rollbackLog(a1m, "rid", "ts", rbAt).count())
+    val rb8 = med3(Temporal.rollbackLog(a8m, "rid", "ts", rbAt).count())
+    println(f"${"rollback audit"}%-22s $rb1%8.2f $rb8%8.2f ${rb8 / rb1}%5.1fx")
+
     // sequence packing: the cumsum stage runs one task per shard, so
     // the shard count IS the parallelism. 4M synthetic docs (the 40k
     // document corpus is too small for the cumsum to register — task
@@ -360,6 +377,10 @@ object ScaleProbe {
          |  "unbounded_twin_1m_vs_8m":
          |    {"base_s": ${f"$du1%.3f"}, "probe_s": ${f"$du8%.3f"}, "ratio": ${f"${du8 / du1}%.2f"}},
          |  "unbounded_over_bounded_8m": ${f"${du8 / de8}%.2f"}
+         |},
+         |"rollback_audit_bounded_1m_vs_8m": {
+         |  "base_s": ${f"$rb1%.3f"}, "probe_s": ${f"$rb8%.3f"},
+         |  "ratio": ${f"${rb8 / rb1}%.2f"}
          |},
          |"sessionize_one_key_6p4m_rows": {
          |  "plain_vs_skewsafe":
