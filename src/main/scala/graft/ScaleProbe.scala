@@ -320,6 +320,12 @@ object ScaleProbe {
     val rb1 = med3(Temporal.rollbackLog(a1m, "rid", "ts", rbAt).count())
     val rb8 = med3(Temporal.rollbackLog(a8m, "rid", "ts", rbAt).count())
     println(f"${"rollback audit"}%-22s $rb1%8.2f $rb8%8.2f ${rb8 / rb1}%5.1fx")
+    // drop this leg's 9M cached rows before the pack probe — leaving
+    // them resident pushes the cumsum stage into GC/spill and skews it
+    a1m.unpersist(blocking = true)
+    a8m.unpersist(blocking = true)
+    h1.unpersist(blocking = true)
+    h8.unpersist(blocking = true)
 
     // sequence packing: the cumsum stage runs one task per shard, so
     // the shard count IS the parallelism. 4M synthetic docs (the 40k
