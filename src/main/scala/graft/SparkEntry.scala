@@ -355,6 +355,25 @@ object SparkEntry {
       graft.operators.Pipeline.dedupSurvivors(Tables.documents(s, d),
         "doc_id", "text", "n_chars", 3, 16, 4)),
 
+    // SEMANTIC dedup: connected components over the embedding-cosine
+    // near-dup graph (d5's pair set) — per-cluster size + a BOUNDED
+    // member sample (CollectMinK, like d1/t6). The text-level twin is
+    // d6/d7 over MinHash candidates; this is the embedding-level
+    // cluster decision a curation pipeline acts on.
+    "d8_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Ann.nearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(emb.select(col("vec_id")), pairs, "vec_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          concat_ws(",",
+            Dedup.collectMinK(col("vec_id"), 10).cast("array<string>"))
+            .as("member_ids"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1311,6 +1330,38 @@ object SparkEntry {
       "d6_dup_clusters" ->
         s"""WITH RECURSIVE $ccCtes
            |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
+
+      // semantic clusters over the d5 embedding near-dup graph:
+      // transitive closure, min-id label, exact size + the BOUNDED
+      // 10-smallest member sample (NULLed past rank 10, mirrored by
+      // string_agg's null-skipping — the d1/t6 treatment)
+      "d8_semantic_dedup" ->
+        """WITH RECURSIVE prs AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |      round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          |        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+          |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+          |    FROM embeddings a JOIN embeddings b
+          |      ON a.label = b.label AND a.vec_id < b.vec_id)
+          |  WHERE cos >= 0.25),
+          |ed AS (SELECT id_a, id_b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+          |reach(s, t) AS (
+          |  SELECT id_a, id_b FROM ed
+          |  UNION
+          |  SELECT r.s, e2.id_b FROM reach r JOIN ed e2 ON r.t = e2.id_a),
+          |cl AS (SELECT e.vec_id,
+          |    least(e.vec_id, coalesce(mr.mn, e.vec_id)) AS cluster_id
+          |  FROM embeddings e
+          |  LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr
+          |    ON mr.s = e.vec_id),
+          |r AS (SELECT vec_id, cluster_id,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS rn
+          |  FROM cl)
+          |SELECT cluster_id, count(*) AS n_members,
+          |  string_agg(CASE WHEN rn <= 10 THEN CAST(vec_id AS VARCHAR) END,
+          |             ',' ORDER BY vec_id) AS member_ids
+          |FROM r GROUP BY 1 ORDER BY cluster_id""".stripMargin,
 
       // survivorship: longest-text doc per cluster (ties -> min id),
       // member/char totals and the chars saved by dropping the rest
