@@ -387,6 +387,12 @@ object SparkEntry {
       Ann.knnBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
+    // IVF with the nprobe accuracy knob: probe the 2 nearest cells by
+    // decimal-exact centroid cosine, exact rerank within them
+    "a4_ivf_nprobe" -> ((s, d) =>
+      Ann.knnIvfProbe(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -1431,6 +1437,41 @@ object SparkEntry {
           |    FROM embeddings q JOIN embeddings c
           |      ON c.vec_id <> q.vec_id AND c.label = q.label
           |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // centroid components are DECIMAL-exact means (order-independent,
+      // so both engines get bit-identical centroids); probe the 2 cells
+      // nearest each query by rounded centroid cosine (ties by label),
+      // exact rerank within them
+      "a4_ivf_nprobe" ->
+        """WITH comp AS (
+          |  SELECT label, j AS i, CAST(embedding[j] AS DOUBLE) AS v
+          |  FROM embeddings, range(1, 65) t(j)),
+          |cvec AS (
+          |  SELECT label, list(cv ORDER BY i) AS c_vec FROM (
+          |    SELECT label, i,
+          |      CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+          |    FROM comp GROUP BY label, i) GROUP BY label),
+          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |probed AS (
+          |  SELECT query_id, q_emb, label FROM (
+          |    SELECT q.query_id, q.q_emb, c.label,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
+          |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.label) AS cr
+          |    FROM q CROSS JOIN cvec c) WHERE cr <= 2)
+          |SELECT query_id, nn_id, cos, rank FROM (
+          |  SELECT query_id, nn_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+          |  FROM (
+          |    SELECT p.query_id, c.vec_id AS nn_id,
+          |      round(list_dot_product(CAST(p.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+          |        / (sqrt(list_dot_product(CAST(p.q_emb AS DOUBLE[]), CAST(p.q_emb AS DOUBLE[])))
+          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+          |    FROM probed p JOIN embeddings c
+          |      ON c.label = p.label AND c.vec_id <> p.query_id))
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       "x1_langid" ->

@@ -63,6 +63,60 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF multi-probe top-k: compute each cell's centroid, probe the
+    * `nprobe` cells whose centroids are nearest the query (cosine),
+    * then rank exactly within the probed cells' rows. This is the
+    * standard IVF accuracy knob `knnBlocked` (nprobe=1, cell given)
+    * lacks: a query near a cell boundary recovers its neighbors from
+    * the adjacent cell instead of losing them.
+    *
+    * Centroid components are DECIMAL-exact means (sum of exact
+    * float→double casts in decimal, order-independent across any
+    * partitioning — the ts19 trick), so both engines derive
+    * bit-identical centroids and the probed-cell choice is
+    * deterministic (rounded cosine, ties by cell id). Centroids are
+    * one vocabulary-of-cells-sized aggregate; the probe join is an
+    * equi-join on the cell key (broadcast of queries × nprobe); at
+    * scale the corpus is partitioned by cell so a probe touches only
+    * nprobe cells' partitions. Norms precomputed per row, pairs pay
+    * only the dot. */
+  def knnIvfProbe(emb: DataFrame, id: String, vec: String, cell: String,
+                  queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val comp = emb
+      .select(col(cell).as("c_cell"), posexplode(col(vec).cast("array<double>")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "v")
+    val centroids = comp.groupBy(col("c_cell"), col("i"))
+      .agg((sum(col("v").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("c_cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+        s => s.getField("cv")).as("c_vec"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("c_cell"),
+        Vec.cosine(col("q_vec"), col("c_vec")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("c_cell").asc)))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("c_cell"))
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+      col(cell).as("c_cell"), Vec.normNative(col(vec)).as("nn_nrm"))
+    val scored = corpus.join(broadcast(probed), Seq("c_cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane set for sign-bit LSH (seeded —
     * identical across executors and runs). */
   def lshPlanes(dims: Int, planes: Int, seed: Long): Array[Array[Double]] = {

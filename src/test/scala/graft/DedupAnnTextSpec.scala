@@ -132,6 +132,25 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs diverged between fused and prenormed cosine")
   }
 
+  test("IVF probing all cells degenerates to exact brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Ann.knnBrute(emb, "vec_id", "embedding", qs, 10)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val all = Ann.knnIvfProbe(emb, "vec_id", "embedding", "label", qs, 10,
+        nprobe = 1000)
+      .select("query_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all == brute)
+    // nprobe=2 finds at least as much as probing the single best cell
+    val n1 = Ann.knnIvfProbe(emb, "vec_id", "embedding", "label", qs, 10, 1)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val n2 = Ann.knnIvfProbe(emb, "vec_id", "embedding", "label", qs, 10, 2)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val r1 = (brute.map(t => (t._1, t._2)) intersect n1).size
+    val r2 = (brute.map(t => (t._1, t._2)) intersect n2).size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("minhash LSH candidates include exact clones") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
