@@ -335,6 +335,7 @@ object Dedup {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct()
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     var edges = canon(pairs.select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v")))
       .localCheckpoint()
@@ -357,6 +358,12 @@ object Dedup {
             .union(mins2.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
       converged = small.count() == edges.count() && small.except(edges).isEmpty
+      // free the superseded rounds' checkpoint blocks — dense graphs
+      // run many rounds and the leaked blocks otherwise sit in the
+      // block manager for the session's lifetime, degrading every
+      // query that runs after this one (only `small` must survive)
+      ColumnBridge.unpersistLocalCheckpoint(edges)
+      ColumnBridge.unpersistLocalCheckpoint(large)
       edges = small
       iter += 1
     }

@@ -24,4 +24,18 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed
+    * DataFrame (its plan is a LogicalRDD over the checkpointed RDD —
+    * `Dataset.unpersist` does not reach those blocks). Iterative
+    * algorithms that checkpoint per round MUST free superseded rounds,
+    * or the blocks accumulate in the block manager for the life of the
+    * session and degrade everything running after them. No-op for
+    * non-checkpoint plans. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
