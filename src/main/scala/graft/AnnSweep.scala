@@ -127,6 +127,10 @@ object AnnSweep {
         .localCheckpoint()
       val candRows = candJoined.count()
       val candDistinct = candJoined.select("vec_id").distinct().count()
+      // free the per-config checkpoint blocks — 12 configs otherwise
+      // accumulate them in the block manager and skew later configs
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(candJoined)
       def anyTableHit(a: Column, b: Column): Column =
         perTable.map(ps => bit_count(Ann.lshBucket(a, ps)
           .bitwiseXOR(Ann.lshBucket(b, ps))) <= h)

@@ -321,11 +321,15 @@ object ScaleProbe {
     val rb8 = med3(Temporal.rollbackLog(a8m, "rid", "ts", rbAt).count())
     println(f"${"rollback audit"}%-22s $rb1%8.2f $rb8%8.2f ${rb8 / rb1}%5.1fx")
     // drop this leg's 9M cached rows before the pack probe — leaving
-    // them resident pushes the cumsum stage into GC/spill and skews it
-    a1m.unpersist(blocking = true)
-    a8m.unpersist(blocking = true)
-    h1.unpersist(blocking = true)
-    h8.unpersist(blocking = true)
+    // them resident pushes the cumsum stage into GC/spill and skews it.
+    // These are localCheckpoint()ed plans: Dataset.unpersist is a no-op
+    // on them (the LogicalRDD never registers with the cache manager),
+    // the blocks must be freed through the checkpoint RDD itself
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.unpersistLocalCheckpoint(a1m)
+    ColumnBridge.unpersistLocalCheckpoint(a8m)
+    ColumnBridge.unpersistLocalCheckpoint(h1)
+    ColumnBridge.unpersistLocalCheckpoint(h8)
 
     // sequence packing: the cumsum stage runs one task per shard, so
     // the shard count IS the parallelism. 4M synthetic docs (the 40k

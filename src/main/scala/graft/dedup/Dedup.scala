@@ -111,6 +111,9 @@ object Dedup {
         expr("approx_percentile(__df, 0.999)").as("q999"),
         sum(df2).as("tot"))
       .head()
+    // empty corpus: no shingles at all → both aggregates are NULL;
+    // either plan returns the empty pair set — take the direct one
+    if (q.isNullAt(0)) return jaccardDirect(sh, tau)
     val q999 = q.getLong(0)
     val tot = q.getDouble(1)
     val hot = dfc.filter(col("__df") > q999)

@@ -29,7 +29,11 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // equal lengths required (mirrors DotProduct): a silent min-length
+    // truncation would diverge from the prenormed dot/norm decomposition
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"cosine_sim: vector lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +57,11 @@ case class CosineSim(left: Expression, right: Expression)
       val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_sim: vector lengths differ ("
+         |    + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = $getX;

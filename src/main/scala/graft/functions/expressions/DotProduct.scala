@@ -31,7 +31,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // equal lengths required: silently truncating to min(len) would let
+    // sqrt(DotProduct(v, v)) norms (full-vector) diverge from the fused
+    // CosineSim on ragged inputs, breaking the bit-equality contract
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"dot_product: vector lengths differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -51,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression)
       val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("dot_product: vector lengths differ ("
+         |    + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += ($getX) * ($getY);

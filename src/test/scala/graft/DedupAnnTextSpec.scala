@@ -95,6 +95,22 @@ class DedupAnnTextSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard returns empty on an empty corpus (no NPE)") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).isEmpty)
+  }
+
+  test("dot_product and cosine_sim reject mismatched vector lengths") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    for (c <- Seq(Vec.dotNative(col("a"), col("b")),
+                  Vec.cosine(col("a"), col("b")))) {
+      val e = intercept[Exception] { df.select(c).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("vector lengths differ")), e.toString)
+    }
+  }
+
   test("multi-table LSH amplifies single-table recall at production planes") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val qs = Seq(0L, 1L, 2L, 3L, 4L)
