@@ -11,7 +11,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "1").toInt
-    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_MEDIANS.json")
+    // *MEDIANS* files are reserved for noise-controlled (reps >= 3)
+    // runs: a single-rep pass writing over the committed medians is
+    // exactly the artifact confusion that faked a regression in r5.
+    // Unqualified runs land in BENCH_LAST_RUN.json; an explicit
+    // GRAFT_BENCH_OUT=*MEDIANS* with reps < 3 is refused (stdout
+    // contract — the driver's JSON line — is unaffected either way).
+    val requestedOut = sys.env.get("GRAFT_BENCH_OUT")
+    val outFile =
+      if (reps >= 3) requestedOut.getOrElse("BENCH_MEDIANS.json")
+      else requestedOut match {
+        case Some(p) if !p.toUpperCase.contains("MEDIANS") => p
+        case other =>
+          other.foreach(p => System.err.println(
+            s"[bench] refusing to write $p with reps=$reps (< 3); writing BENCH_LAST_RUN.json"))
+          "BENCH_LAST_RUN.json"
+      }
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
