@@ -342,9 +342,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.12)
         .orderBy("id_a", "id_b")),
 
+    // cosine ≥ τ pairs over CORPUS-PROPORTIONAL coarse cells (k ≈ n/64
+    // product-quantizer cells, probe-2 boundary recovery) — in-cell
+    // pair work stays ~linear in the corpus where the former fixed
+    // 10-label blocking measured 18× wall for 10× data. The
+    // fixed-cell exact form (Ann.nearDupPairs) remains the
+    // correctness-grounding tier, the d4-grounds-d2 pattern.
     "d5_embedding_neardup" -> ((s, d) =>
-      Ann.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", 0.25)),
+      Ann.nearDupPairsScaled(Tables.embeddings(s, d), "vec_id", "embedding",
+        tau = 0.25, targetCellSize = 64)),
 
     "d6_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
@@ -356,13 +362,20 @@ object SparkEntry {
         "doc_id", "text", "n_chars", 3, 16, 4)),
 
     // SEMANTIC dedup: connected components over the embedding-cosine
-    // near-dup graph (d5's pair set) — per-cluster size + a BOUNDED
-    // member sample (CollectMinK, like d1/t6). The text-level twin is
-    // d6/d7 over MinHash candidates; this is the embedding-level
-    // cluster decision a curation pipeline acts on.
+    // near-dup graph (d5's scaled blocking) — per-cluster size + a
+    // BOUNDED member sample (CollectMinK, like d1/t6). The text-level
+    // twin is d6/d7 over MinHash candidates; this is the
+    // embedding-level cluster decision a curation pipeline acts on.
+    // The cluster threshold is 0.4 (>3σ of the random-pair cosine),
+    // stricter than d5's 0.25 pair report: transitive closure CHAINS
+    // edges, and chaining 2σ-of-random cosines welds the corpus into
+    // one junk cluster (and makes any engine's closure materialize
+    // |component|² reachability) — the edge bar for clustering must
+    // sit above the noise band.
     "d8_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Ann.nearDupPairs(emb, "vec_id", "embedding", "label", 0.25)
+      val pairs = Ann.nearDupPairsScaled(emb, "vec_id", "embedding",
+          tau = 0.4, targetCellSize = 64)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(emb.select(col("vec_id")), pairs, "vec_id")
         .groupBy(col("cluster_id"))
@@ -383,15 +396,20 @@ object SparkEntry {
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(0L, 1L, 2L, 3L, 4L), 10, A2Planes, A2Probe, A2Seed, A2Tables)),
 
+    // IVF over the SAME corpus-proportional coarse cells d5/d8 block
+    // on (cells-per-corpus rule: k1·k2 ≈ ceil(n/64)) — no query
+    // depends on the synthetic fixed-10 `label` column any more
     "a3_ivf_coarse" -> ((s, d) =>
-      Ann.knnBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", Seq(0L, 1L, 2L, 3L, 4L), 10)),
+      Ann.knnBlocked(
+        Ann.withCoarseCell(Tables.embeddings(s, d), "vec_id", "embedding", 64),
+        "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
-    // IVF with the nprobe accuracy knob: probe the 2 nearest cells by
-    // decimal-exact centroid cosine, exact rerank within them
+    // IVF with the nprobe accuracy knob: probe the 2 nearest coarse
+    // cells by decimal-exact centroid cosine, exact rerank within them
     "a4_ivf_nprobe" -> ((s, d) =>
-      Ann.knnIvfProbe(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+      Ann.knnIvfProbe(
+        Ann.withCoarseCell(Tables.embeddings(s, d), "vec_id", "embedding", 64),
+        "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
 
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
@@ -589,6 +607,60 @@ object SparkEntry {
          |  FROM documents d
          |  LEFT JOIN (SELECT s, min(t) AS mn FROM reach GROUP BY s) mr
          |    ON mr.s = d.doc_id)""".stripMargin
+    def cosSql(a: String, b: String): String =
+      s"""round(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |          / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+         |           * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+    // Corpus-proportional coarse cells, shared by d5/d8 (blocking) and
+    // a3/a4 (IVF cells) — the same derivation Ann.coarseCellParams/
+    // anchorAssignments run, digit-for-digit: k1·k2 ≈ ceil(n/64)
+    // product cells; anchors = the k1+k2 rows with the smallest
+    // md5('cells:'||id), first k1 level 0, rest level 1; assignment =
+    // nearest anchor per level by ROUNDED cosine (ties by anchor idx);
+    // cell = idx0·k2 + idx1. `asg` keeps the top-2 anchors per level:
+    // rn=1 is the primary assignment, rn=2 the boundary probe. `cpr`
+    // is the near-dup candidate pair set: probe cells (all ≤4 of a
+    // row's top-2×top-2 product) joined against primary cells, each
+    // unordered pair reduced to its minimum meeting cell.
+    val cellCtes: String =
+      s"""par AS (
+         |  SELECT k1, CAST(ceil(cells / CAST(k1 AS DOUBLE)) AS BIGINT) AS k2 FROM (
+         |    SELECT cells, CAST(ceil(sqrt(CAST(cells AS DOUBLE))) AS BIGINT) AS k1 FROM (
+         |      SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS cells
+         |      FROM embeddings))),
+         |anch AS (
+         |  SELECT CASE WHEN rk <= (SELECT k1 FROM par) THEN 0 ELSE 1 END AS lvl,
+         |    CAST(CASE WHEN rk <= (SELECT k1 FROM par) THEN rk - 1
+         |         ELSE rk - 1 - (SELECT k1 FROM par) END AS INT) AS idx,
+         |    embedding AS avec
+         |  FROM (SELECT embedding, row_number() OVER (
+         |      ORDER BY md5('cells:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |    FROM embeddings)
+         |  WHERE rk <= (SELECT k1 FROM par) + (SELECT k2 FROM par)),
+         |asg AS (
+         |  SELECT vec_id, lvl, idx, rn FROM (
+         |    SELECT e.vec_id, a.lvl, a.idx,
+         |      row_number() OVER (PARTITION BY e.vec_id, a.lvl ORDER BY
+         |        ${cosSql("e.embedding", "a.avec")} DESC, a.idx) AS rn
+         |    FROM embeddings e CROSS JOIN anch a)
+         |  WHERE rn <= 2),
+         |pcell AS (
+         |  SELECT a0.vec_id,
+         |    CAST(a0.idx AS BIGINT) * (SELECT k2 FROM par) + a1.idx AS cell,
+         |    (a0.rn = 1 AND a1.rn = 1) AS is_primary
+         |  FROM asg a0 JOIN asg a1
+         |    ON a0.vec_id = a1.vec_id AND a0.lvl = 0 AND a1.lvl = 1),
+         |ccand AS (
+         |  SELECT least(p.vec_id, b.vec_id) AS id_a,
+         |    greatest(p.vec_id, b.vec_id) AS id_b, p.cell
+         |  FROM pcell p JOIN pcell b ON p.cell = b.cell AND b.is_primary
+         |  WHERE p.vec_id <> b.vec_id),
+         |cpr AS (
+         |  SELECT c.id_a, c.id_b, c.cell,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM (SELECT id_a, id_b, min(cell) AS cell FROM ccand GROUP BY 1, 2) c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b)""".stripMargin
     // a2's per-table bucket bits recomputed in SQL from the SAME seeded
     // planes (deterministic scala.util.Random(seed + table) Gaussians,
     // inlined as literals); both engines accumulate the dot
@@ -1337,20 +1409,16 @@ object SparkEntry {
         s"""WITH RECURSIVE $ccCtes
            |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin,
 
-      // semantic clusters over the d5 embedding near-dup graph:
+      // semantic clusters over the scaled embedding near-dup graph:
       // transitive closure, min-id label, exact size + the BOUNDED
       // 10-smallest member sample (NULLed past rank 10, mirrored by
-      // string_agg's null-skipping — the d1/t6 treatment)
+      // string_agg's null-skipping — the d1/t6 treatment). The cluster
+      // threshold is 0.4 (vs d5's 0.25 pair report): transitive
+      // chaining welds components, so the edge bar must sit above the
+      // random-cosine noise band, not at the exploratory pair threshold
       "d8_semantic_dedup" ->
-        """WITH RECURSIVE prs AS (
-          |  SELECT id_a, id_b FROM (
-          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |      round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          |        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-          |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-          |    FROM embeddings a JOIN embeddings b
-          |      ON a.label = b.label AND a.vec_id < b.vec_id)
-          |  WHERE cos >= 0.25),
+        s"""WITH RECURSIVE $cellCtes,
+          |prs AS (SELECT id_a, id_b FROM cpr WHERE cos >= 0.4),
           |ed AS (SELECT id_a, id_b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
           |reach(s, t) AS (
           |  SELECT id_a, id_b FROM ed
@@ -1403,14 +1471,9 @@ object SparkEntry {
           |WHERE jaccard >= 0.12 ORDER BY id_a, id_b""".stripMargin,
 
       "d5_embedding_neardup" ->
-        """SELECT cell, id_a, id_b, cos FROM (
-          |  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
-          |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-          |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-          |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-          |  FROM embeddings a JOIN embeddings b
-          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-          |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+        s"""WITH $cellCtes
+           |SELECT cell, id_a, id_b, cos FROM cpr
+           |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
       "a1_knn_brute" ->
         """SELECT query_id, nn_id, cos, rank FROM (
@@ -1426,52 +1489,57 @@ object SparkEntry {
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       "a3_ivf_coarse" ->
-        """SELECT query_id, nn_id, cos, rank FROM (
-          |  SELECT query_id, nn_id, cos,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
-          |  FROM (
-          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-          |      round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-          |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
-          |    FROM embeddings q JOIN embeddings c
-          |      ON c.vec_id <> q.vec_id AND c.label = q.label
-          |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        s"""WITH $cellCtes,
+           |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary)
+           |SELECT query_id, nn_id, cos, rank FROM (
+           |  SELECT query_id, nn_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+           |  FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           |      ${cosSql("q.embedding", "c.embedding")} AS cos
+           |    FROM embeddings q
+           |    JOIN cells cq ON cq.vec_id = q.vec_id
+           |    JOIN cells cn ON cn.cell = cq.cell
+           |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> q.vec_id
+           |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       // centroid components are DECIMAL-exact means (order-independent,
-      // so both engines get bit-identical centroids); probe the 2 cells
-      // nearest each query by rounded centroid cosine (ties by label),
-      // exact rerank within them
+      // so both engines get bit-identical centroids) over the SHARED
+      // corpus-proportional coarse cells; probe the 2 cells nearest
+      // each query by rounded centroid cosine (ties by cell id), exact
+      // rerank within them
       "a4_ivf_nprobe" ->
-        """WITH comp AS (
-          |  SELECT label, j AS i, CAST(embedding[j] AS DOUBLE) AS v
-          |  FROM embeddings, range(1, 65) t(j)),
+        s"""WITH $cellCtes,
+          |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
+          |comp AS (
+          |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
+          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
+          |    range(1, 65) t(j)),
           |cvec AS (
-          |  SELECT label, list(cv ORDER BY i) AS c_vec FROM (
-          |    SELECT label, i,
+          |  SELECT cell, list(cv ORDER BY i) AS c_vec FROM (
+          |    SELECT cell, i,
           |      CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
-          |    FROM comp GROUP BY label, i) GROUP BY label),
+          |    FROM comp GROUP BY cell, i) GROUP BY cell),
           |q AS (SELECT vec_id AS query_id, embedding AS q_emb
           |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
           |probed AS (
-          |  SELECT query_id, q_emb, label FROM (
-          |    SELECT q.query_id, q.q_emb, c.label,
+          |  SELECT query_id, q_emb, cell FROM (
+          |    SELECT q.query_id, q.q_emb, c.cell,
           |      row_number() OVER (PARTITION BY q.query_id ORDER BY
           |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
           |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.label) AS cr
+          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.cell) AS cr
           |    FROM q CROSS JOIN cvec c) WHERE cr <= 2)
           |SELECT query_id, nn_id, cos, rank FROM (
           |  SELECT query_id, nn_id, cos,
           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
           |  FROM (
           |    SELECT p.query_id, c.vec_id AS nn_id,
-          |      round(list_dot_product(CAST(p.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-          |        / (sqrt(list_dot_product(CAST(p.q_emb AS DOUBLE[]), CAST(p.q_emb AS DOUBLE[])))
-          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
-          |    FROM probed p JOIN embeddings c
-          |      ON c.label = p.label AND c.vec_id <> p.query_id))
+          |      ${cosSql("p.q_emb", "c.embedding")} AS cos
+          |    FROM probed p
+          |    JOIN cells cn ON cn.cell = p.cell
+          |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> p.query_id))
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       "x1_langid" ->

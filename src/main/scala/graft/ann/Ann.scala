@@ -220,6 +220,140 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k1/k2 for a 2-level product coarse quantizer with ~`n /
+    * targetCellSize` cells: k1 = ceil(sqrt(cells)), k2 = ceil(cells/k1).
+    * CELL COUNT GROWS WITH THE CORPUS (the fix for the fixed-10-label
+    * blocking that measured 18× wall for 10× data): in-cell pair work
+    * stays ~n·targetCellSize = linear, and assignment costs
+    * n·(k1+k2) = O(n^1.5/√targetCellSize) — the 2-level product keeps
+    * the anchor scan at 2·sqrt(cells) instead of a flat quantizer's
+    * `cells` (deeper products extend the same construction when even
+    * sqrt(cells) anchors per row is too many). Mirrored digit-for-digit
+    * by the DuckDB oracle (ceil over exact doubles both sides). */
+  def coarseCellParams(n: Long, targetCellSize: Int): (Int, Int) = {
+    require(targetCellSize > 0)
+    val cells = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
+    val k1 = math.ceil(math.sqrt(cells.toDouble)).toInt
+    val k2 = math.ceil(cells.toDouble / k1).toInt
+    (k1, k2)
+  }
+
+  /** Per-row, per-level nearest coarse anchors: (id, lvl ∈ {0,1},
+    * idx ∈ [0,k), rn ∈ [1,probe]) — rn ranks the level's anchors by
+    * ROUNDED cosine desc (ties by anchor idx), so both engines pick the
+    * same anchors (the a4 determinism treatment). Anchors are the
+    * k1+k2 corpus rows with the smallest md5("salt:id") — seeded,
+    * data-dependent, and reproducible in SQL (QUALIFY row_number) —
+    * first k1 are level 0, the rest level 1. The anchor pick is a
+    * distributed top-(k1+k2) (TakeOrderedAndProject), the assignment
+    * one broadcast join: n·(k1+k2) fused cosines, no shuffle wider
+    * than (id, lvl, idx). */
+  private[graft] def anchorAssignments(emb: DataFrame, id: String, vec: String,
+                                       k1: Int, k2: Int, probe: Int,
+                                       salt: String): DataFrame = {
+    val key = md5(concat(lit(salt + ":"), col(id).cast("string")))
+    // the window runs over exactly k1+k2 rows (post-limit) — the
+    // single-partition sort is k-sized, never corpus-sized
+    val anchors = emb
+      .select(col(id).as("__aid"), col(vec).as("__avec"), key.as("__akey"))
+      .orderBy(col("__akey"), col("__aid")).limit(k1 + k2)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__akey"), col("__aid"))))
+      .select(
+        when(col("__rk") <= k1, lit(0)).otherwise(lit(1)).as("lvl"),
+        (when(col("__rk") <= k1, col("__rk") - 1)
+          .otherwise(col("__rk") - 1 - k1)).cast("int").as("idx"),
+        col("__avec"))
+    emb.select(col(id), col(vec)).crossJoin(broadcast(anchors))
+      .select(col(id), col("lvl"), col("idx"),
+        Vec.cosine(col(vec), col("__avec")).as("__c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(id), col("lvl"))
+          .orderBy(col("__c").desc, col("idx").asc)))
+      .filter(col("rn") <= probe)
+      .select(col(id), col("lvl"), col("idx"), col("rn"))
+  }
+
+  /** Primary coarse cell per row: (id, cell), cell = idx0·k2 + idx1 —
+    * the corpus-proportional blocking/IVF key shared by the scaled
+    * near-dup tier (d5/d8) and the IVF queries (a3/a4). */
+  def coarseCells(emb: DataFrame, id: String, vec: String,
+                  targetCellSize: Int, salt: String = "cells"): DataFrame = {
+    val (k1, k2) = coarseCellParams(emb.count(), targetCellSize)
+    anchorAssignments(emb, id, vec, k1, k2, probe = 1, salt)
+      .groupBy(col(id))
+      .agg((max(when(col("lvl") === 0, col("idx"))).cast("long") * k2 +
+        max(when(col("lvl") === 1, col("idx"))).cast("long")).as("cell"))
+  }
+
+  /** `emb` with the primary coarse-cell column attached. */
+  def withCoarseCell(emb: DataFrame, id: String, vec: String,
+                     targetCellSize: Int, cellCol: String = "cell",
+                     salt: String = "cells"): DataFrame =
+    emb.join(coarseCells(emb, id, vec, targetCellSize, salt)
+      .withColumnRenamed("cell", cellCol), id)
+
+  /** Embedding near-dup pairs over CORPUS-PROPORTIONAL coarse cells —
+    * the scale tier of [[nearDupPairs]] (which stays as the
+    * fixed-cell exact form, the d4-grounds-d2 pattern).
+    *
+    * Blocking: each row's primary product cell (see [[coarseCells]]);
+    * candidates = same-cell pairs. Boundary probing: the PROBE side
+    * replicates to its top-2 anchors per level (≤4 cells), the build
+    * side stays at its primary — a near-identical pair whose argmax
+    * flips at one level (the only way a tiny perturbation splits a
+    * pair) still meets where the flipped row's 2nd choice is its
+    * twin's 1st. Candidate volume is ×(probe cells), still linear in
+    * the corpus. Each unordered pair may surface in several (cell,
+    * direction)s; the groupBy collapses it to one row with the
+    * MINIMUM meeting cell (deterministic, oracle-reproducible).
+    *
+    * Sub-block sharding as in [[nearDupPairs]]: the join key is
+    * (cell, sub-block), so even a pathological all-near-dup cell's
+    * quadratic candidate work spreads over `subBlocks` tasks.
+    *
+    * In-cell pair work: ~n·targetCellSize·probeCells = LINEAR in the
+    * corpus (the fixed-10-cell form measured 18× wall for 10× data;
+    * ScaleProbe's embeddings_8x leg measures this one). */
+  def nearDupPairsScaled(emb: DataFrame, id: String, vec: String,
+                         tau: Double, targetCellSize: Int = 128,
+                         subBlocks: Int = 8,
+                         salt: String = "cells"): DataFrame = {
+    val (k1, k2) = coarseCellParams(emb.count(), targetCellSize)
+    val asg = anchorAssignments(emb, id, vec, k1, k2, probe = 2, salt)
+    val a0 = asg.filter(col("lvl") === 0)
+      .select(col(id), col("idx").as("__i0"), col("rn").as("__r0"))
+    val a1 = asg.filter(col("lvl") === 1)
+      .select(col(id), col("idx").as("__i1"), col("rn").as("__r1"))
+    val probeCells = a0.join(a1, id)
+      .select(col(id),
+        (col("__i0").cast("long") * k2 + col("__i1")).as("cell"),
+        (col("__r0") === 1 && col("__r1") === 1).as("__primary"))
+    val withNorm = emb.select(col(id), col(vec),
+      Vec.normNative(col(vec)).as("__nrm"))
+    val p = probeCells
+      .join(withNorm, id)
+      .select(col(id).as("id_p"), col(vec).as("vec_p"), col("__nrm").as("np"),
+        col("cell"))
+      .withColumn("sb", explode(array((0 until subBlocks).map(lit): _*)))
+    val b = probeCells.filter(col("__primary"))
+      .join(withNorm, id)
+      .select(col(id).as("id_b"), col(vec).as("vec_b"), col("__nrm").as("nb"),
+        col("cell"), pmod(hash(col(id)), lit(subBlocks)).as("sb"))
+    p.join(b, Seq("cell", "sb"))
+      .filter(col("id_p") =!= col("id_b"))
+      .select(col("cell"),
+        least(col("id_p"), col("id_b")).as("id_a"),
+        greatest(col("id_p"), col("id_b")).as("id_b"),
+        Vec.cosinePrenormed(col("vec_p"), col("vec_b"),
+          col("np"), col("nb")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cell")).as("cell"), max(col("cos")).as("cos"))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau within the same coarse cell
     * (cell-blocked so the pair space never goes quadratic corpus-wide).
     *
