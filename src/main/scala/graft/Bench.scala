@@ -21,7 +21,7 @@ object Bench {
     val outFile =
       if (reps >= 3) requestedOut.getOrElse("BENCH_MEDIANS.json")
       else requestedOut match {
-        case Some(p) if !p.toUpperCase.contains("MEDIANS") => p
+        case Some(p) if !p.toUpperCase(java.util.Locale.ROOT).contains("MEDIANS") => p
         case other =>
           other.foreach(p => System.err.println(
             s"[bench] refusing to write $p with reps=$reps (< 3); writing BENCH_LAST_RUN.json"))

@@ -348,9 +348,12 @@ object SparkEntry {
     // 10-label blocking measured 18× wall for 10× data. The
     // fixed-cell exact form (Ann.nearDupPairs) remains the
     // correctness-grounding tier, the d4-grounds-d2 pattern.
+    // The coarse index (anchor assignment) is built ONCE per corpus
+    // via CellIndexCache and shared with d8/a3/a4 — n comes from
+    // parquet footers, so no count() job either.
     "d5_embedding_neardup" -> ((s, d) =>
-      Ann.nearDupPairsScaled(Tables.embeddings(s, d), "vec_id", "embedding",
-        tau = 0.25, targetCellSize = 64)),
+      Ann.nearDupPairsScaledIndexed(Tables.embeddings(s, d), "vec_id",
+        "embedding", tau = 0.25, graft.ann.CellIndexCache.embeddings(s, d))),
 
     "d6_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
@@ -374,8 +377,8 @@ object SparkEntry {
     // sit above the noise band.
     "d8_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Ann.nearDupPairsScaled(emb, "vec_id", "embedding",
-          tau = 0.4, targetCellSize = 64)
+      val pairs = Ann.nearDupPairsScaledIndexed(emb, "vec_id", "embedding",
+          tau = 0.4, graft.ann.CellIndexCache.embeddings(s, d))
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(emb.select(col("vec_id")), pairs, "vec_id")
         .groupBy(col("cluster_id"))
@@ -401,14 +404,16 @@ object SparkEntry {
     // depends on the synthetic fixed-10 `label` column any more
     "a3_ivf_coarse" -> ((s, d) =>
       Ann.knnBlocked(
-        Ann.withCoarseCell(Tables.embeddings(s, d), "vec_id", "embedding", 64),
+        Ann.withCoarseCellIndexed(Tables.embeddings(s, d), "vec_id",
+          graft.ann.CellIndexCache.embeddings(s, d)),
         "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
     // IVF with the nprobe accuracy knob: probe the 2 nearest coarse
     // cells by decimal-exact centroid cosine, exact rerank within them
     "a4_ivf_nprobe" -> ((s, d) =>
       Ann.knnIvfProbe(
-        Ann.withCoarseCell(Tables.embeddings(s, d), "vec_id", "embedding", 64),
+        Ann.withCoarseCellIndexed(Tables.embeddings(s, d), "vec_id",
+          graft.ann.CellIndexCache.embeddings(s, d)),
         "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
 
     // ---- F. text analysis ------------------------------------------------
@@ -626,7 +631,7 @@ object SparkEntry {
       s"""par AS (
          |  SELECT k1, CAST(ceil(cells / CAST(k1 AS DOUBLE)) AS BIGINT) AS k2 FROM (
          |    SELECT cells, CAST(ceil(sqrt(CAST(cells AS DOUBLE))) AS BIGINT) AS k1 FROM (
-         |      SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS cells
+         |      SELECT greatest(1, CAST(ceil(count(*) / ${Ann.DefaultTargetCellSize}.0) AS BIGINT)) AS cells
          |      FROM embeddings))),
          |anch AS (
          |  SELECT CASE WHEN rk <= (SELECT k1 FROM par) THEN 0 ELSE 1 END AS lvl,
@@ -634,7 +639,7 @@ object SparkEntry {
          |         ELSE rk - 1 - (SELECT k1 FROM par) END AS INT) AS idx,
          |    embedding AS avec
          |  FROM (SELECT embedding, row_number() OVER (
-         |      ORDER BY md5('cells:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         |      ORDER BY md5('${Ann.CellSalt}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
          |    FROM embeddings)
          |  WHERE rk <= (SELECT k1 FROM par) + (SELECT k2 FROM par)),
          |asg AS (
@@ -643,7 +648,7 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY e.vec_id, a.lvl ORDER BY
          |        ${cosSql("e.embedding", "a.avec")} DESC, a.idx) AS rn
          |    FROM embeddings e CROSS JOIN anch a)
-         |  WHERE rn <= 2),
+         |  WHERE rn <= ${Ann.CellProbe}),
          |pcell AS (
          |  SELECT a0.vec_id,
          |    CAST(a0.idx AS BIGINT) * (SELECT k2 FROM par) + a1.idx AS cell,

@@ -18,7 +18,21 @@ import graft.functions.Vec
   *  - random-hyperplane LSH bucketing (round 2) follows the same shape
   *    with sign-bit bucket keys.
   */
+/** A built coarse-cell index: the probe-`CellProbe` anchor assignment
+  * (`asg`: id, lvl ∈ {0,1}, idx, rn) plus the product dimensions. One
+  * index serves every consumer — near-dup blocking (rn ≤ 2 probe
+  * cells) and IVF cells (rn = 1 primary) — so the n·(k1+k2) anchor
+  * scan runs once per (corpus, cell size), not once per query. */
+final case class CoarseIndex(asg: DataFrame, k1: Int, k2: Int)
+
 object Ann {
+
+  /** The ONE place the coarse-cell constants live: the Scala plans
+    * below and SparkEntry's DuckDB oracle CTEs both interpolate these,
+    * so a retune cannot desynchronize the two engines silently. */
+  val DefaultTargetCellSize = 64
+  val CellSalt = "cells"
+  val CellProbe = 2
 
   /** Exact top-k cosine neighbors for each id in `queryIds`.
     * Deterministic: ranked by rounded cosine desc, then neighbor id.
@@ -235,8 +249,39 @@ object Ann {
     val cells = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
     val k1 = math.ceil(math.sqrt(cells.toDouble)).toInt
     val k2 = math.ceil(cells.toDouble / k1).toInt
+    // a level with no anchors would leave every row's cell NULL and
+    // silently drop it from every cell equi-join — fail loudly instead
+    // (only n = 1 can trip this: k1 + k2 ≈ 2·sqrt(n/cellSize) ≪ n)
+    require(n == 0 || n >= k1.toLong + k2,
+      s"corpus of $n rows cannot seat ${k1 + k2} coarse anchors " +
+        s"(targetCellSize=$targetCellSize) — rows would get NULL cells")
     (k1, k2)
   }
+
+  /** Build the shared coarse index for a corpus of `n` rows: one
+    * probe-[[CellProbe]] anchor assignment serving d5/d8 blocking and
+    * a3/a4 IVF cells alike. `n` should come from cheap metadata
+    * (parquet footers — [[graft.sources.ParquetStats.rowCount]]), not
+    * a `count()` job. The caller decides persistence. */
+  def buildCoarseIndex(emb: DataFrame, id: String, vec: String, n: Long,
+                       targetCellSize: Int = DefaultTargetCellSize,
+                       salt: String = CellSalt): CoarseIndex = {
+    val (k1, k2) = coarseCellParams(n, targetCellSize)
+    CoarseIndex(anchorAssignments(emb, id, vec, k1, k2, CellProbe, salt), k1, k2)
+  }
+
+  /** Primary cell per row, (id, cell), from a built index: the rn=1
+    * anchor of each level, cell = idx0·k2 + idx1. */
+  def cellsFromIndex(ix: CoarseIndex, id: String): DataFrame =
+    ix.asg.filter(col("rn") === 1)
+      .groupBy(col(id))
+      .agg((max(when(col("lvl") === 0, col("idx"))).cast("long") * ix.k2 +
+        max(when(col("lvl") === 1, col("idx"))).cast("long")).as("cell"))
+
+  /** `emb` with the primary coarse-cell column from a built index. */
+  def withCoarseCellIndexed(emb: DataFrame, id: String, ix: CoarseIndex,
+                            cellCol: String = "cell"): DataFrame =
+    emb.join(cellsFromIndex(ix, id).withColumnRenamed("cell", cellCol), id)
 
   /** Per-row, per-level nearest coarse anchors: (id, lvl ∈ {0,1},
     * idx ∈ [0,k), rn ∈ [1,probe]) — rn ranks the level's anchors by
@@ -278,20 +323,16 @@ object Ann {
     * the corpus-proportional blocking/IVF key shared by the scaled
     * near-dup tier (d5/d8) and the IVF queries (a3/a4). */
   def coarseCells(emb: DataFrame, id: String, vec: String,
-                  targetCellSize: Int, salt: String = "cells"): DataFrame = {
-    val (k1, k2) = coarseCellParams(emb.count(), targetCellSize)
-    anchorAssignments(emb, id, vec, k1, k2, probe = 1, salt)
-      .groupBy(col(id))
-      .agg((max(when(col("lvl") === 0, col("idx"))).cast("long") * k2 +
-        max(when(col("lvl") === 1, col("idx"))).cast("long")).as("cell"))
-  }
+                  targetCellSize: Int, salt: String = CellSalt): DataFrame =
+    cellsFromIndex(buildCoarseIndex(emb, id, vec, emb.count(),
+      targetCellSize, salt), id)
 
   /** `emb` with the primary coarse-cell column attached. */
   def withCoarseCell(emb: DataFrame, id: String, vec: String,
                      targetCellSize: Int, cellCol: String = "cell",
-                     salt: String = "cells"): DataFrame =
-    emb.join(coarseCells(emb, id, vec, targetCellSize, salt)
-      .withColumnRenamed("cell", cellCol), id)
+                     salt: String = CellSalt): DataFrame =
+    withCoarseCellIndexed(emb, id,
+      buildCoarseIndex(emb, id, vec, emb.count(), targetCellSize, salt), cellCol)
 
   /** Embedding near-dup pairs over CORPUS-PROPORTIONAL coarse cells —
     * the scale tier of [[nearDupPairs]] (which stays as the
@@ -316,11 +357,23 @@ object Ann {
     * corpus (the fixed-10-cell form measured 18× wall for 10× data;
     * ScaleProbe's embeddings_8x leg measures this one). */
   def nearDupPairsScaled(emb: DataFrame, id: String, vec: String,
-                         tau: Double, targetCellSize: Int = 128,
+                         tau: Double,
+                         targetCellSize: Int = DefaultTargetCellSize,
                          subBlocks: Int = 8,
-                         salt: String = "cells"): DataFrame = {
-    val (k1, k2) = coarseCellParams(emb.count(), targetCellSize)
-    val asg = anchorAssignments(emb, id, vec, k1, k2, probe = 2, salt)
+                         salt: String = CellSalt): DataFrame =
+    nearDupPairsScaledIndexed(emb, id, vec, tau,
+      buildCoarseIndex(emb, id, vec, emb.count(), targetCellSize, salt),
+      subBlocks)
+
+  /** [[nearDupPairsScaled]] over a pre-built (usually persisted and
+    * shared) [[CoarseIndex]] — the form the d5/d8/a3/a4 query family
+    * uses so the anchor assignment runs once per corpus, not once per
+    * query. */
+  def nearDupPairsScaledIndexed(emb: DataFrame, id: String, vec: String,
+                                tau: Double, ix: CoarseIndex,
+                                subBlocks: Int = 8): DataFrame = {
+    val k2 = ix.k2
+    val asg = ix.asg
     val a0 = asg.filter(col("lvl") === 0)
       .select(col(id), col("idx").as("__i0"), col("rn").as("__r0"))
     val a1 = asg.filter(col("lvl") === 1)
