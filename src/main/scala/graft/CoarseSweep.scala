@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.sources.Tables
+
+/** Recall sweep for the corpus-proportional coarse-cell blocking (dev
+  * tool; judge artifact ANN_SWEEP_r8.json):
+  *
+  *  - d5/d8 tier: `nearDupPairsScaled` pair set vs the EXACT all-pairs
+  *    cosine >= tau set (one-cell `nearDupPairs` brute force —
+  *    affordable at these sfs), at both thresholds the entry queries
+  *    use (0.25 pair report, 0.4 cluster edges), per sf.
+  *  - a3/a4 tier: IVF recall@10 vs exact `knnBrute` under the SAME
+  *    coarse cells, across nprobe in {1, 2, 4} (a3 = primary-cell-only,
+  *    the knnBlocked shape; a4 = centroid-probed knnIvfProbe).
+  *
+  * The former sweep (ANN_SWEEP_r6) scored the fixed-10-`label` cells;
+  * this one scores the blocking the queries actually run since r7. */
+object CoarseSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("GRAFT_COARSE_OUT", "ANN_SWEEP_r8.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def med3(f: => Unit): Double = Seq(time(f), time(f), time(f)).sorted.apply(1)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+
+    val sections = sfDirs.map { sfDir =>
+      val emb = Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding").localCheckpoint()
+      val n = emb.count()
+      val ix = Ann.buildCoarseIndex(emb, "vec_id", "embedding", n)
+      ix.asg.persist().count()
+
+      val ndRows = Seq(0.25, 0.4).map { tau =>
+        // ground truth: every pair, one cell, exact cosine
+        val exact = pairSet(Ann.nearDupPairs(
+          emb.withColumn("c", lit(0L)), "vec_id", "embedding", "c", tau))
+        val scaledDf = Ann.nearDupPairsScaledIndexed(
+          emb, "vec_id", "embedding", tau, ix)
+        val scaled = pairSet(scaledDf)
+        val lat = med3(scaledDf.count())
+        val found = (scaled & exact).size
+        val spurious = (scaled -- exact).size // must be 0: cosines are exact
+        val recall = if (exact.isEmpty) -1.0 else found.toDouble / exact.size
+        println(f"[$sfDir] neardup tau=$tau exact=${exact.size} " +
+          f"scaled=${scaled.size} recall=$recall%.3f spurious=$spurious lat=$lat%.2fs")
+        f"""    {"tau": $tau, "exact_pairs": ${exact.size},
+           |     "scaled_pairs": ${scaled.size}, "found": $found,
+           |     "spurious": $spurious, "recall": $recall%.4f,
+           |     "median_s": $lat%.3f}""".stripMargin
+      }
+
+      val truth = Ann.knnBrute(emb, "vec_id", "embedding", queries, k)
+        .select("query_id", "nn_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val withCell = Ann.withCoarseCellIndexed(emb, "vec_id", ix).localCheckpoint()
+      def recallOf(df: DataFrame): Double = {
+        val got = df.select("query_id", "nn_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      val a3df = Ann.knnBlocked(withCell, "vec_id", "embedding", "cell", queries, k)
+      val a3Recall = recallOf(a3df)
+      val a3Lat = med3(a3df.count())
+      println(f"[$sfDir] a3 primary-cell recall@$k=$a3Recall%.2f lat=$a3Lat%.2fs")
+      val ivfRows = Seq(1, 2, 4).map { nprobe =>
+        val df = Ann.knnIvfProbe(withCell, "vec_id", "embedding", "cell",
+          queries, k, nprobe)
+        val r = recallOf(df)
+        val lat = med3(df.count())
+        println(f"[$sfDir] a4 nprobe=$nprobe recall@$k=$r%.2f lat=$lat%.2fs")
+        f"""    {"nprobe": $nprobe, "recall_at_$k": $r%.3f, "median_s": $lat%.3f}"""
+      }
+      ix.asg.unpersist()
+      s"""  {"sf_dir": "$sfDir", "n": $n, "k1": ${ix.k1}, "k2": ${ix.k2},
+         |   "neardup_vs_exact": [
+         |${ndRows.mkString(",\n")}
+         |   ],
+         |   "a3_primary_cell": {"recall_at_$k": ${f"$a3Recall%.3f"}, "median_s": ${f"$a3Lat%.3f"}},
+         |   "a4_ivf_nprobe": [
+         |${ivfRows.mkString(",\n")}
+         |   ]}""".stripMargin
+    }
+    val json =
+      s"""{"blocking": "corpus-proportional 2-level product coarse cells (r7 rework)",
+         |"queries": ${queries.size}, "k": $k,
+         |"sweeps": [
+         |${sections.mkString(",\n")}
+         |]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(s"[coarsesweep] wrote $out")
+    spark.stop()
+  }
+}

@@ -116,6 +116,64 @@ object ScaleProbe {
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
 
+    // embedding near-dup + semantic dedup at 8x and 64x corpus — the
+    // round-7 coarse-cell claim under MEASUREMENT: the former fixed
+    // 10-cell blocking ran 18x wall for 10x data (every new vector
+    // landed in one of 10 static cells, in-cell pair work quadratic);
+    // corpus-proportional product cells (k1·k2 ≈ n/64) keep in-cell
+    // pair work ~n·cellSize·probeCells = linear. Replicas are
+    // dimension-ROTATED (the embedding analog of the rotated-alphabet
+    // doc trick): a circular shift preserves norms and in-replica
+    // cosines — each replica carries the same internal near-dup
+    // structure, so true pair mass grows ~linearly — while
+    // cross-replica cosines fall into the random band. This measures
+    // operator scaling, not a planted candidate blowup.
+    def rotatedEmb(reps: Int): DataFrame = {
+      val e1 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      (0 until reps).map { i =>
+        val s = i % 64
+        val rot = if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
+        e1.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          rot.as("embedding"))
+      }.reduce(_ unionByName _)
+    }
+    def embAt(reps: Int): DataFrame = {
+      val p = s"/tmp/graft_scale/$slug/embeddings_x$reps"
+      if (!new java.io.File(p).exists())
+        rotatedEmb(reps).repartition(32).write.parquet(p)
+      spark.read.parquet(p)
+    }
+    // the d8 composition verbatim (CC over tau=0.4 pairs + bounded
+    // member sample); neardup is the d5 call (tau=0.25)
+    def ndSuite(emb: DataFrame): Map[String, Double] = Map(
+      "neardup" -> med3(graft.ann.Ann.nearDupPairsScaled(
+        emb, "vec_id", "embedding", tau = 0.25).count()),
+      "semantic_dedup" -> med3 {
+        val pairs = graft.ann.Ann.nearDupPairsScaled(
+            emb, "vec_id", "embedding", tau = 0.4)
+          .select(col("id_a"), col("id_b"))
+        graft.dedup.Dedup.connectedComponents(
+            emb.select(col("vec_id")), pairs, "vec_id")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            concat_ws(",", graft.dedup.Dedup
+              .collectMinK(col("vec_id"), 10).cast("array<string>"))
+              .as("member_ids"))
+          .count()
+      })
+    val (embA, embB, embC) = (embAt(1), embAt(8), embAt(64))
+    ndSuite(embA) // warm-up
+    val nd1x = ndSuite(embA)
+    val nd8x = ndSuite(embB)
+    val nd64x = ndSuite(embC)
+    println(f"${"embedding op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ${"64x(s)"}%8s 8x/1x 64x/8x")
+    nd1x.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${nd1x(k)}%8.2f ${nd8x(k)}%8.2f ${nd64x(k)}%8.2f " +
+        f"${nd8x(k) / nd1x(k)}%5.1fx ${nd64x(k) / nd8x(k)}%5.1fx")
+    }
+
     // hot-shingle exact Jaccard, in PPJoin's actual win zone: docs
     // DOMINATED by shared boilerplate (df = n_docs shingles carry the
     // Σdf² mass) at a HIGH similarity threshold (tau = 0.8 → each doc
@@ -144,8 +202,16 @@ object ScaleProbe {
     val pairsD = graft.dedup.Dedup.jaccardDirect(shJ, 0.8).count()
     val pairsP = graft.dedup.Dedup.jaccardPrefix(shJ, dfcJ, 0.8).count()
     require(pairsD == pairsP, s"plans disagree: direct=$pairsD prefix=$pairsP")
+    // PPJoin positional filter A/B: candidates entering the exact
+    // verify join with/without the position bound (r6 ask; lossless —
+    // the pair count equality above already covers the filtered plan)
+    val candNoPos = graft.dedup.Dedup
+      .jaccardPrefixCandidates(shJ, dfcJ, 0.8, positional = false).count()
+    val candPos = graft.dedup.Dedup
+      .jaccardPrefixCandidates(shJ, dfcJ, 0.8, positional = true).count()
     println(f"${"hot-shingle jaccard"}%-20s direct $jacD%8.2f prefix $jacP%8.2f " +
-      f"ratio ${jacD / jacP}%5.1fx pairs=$pairsD")
+      f"ratio ${jacD / jacP}%5.1fx pairs=$pairsD " +
+      f"verify_cand=$candNoPos->$candPos (positional)")
 
     // skew: the same 8x volume but EVERY row on one key. The bucketized
     // interval join keeps its parallelism (the hot key shards across
@@ -361,6 +427,8 @@ object ScaleProbe {
       s"""{
          |"events_8x_vs_1x": ${sect(r1, r8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
+         |"embeddings_8x_vs_1x": ${sect(nd1x, nd8x)},
+         |"embeddings_64x_vs_8x": ${sect(nd8x, nd64x)},
          |"skew_all_rows_one_key_vs_uniform_8x": ${sect(uni, skw)},
          |"interval_join_skew_decomposition": {
          |  "keys": $nKeys,
@@ -373,7 +441,10 @@ object ScaleProbe {
          |"hot_shingle_jaccard_boilerplate_heavy_tau08": {
          |  "direct_s": ${f"$jacD%.3f"}, "prefix_s": ${f"$jacP%.3f"},
          |  "direct_over_prefix": ${f"${jacD / jacP}%.2f"},
-         |  "pairs": $pairsD
+         |  "pairs": $pairsD,
+         |  "verify_candidates_unfiltered": $candNoPos,
+         |  "verify_candidates_positional": $candPos,
+         |  "positional_cut_pct": ${f"${100.0 * (candNoPos - candPos) / math.max(1L, candNoPos)}%.1f"}
          |},
          |"hot_bucket": {
          |  "neardup_one_cell_unsharded_vs_subblocks8":

@@ -142,9 +142,23 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
-  /** The prefix-filtered plan — pays when hot shingles dominate Σdf². */
-  private[graft] def jaccardPrefix(sh: DataFrame, dfc: DataFrame,
-                                   tau: Double): DataFrame = {
+  /** Candidate pairs of the prefix plan, optionally with PPJoin's
+    * POSITIONAL filter (Xiao et al. WWW'08 §3.2). Both docs order
+    * their shingles by the same global (df, shingle) key, so a shared
+    * shingle sits at consistent relative positions: the pair's
+    * globally-FIRST shared shingle is `(min ra, min rb)` over the
+    * joined prefix matches (ordering consistency makes the two mins
+    * coincide on one shingle, and the prefix being a PREFIX of the
+    * global order means no earlier shared shingle can hide outside
+    * it). Overlap is then ≤ 1 + min(n_a − ra, n_b − rb), while J ≥ τ
+    * requires overlap ≥ τ/(1+τ)·(n_a+n_b) — candidates whose bound
+    * falls short are provably below τ and never reach the verify
+    * join (the 1e-6 slack keeps float rounding on the keep side, as
+    * with the prefix length). Lossless: only pairs with a proven
+    * overlap deficit are cut. */
+  private[graft] def jaccardPrefixCandidates(sh: DataFrame, dfc: DataFrame,
+                                             tau: Double,
+                                             positional: Boolean = true): DataFrame = {
     val id = sh.columns.head
     // global df → rarest-first rank within each doc → prefix
     val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("shingle"))
@@ -153,13 +167,30 @@ object Dedup {
       .withColumn("__rn", row_number().over(wDoc))
       // df=1 prefix entries only ever self-join — drop them
       .filter(col("__rn") <= prefixLen && col("__df") >= 2)
-      .select(col(id), col("n_sh"), col("shingle"))
-    val pa = prefix.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val pb = prefix.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
-    val cand = pa.join(pb, Seq("shingle"))
+      .select(col(id), col("n_sh"), col("shingle"), col("__rn"))
+    val pa = prefix.select(col(id).as("id_a"), col("n_sh").as("n_a"),
+      col("shingle"), col("__rn").as("__ra"))
+    val pb = prefix.select(col(id).as("id_b"), col("n_sh").as("n_b"),
+      col("shingle"), col("__rn").as("__rb"))
+    val joined = pa.join(pb, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")) >= lit(tau) * greatest(col("n_a"), col("n_b")))
-      .select("id_a", "id_b", "n_a", "n_b").distinct()
+    // the groupBy doubles as the old .distinct()
+    val cand = joined.groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(min(col("__ra")).as("__ra"), min(col("__rb")).as("__rb"))
+    val pruned =
+      if (!positional) cand
+      else cand.filter(
+        lit(1) + least(col("n_a") - col("__ra"), col("n_b") - col("__rb")) >=
+          lit(tau / (1.0 + tau)) * (col("n_a") + col("n_b")) - lit(1e-6))
+    pruned.select("id_a", "id_b", "n_a", "n_b")
+  }
+
+  /** The prefix-filtered plan — pays when hot shingles dominate Σdf². */
+  private[graft] def jaccardPrefix(sh: DataFrame, dfc: DataFrame,
+                                   tau: Double): DataFrame = {
+    val id = sh.columns.head
+    val cand = jaccardPrefixCandidates(sh, dfc, tau)
     // exact verify: count the full shared-shingle overlap per candidate
     val ea = sh.select(col(id).as("id_a"), col("shingle"))
     val eb = sh.select(col(id).as("id_b"), col("shingle"))

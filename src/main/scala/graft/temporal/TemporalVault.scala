@@ -37,6 +37,7 @@ class TemporalVault(
     key: String = "record_id", ts: String = "ts", tie: String = "seq",
     cacheTtlSeconds: Long = 3600L, cacheMaxEntries: Int = 64,
     auditSampleK: Int = 100,
+    invalidateIdCap: Int = 1000,
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private val logDir = s"$root/log"
@@ -213,17 +214,29 @@ class TemporalVault(
     doomed.foreach { k => cache(k).df.unpersist(); cache.remove(k) }
   }
 
-  /** Drop per-record entries for the ids `batch` touches: the few
-    * cached ids (≤ cacheMaxEntries) are matched against the batch —
-    * bounded work however large the append is. */
+  /** Drop per-record entries for the ids `batch` touches. Driver-side
+    * work is BOUNDED twice over, however large the append or the
+    * cache: the matched/collected id set is capped at
+    * `invalidateIdCap` — past it (a cache configured far above the
+    * default 64 entries meeting a massive multi-record append), the
+    * precise diff would mean a giant `isin` literal plus an unbounded
+    * driver collect, so we flush the whole record cache instead
+    * (correct, merely less precise — the rollback path's behavior). */
   private def invalidateRecords(batch: DataFrame): Unit = {
     val cachedIds = recordCache.synchronized(recordCache.keys.toSeq)
     if (cachedIds.nonEmpty) {
-      val touched = batch.filter(col(key).cast("string").isin(cachedIds: _*))
-        .select(col(key).cast("string")).distinct().collect().map(_.getString(0))
-      recordCache.synchronized {
-        touched.foreach { k =>
-          recordCache.get(k).foreach { e => e.df.unpersist(); recordCache.remove(k) }
+      if (cachedIds.size > invalidateIdCap) {
+        recordCache.synchronized {
+          recordCache.values.foreach(_.df.unpersist()); recordCache.clear()
+        }
+      } else {
+        // touched ⊆ cachedIds, so the collect is ≤ invalidateIdCap rows
+        val touched = batch.filter(col(key).cast("string").isin(cachedIds: _*))
+          .select(col(key).cast("string")).distinct().collect().map(_.getString(0))
+        recordCache.synchronized {
+          touched.foreach { k =>
+            recordCache.get(k).foreach { e => e.df.unpersist(); recordCache.remove(k) }
+          }
         }
       }
     }

@@ -95,6 +95,48 @@ class DedupAnnTextSpec extends SparkSpec {
     }
   }
 
+  test("positional filter cuts verify candidates without changing the pair set") {
+    // Deterministic adversarial corpus at tau=0.8 (word-3-shingles,
+    // so each doc has 30 distinct shingles and prefixLen = 7):
+    //  - 20 NEAR-MISS pairs: 6 unique junk words (-> 6 df=1 shingles,
+    //    positions 1-6, excluded by the df>=2 prefix rule), then a
+    //    pair-shared 3-word marker (-> df=2 shingles from position 7,
+    //    the only prefix survivors), then common boilerplate. The pair
+    //    joins at first shared position ra=rb=7: overlap bound
+    //    1+min(30-7)=24 < ceil(0.8/1.8*60)=27 -> positionally CUT,
+    //    and indeed J=24/36=0.67 < 0.8.
+    //  - 10 CLONE pairs (J=1.0): everything pair-shared, first shared
+    //    position 1, bound 30 >= 27 -> kept, verified, reported.
+    val boiler = (1 to 60).map(j => s"b${j % 21}").mkString(" ")
+    val nearMiss = (0 until 40).map { i =>
+      val junk = (1 to 6).map(j => s"u${i}_$j").mkString(" ")
+      val marker = (1 to 3).map(j => s"m${i / 2}_$j").mkString(" ")
+      (i.toLong, s"$junk $marker $boiler")
+    }
+    val clones = (0 until 20).map { i =>
+      val junk = (1 to 6).map(j => s"c${i / 2}_$j").mkString(" ")
+      val marker = (1 to 3).map(j => s"k${i / 2}_$j").mkString(" ")
+      (100L + i, s"$junk $marker $boiler")
+    }
+    val docs = (nearMiss ++ clones).toDF("doc_id", "text")
+    val sh = Dedup.shinglePostings(docs, "doc_id", "text", 3).localCheckpoint()
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint()
+    val candNo = Dedup.jaccardPrefixCandidates(sh, dfc, 0.8, positional = false)
+    val candPos = Dedup.jaccardPrefixCandidates(sh, dfc, 0.8, positional = true)
+    val nNo = candNo.count(); val nPos = candPos.count()
+    assert(nNo == 30, s"expected 30 unfiltered candidates, got $nNo")
+    assert(nPos == 10, s"positional filter should cut the 20 near-miss pairs ($nNo -> $nPos)")
+    // lossless: same final pair set as the direct plan = the 10 clones
+    val direct = Dedup.jaccardDirect(sh, 0.8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPrefix(sh, dfc, 0.8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(prefix == direct)
+    assert(direct.map(p => (p._1, p._2)) ==
+      (0 until 10).map(i => (100L + 2 * i, 101L + 2 * i)).toSet)
+  }
+
   test("ngram jaccard returns empty on an empty corpus (no NPE)") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).isEmpty)

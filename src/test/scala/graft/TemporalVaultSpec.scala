@@ -15,6 +15,35 @@ class TemporalVaultSpec extends SparkSpec {
     new TemporalVault(spark, dir)
   }
 
+  test("record-cache invalidation: precise under the id cap, flush-all past it") {
+    val dir = java.nio.file.Files.createTempDirectory("vault").toString
+    // cache can hold 8 record entries but the precise-diff path is
+    // capped at 4 ids — past it the whole record cache must flush
+    val v = new TemporalVault(spark, dir, cacheMaxEntries = 8, invalidateIdCap = 4)
+    v.append(batch((1 to 6).map(i =>
+      (s"u$i", "2024-01-01 00:00:00", i.toLong, "a")): _*))
+
+    // UNDER the cap: 3 cached ids, batch touches u1 only -> u2/u3 stay hot
+    Seq("u1", "u2", "u3").foreach(id => v.recordCached(id).count())
+    val hits0 = v.cacheStats("hits")
+    v.append(batch(("u1", "2024-01-02 00:00:00", 10, "b")))
+    v.recordCached("u2").count(); v.recordCached("u3").count()
+    assert(v.cacheStats("hits") == hits0 + 2, "untouched ids were invalidated")
+    val miss0 = v.cacheStats("misses")
+    v.recordCached("u1").count()
+    assert(v.cacheStats("misses") == miss0 + 1, "touched id survived invalidation")
+    assert(v.recordCached("u1").select("data").as[String].head() == "b")
+
+    // PAST the cap: 6 cached ids > cap 4 -> flush-all (every id misses),
+    // and no unbounded isin/collect runs against the append
+    (1 to 6).foreach(i => v.recordCached(s"u$i").count())
+    v.append(batch(("u9", "2024-01-03 00:00:00", 20, "c")))
+    val missFlush = v.cacheStats("misses")
+    (1 to 6).foreach(i => v.recordCached(s"u$i").count())
+    assert(v.cacheStats("misses") == missFlush + 6,
+      "flush-all path left stale entries cached")
+  }
+
   private def batch(rows: (String, String, Long, String)*) =
     rows.toDF("record_id", "ts_s", "seq", "data")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
