@@ -69,6 +69,33 @@ object CoarseSweep {
            |     "median_s": $lat%.3f}""".stripMargin
       }
 
+      // Planted TRUE near-dups (the AnnSweep construction: xxhash64
+      // perturbation to cos ~0.95 — a re-encoded/boilerplate document,
+      // not a noise-band pair): recall of twin pairs through the
+      // scaled tier at tau=0.9 is the number that predicts dedup
+      // recall on a real corpus. The synthetic corpus's own tau=0.25
+      // "pairs" sit ~75 deg apart (max pair cosine ~0.6) — blocking
+      // SHOULD separate those; their recall above measures the noise
+      // band, not the operator's dedup power.
+      val planted = emb
+        .withColumn("u", transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64(col("vec_id"), i), lit(2001L)).cast("double") - 1000.0) / 1000.0))
+        .withColumn("scale", lit(0.329) *
+          graft.functions.Vec.norm(col("embedding")) / graft.functions.Vec.norm(col("u")))
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          zip_with(col("embedding").cast("array<double>"), col("u"),
+            (a, b) => a + col("scale") * b).cast("array<float>").as("embedding"))
+      val twinCorpus = emb.unionByName(planted).localCheckpoint()
+      val ix2 = Ann.buildCoarseIndex(twinCorpus, "vec_id", "embedding", 2 * n)
+      ix2.asg.persist().count()
+      val twinPairs = Ann.nearDupPairsScaledIndexed(
+          twinCorpus, "vec_id", "embedding", 0.9, ix2)
+        .filter(col("id_b") === col("id_a") + 10000000L).count()
+      ix2.asg.unpersist()
+      val twinRecall = twinPairs.toDouble / n
+      println(f"[$sfDir] planted-twin (cos~0.95) recall through scaled tier: " +
+        f"$twinPairs/$n = $twinRecall%.3f")
+
       val truth = Ann.knnBrute(emb, "vec_id", "embedding", queries, k)
         .select("query_id", "nn_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -95,6 +122,7 @@ object CoarseSweep {
          |   "neardup_vs_exact": [
          |${ndRows.mkString(",\n")}
          |   ],
+         |   "planted_twin_cos095_recall_tau09": ${f"$twinRecall%.4f"},
          |   "a3_primary_cell": {"recall_at_$k": ${f"$a3Recall%.3f"}, "median_s": ${f"$a3Lat%.3f"}},
          |   "a4_ivf_nprobe": [
          |${ivfRows.mkString(",\n")}
