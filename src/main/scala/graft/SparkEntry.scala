@@ -350,10 +350,12 @@ object SparkEntry {
     // correctness-grounding tier, the d4-grounds-d2 pattern.
     // The coarse index (anchor assignment) is built ONCE per corpus
     // via CellIndexCache and shared with d8/a3/a4 — n comes from
-    // parquet footers, so no count() job either.
+    // parquet footers, so no count() job either. The PAIR TABLE is
+    // shared too: scored once at BaseTau (= d5's reporting tau) and
+    // served to d8 as a filter, the one-pair-table-many-consumers
+    // shape of a real curation pipeline.
     "d5_embedding_neardup" -> ((s, d) =>
-      Ann.nearDupPairsScaledIndexed(Tables.embeddings(s, d), "vec_id",
-        "embedding", tau = 0.25, graft.ann.CellIndexCache.embeddings(s, d))),
+      graft.ann.CellIndexCache.scaledPairs(s, d)),
 
     "d6_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
@@ -377,8 +379,11 @@ object SparkEntry {
     // sit above the noise band.
     "d8_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Ann.nearDupPairsScaledIndexed(emb, "vec_id", "embedding",
-          tau = 0.4, graft.ann.CellIndexCache.embeddings(s, d))
+      // = nearDupPairsScaledIndexed at tau=0.4: the tau filter
+      // commutes with the pair aggregation (cosine constant per pair
+      // across meeting cells; CoarseCellSpec pins the equivalence)
+      val pairs = graft.ann.CellIndexCache.scaledPairs(s, d)
+        .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(emb.select(col("vec_id")), pairs, "vec_id")
         .groupBy(col("cluster_id"))

@@ -37,6 +37,22 @@ object StreamProbe {
       time("ts21 version monitor")(
         graft.streaming.Streams.versionMonitorStream(spark, sfDir).count())
     }
+    // GRAFT_STREAM_BREAKDOWN=1: decompose the ts12 drain wall into
+    // batch-agg work vs state-store machinery vs memory-sink collect
+    if (sys.env.get("GRAFT_STREAM_BREAKDOWN").contains("1")) {
+      println("-- ts12 floor decomposition (median-ish: 2nd of 2 warm runs)")
+      import org.apache.spark.sql.functions.col
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select("user_id", "ts", "event_id", "value")
+      (1 to 2).foreach { _ =>
+        time("batch twin")(graft.operators.TimeSeries
+          .sessionize(ev, "user_id", "ts", "event_id", "value", 1800L).count())
+        time("stream foreachBatch")(graft.streaming.Streams
+          .sessionizeStreamCountOnly(spark, sfDir, "30 minutes"))
+        time("stream memory sink")(graft.streaming.Streams
+          .sessionizeStream(spark, sfDir, "30 minutes").count())
+      }
+    }
     spark.stop()
   }
 }

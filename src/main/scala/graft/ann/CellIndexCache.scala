@@ -41,6 +41,35 @@ object CellIndexCache {
     } else ix
   }
 
+  /** The base threshold the shared pair table is scored at — d5's
+    * reporting tau. Any consumer with tau >= BaseTau is a FILTER of
+    * this table: a pair's cosine is constant across its meeting
+    * cells, so the tau predicate commutes with the min-cell/max-cos
+    * aggregation (spec-checked in CoarseCellSpec). */
+  val BaseTau = 0.25
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** Near-dup pairs over `dir`'s embeddings at [[BaseTau]], built on
+    * the shared index and persisted — ONE pair-scoring job serves
+    * d5 (identity) and d8 (cos >= 0.4 filter + connected components),
+    * the way a real curation pipeline materializes its pair table
+    * once and derives reports and clusters from it. */
+  def scaledPairs(spark: SparkSession, dir: String,
+                  id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.nearDupPairsScaledIndexed(
+        Tables.embeddings(spark, dir), id, vec, BaseTau, embeddings(spark, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = pairsCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      pairsCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** Unpersist and forget every cached index (test hygiene). */
   def clear(): Unit = {
     cache.values.foreach { ix =>
@@ -48,5 +77,9 @@ object CellIndexCache {
         ix.asg.unpersist()
     }
     cache.clear()
+    pairsCache.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    pairsCache.clear()
   }
 }

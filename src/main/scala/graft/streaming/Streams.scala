@@ -241,4 +241,37 @@ object Streams {
     drainToTable(spark, agg, "graft_ts12")
       .select("user_id", "start_us", "end_us", "n_events", "total_value")
   }
+
+  /** ts12 floor decomposition (dev; StreamProbe's breakdown mode): the
+    * SAME session aggregation drained through a foreachBatch row-count
+    * sink — identical state-store work, but the ~1M-session result
+    * stays distributed instead of being collected into the driver-side
+    * memory-sink table. The memory-sink drain minus this = the
+    * harness's collect share of the ts12 wall; this minus the batch
+    * twin = the state-store machinery share. */
+  private[graft] def sessionizeStreamCountOnly(spark: SparkSession,
+                                               sfDir: String,
+                                               gap: String): Long = {
+    val agg = eventStream(drainSession(spark, sourceRows(spark, sfDir)), sfDir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val ckptBase = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
+      .find(p => new java.io.File(p).canWrite).get
+    val ckpt = s"$ckptBase/graft_ckpt/ts12_foreach-${System.nanoTime()}"
+    @volatile var n = 0L
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     _: Long) => { n = df.count(); () })
+      .start()
+    try q.awaitTermination()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    n
+  }
 }

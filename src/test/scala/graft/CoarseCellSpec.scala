@@ -93,6 +93,21 @@ class CoarseCellSpec extends SparkSpec {
     assert(p1 == unsharded)
   }
 
+  test("tau filter commutes with the pair aggregation (d8 = filtered d5 pair table)") {
+    // a pair's cosine is constant across its meeting cells, so
+    // scoring at a low base tau and filtering must equal scoring at
+    // the higher tau directly — the identity CellIndexCache.scaledPairs
+    // relies on to serve d5 and d8 from one job
+    val direct = Ann.nearDupPairsScaledIndexed(corpus, "vec_id", "embedding",
+        0.6, index)
+      .select("cell", "id_a", "id_b", "cos").collect().toSeq
+    val filtered = Ann.nearDupPairsScaledIndexed(corpus, "vec_id", "embedding",
+        0.25, index)
+      .filter(col("cos") >= 0.6)
+      .select("cell", "id_a", "id_b", "cos").collect().toSeq
+    assert(direct.nonEmpty && direct == filtered)
+  }
+
   test("shared CellIndexCache matches a from-scratch build and footer count matches count()") {
     val emb = Tables.embeddings(spark, sfDir)
     assert(ParquetStats.rowCount(spark, s"$sfDir/embeddings.parquet") == emb.count())
