@@ -34,6 +34,11 @@ object Ann {
   val CellSalt = "cells"
   val CellProbe = 2
 
+  /** Primary occupancy above which a coarse cell's in-cell pair work
+    * is spread over sub-blocks (below it, ≤ threshold² candidate dots
+    * fit one task and replication would only inflate the exchange). */
+  val DefaultHotCellThreshold = 4 * DefaultTargetCellSize
+
   /** Exact top-k cosine neighbors for each id in `queryIds`.
     * Deterministic: ranked by rounded cosine desc, then neighbor id.
     * Norms are precomputed per ROW (O(n)), so the O(n·q) hot loop
@@ -349,9 +354,20 @@ object Ann {
     * direction)s; the groupBy collapses it to one row with the
     * MINIMUM meeting cell (deterministic, oracle-reproducible).
     *
-    * Sub-block sharding as in [[nearDupPairs]]: the join key is
-    * (cell, sub-block), so even a pathological all-near-dup cell's
-    * quadratic candidate work spreads over `subBlocks` tasks.
+    * Sub-block sharding as in [[nearDupPairs]], but ADAPTIVE: only
+    * cells whose primary occupancy exceeds `hotCellThreshold` are
+    * sharded (probe side exploded ×subBlocks, build side hashed);
+    * cells near the target size — the overwhelming majority, since
+    * k1·k2 tracks n/targetCellSize — join on a single (cell, 0) key
+    * with NO replication. A cold cell's candidate work
+    * (≤ threshold² dots) fits one task comfortably; sharding it
+    * anyway would multiply the probe leg's vector exchange volume
+    * ×subBlocks for nothing — at probe≈4 cells that was a ×32
+    * per-row replication of the full vector through the shuffle,
+    * now ×probe for cold cells. The per-cell decision is made from
+    * the same assignment table (one narrow aggregation, broadcast
+    * back onto both legs), and both legs agree on it, so the output
+    * pair set is bit-identical to unconditional sharding (spec-pinned).
     *
     * In-cell pair work: ~n·targetCellSize·probeCells = LINEAR in the
     * corpus (the fixed-10-cell form measured 18× wall for 10× data;
@@ -360,10 +376,11 @@ object Ann {
                          tau: Double,
                          targetCellSize: Int = DefaultTargetCellSize,
                          subBlocks: Int = 8,
-                         salt: String = CellSalt): DataFrame =
+                         salt: String = CellSalt,
+                         hotCellThreshold: Int = DefaultHotCellThreshold): DataFrame =
     nearDupPairsScaledIndexed(emb, id, vec, tau,
       buildCoarseIndex(emb, id, vec, emb.count(), targetCellSize, salt),
-      subBlocks)
+      subBlocks, hotCellThreshold)
 
   /** [[nearDupPairsScaled]] over a pre-built (usually persisted and
     * shared) [[CoarseIndex]] — the form the d5/d8/a3/a4 query family
@@ -371,7 +388,8 @@ object Ann {
     * query. */
   def nearDupPairsScaledIndexed(emb: DataFrame, id: String, vec: String,
                                 tau: Double, ix: CoarseIndex,
-                                subBlocks: Int = 8): DataFrame = {
+                                subBlocks: Int = 8,
+                                hotCellThreshold: Int = DefaultHotCellThreshold): DataFrame = {
     val k2 = ix.k2
     val asg = ix.asg
     val a0 = asg.filter(col("lvl") === 0)
@@ -382,17 +400,30 @@ object Ann {
       .select(col(id),
         (col("__i0").cast("long") * k2 + col("__i1")).as("cell"),
         (col("__r0") === 1 && col("__r1") === 1).as("__primary"))
+    // cells worth sharding: primary occupancy above the threshold —
+    // a narrow (cell, count) aggregate, broadcast onto both legs
+    val hotCells = probeCells.filter(col("__primary"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") > hotCellThreshold)
+      .select(col("cell"), lit(true).as("__hot"))
+    val flagged = probeCells.join(broadcast(hotCells), Seq("cell"), "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(false)))
     val withNorm = emb.select(col(id), col(vec),
       Vec.normNative(col(vec)).as("__nrm"))
-    val p = probeCells
+    val p = flagged
       .join(withNorm, id)
       .select(col(id).as("id_p"), col(vec).as("vec_p"), col("__nrm").as("np"),
-        col("cell"))
-      .withColumn("sb", explode(array((0 until subBlocks).map(lit): _*)))
-    val b = probeCells.filter(col("__primary"))
+        col("cell"), col("__hot"))
+      .withColumn("sb", explode(
+        when(col("__hot"), array((0 until subBlocks).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    val b = flagged.filter(col("__primary"))
       .join(withNorm, id)
       .select(col(id).as("id_b"), col(vec).as("vec_b"), col("__nrm").as("nb"),
-        col("cell"), pmod(hash(col(id)), lit(subBlocks)).as("sb"))
+        col("cell"),
+        when(col("__hot"), pmod(hash(col(id)), lit(subBlocks)))
+          .otherwise(lit(0)).as("sb"))
     p.join(b, Seq("cell", "sb"))
       .filter(col("id_p") =!= col("id_b"))
       .select(col("cell"),

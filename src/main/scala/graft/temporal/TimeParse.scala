@@ -31,7 +31,7 @@ object TimeParse {
   }
 
   private def timeOfDay(s: String): LocalTime = {
-    val t = s.trim.toUpperCase
+    val t = s.trim.toUpperCase(java.util.Locale.ROOT)
     val ampm = """(\d{1,2})(?::(\d{2}))?\s*(AM|PM)""".r
     t match {
       case ampm(h, m, ap) =>
@@ -46,7 +46,7 @@ object TimeParse {
     val nowDt = LocalDateTime.parse(now, IsoDateTime)
     def day(d: LocalDate, at: Option[String]): LocalDateTime =
       d.atTime(at.map(timeOfDay).getOrElse(LocalTime.MIDNIGHT))
-    val res = s.trim.toLowerCase match {
+    val res = s.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "now" => nowDt
       case DayAt(which, at) =>
         val base = which match {

@@ -91,6 +91,16 @@ class CoarseCellSpec extends SparkSpec {
         0.25, index, subBlocks = 1)
       .select("cell", "id_a", "id_b", "cos").collect().toSeq
     assert(p1 == unsharded)
+    // adaptive hot-cell routing: every cell forced hot (threshold 0)
+    // and every cell forced cold (threshold > corpus) must both
+    // reproduce the default's pair set exactly
+    val allHot = Ann.nearDupPairsScaledIndexed(corpus, "vec_id", "embedding",
+        0.25, index, hotCellThreshold = 0)
+      .select("cell", "id_a", "id_b", "cos").collect().toSeq
+    val allCold = Ann.nearDupPairsScaledIndexed(corpus, "vec_id", "embedding",
+        0.25, index, hotCellThreshold = nBase + nTwins)
+      .select("cell", "id_a", "id_b", "cos").collect().toSeq
+    assert(p1 == allHot && p1 == allCold)
   }
 
   test("tau filter commutes with the pair aggregation (d8 = filtered d5 pair table)") {
