@@ -18,13 +18,18 @@ object Bench {
     // GRAFT_BENCH_OUT=*MEDIANS* with reps < 3 is refused (stdout
     // contract — the driver's JSON line — is unaffected either way).
     val requestedOut = sys.env.get("GRAFT_BENCH_OUT")
+    // A medians file must also cover the FULL query set: a
+    // GRAFT_BENCH_ONLY subset run at reps>=3 clobbered the committed
+    // 82-query medians with 4 queries in r8 — same artifact confusion,
+    // second axis.
+    val subsetRun = sys.env.get("GRAFT_BENCH_ONLY").exists(_.trim.nonEmpty)
     val outFile =
-      if (reps >= 3) requestedOut.getOrElse("BENCH_MEDIANS.json")
+      if (reps >= 3 && !subsetRun) requestedOut.getOrElse("BENCH_MEDIANS.json")
       else requestedOut match {
         case Some(p) if !p.toUpperCase(java.util.Locale.ROOT).contains("MEDIANS") => p
         case other =>
           other.foreach(p => System.err.println(
-            s"[bench] refusing to write $p with reps=$reps (< 3); writing BENCH_LAST_RUN.json"))
+            s"[bench] refusing to write $p (reps=$reps, subset=$subsetRun); writing BENCH_LAST_RUN.json"))
           "BENCH_LAST_RUN.json"
       }
     val spark = SparkSession.builder()

@@ -357,14 +357,19 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, d) =>
       graft.ann.CellIndexCache.scaledPairs(s, d)),
 
+    // cluster table built ONCE per (session, dir) and shared with d7
+    // (ClusterCache) — one LSH band join + star-contraction job, two
+    // consumers, like d5/d8's shared pair table.
     "d6_dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+      graft.dedup.ClusterCache.documents(s, d).orderBy("doc_id")),
 
     // survivorship: one kept doc per near-dup cluster (longest text,
-    // ties to smallest id) + the bytes the cluster saves
+    // ties to smallest id) + the bytes the cluster saves — derived
+    // from d6's shared cluster table, not a second clustering run
     "d7_dedup_survivors" -> ((s, d) =>
-      graft.operators.Pipeline.dedupSurvivors(Tables.documents(s, d),
-        "doc_id", "text", "n_chars", 3, 16, 4)),
+      graft.operators.Pipeline.dedupSurvivorsFrom(
+        graft.dedup.ClusterCache.documents(s, d),
+        Tables.documents(s, d), "doc_id", "n_chars")),
 
     // SEMANTIC dedup: connected components over the embedding-cosine
     // near-dup graph (d5's scaled blocking) — per-cluster size + a

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** One MinHash-LSH + connected-components clustering job per
+  * (session, corpus dir, parameters), shared by every consumer —
+  * d6 reports the cluster table itself, d7 derives survivorship from
+  * it. Same shape as [[graft.ann.CellIndexCache]] for the embedding
+  * family: a real curation pipeline materializes its text dup-cluster
+  * table once and hangs reports, survivorship, and filtering off it,
+  * instead of re-running the LSH band join and the O(log n)
+  * star-contraction rounds per downstream query.
+  */
+object ClusterCache {
+  private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
+  private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+
+  /** The shared dup-cluster table over `dir`'s documents table
+    * (doc_id, cluster_id), persisted MEMORY_AND_DISK. */
+  def documents(spark: SparkSession, dir: String,
+                n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
+    val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
+    def build(): DataFrame =
+      Dedup.dupClusters(Tables.documents(spark, dir), "doc_id", "text", n, perms, bands,
+          ordered = false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = cache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      // a test stopped the owning session; rebuild against the live one
+      val fresh = build()
+      cache.put(key, fresh)
+      fresh
+    } else df
+  }
+
+  /** Unpersist and forget every cached cluster table (test hygiene). */
+  def clear(): Unit = {
+    cache.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    cache.clear()
+  }
+}

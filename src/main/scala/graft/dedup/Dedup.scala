@@ -338,10 +338,14 @@ object Dedup {
     * The driver only steers the loop; every round is one distributed
     * aggregation + equi-join on the candidate edge set. */
   def dupClusters(docs: DataFrame, id: String, text: String,
-                  n: Int, perms: Int, bands: Int, maxIter: Int = 64): DataFrame = {
+                  n: Int, perms: Int, bands: Int, maxIter: Int = 64,
+                  ordered: Boolean = true): DataFrame = {
     val pairs = minhashLshPairs(docs, id, text, n, perms, bands)
       .select("id_a", "id_b")
-    connectedComponents(docs.select(col(id)), pairs, id, maxIter).orderBy(id)
+    val cc = connectedComponents(docs.select(col(id)), pairs, id, maxIter)
+    // ordered=false skips the global range exchange — for a cached
+    // table consumed by joins/windows (ClusterCache) the sort is waste
+    if (ordered) cc.orderBy(id) else cc
   }
 
   /** Connected components over an undirected pair list (`id_a`,`id_b`):

@@ -56,8 +56,15 @@ object Pipeline {
     * the cluster_id partitioning, so the reduction costs one exchange
     * beyond the clustering itself. */
   def dedupSurvivors(docs: DataFrame, id: String, text: String,
-                     nChars: String, n: Int, perms: Int, bands: Int): DataFrame = {
-    val clusters = Dedup.dupClusters(docs, id, text, n, perms, bands)
+                     nChars: String, n: Int, perms: Int, bands: Int): DataFrame =
+    dedupSurvivorsFrom(
+      Dedup.dupClusters(docs, id, text, n, perms, bands), docs, id, nChars)
+
+  /** Survivorship over a PRE-BUILT cluster table (doc_id, cluster_id)
+    * — the shared-table path: d6's clustering job feeds d7 through
+    * [[graft.dedup.ClusterCache]] instead of re-running LSH + CC. */
+  def dedupSurvivorsFrom(clusters: DataFrame, docs: DataFrame, id: String,
+                         nChars: String): DataFrame = {
     val sized = clusters.join(docs.select(col(id), col(nChars)), Seq(id))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col(nChars).desc, col(id).asc)

@@ -41,6 +41,27 @@ class PipelineSpec extends SparkSpec {
     assert(packed(0) == ((0L, 1L, 601L)) || packed(0)._2 == 1L)
   }
 
+  test("ClusterCache shared path matches the direct d6/d7 computations") {
+    val docs = Tables.documents(spark, sfDir)
+    val direct = graft.dedup.Dedup
+      .dupClusters(docs, "doc_id", "text", 3, 16, 4)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    val cached = graft.dedup.ClusterCache.documents(spark, sfDir)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(cached == direct)
+    val directSurv = Pipeline
+      .dedupSurvivors(docs, "doc_id", "text", "n_chars", 3, 16, 4)
+      .select($"cluster_id", $"survivor_id", $"n_members", $"saved_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sharedSurv = Pipeline
+      .dedupSurvivorsFrom(graft.dedup.ClusterCache.documents(spark, sfDir),
+        docs, "doc_id", "n_chars")
+      .select($"cluster_id", $"survivor_id", $"n_members", $"saved_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sharedSurv == directSurv)
+    graft.dedup.ClusterCache.clear()
+  }
+
   test("dedupSurvivors keeps the longest member (ties to min id) per cluster") {
     val docs = Tables.documents(spark, sfDir)
     val survivors = Pipeline
