@@ -414,17 +414,19 @@ object SparkEntry {
     // depends on the synthetic fixed-10 `label` column any more
     "a3_ivf_coarse" -> ((s, d) =>
       Ann.knnBlocked(
-        Ann.withCoarseCellIndexed(Tables.embeddings(s, d), "vec_id",
-          graft.ann.CellIndexCache.embeddings(s, d)),
+        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
         "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
     // IVF with the nprobe accuracy knob: probe the 2 nearest coarse
-    // cells by decimal-exact centroid cosine, exact rerank within them
+    // cells by decimal-exact centroid cosine, exact rerank within
+    // them — the (id, vec, cell) table AND the centroids are shared
+    // corpus-level artifacts (CellIndexCache), not per-query jobs
     "a4_ivf_nprobe" -> ((s, d) =>
-      Ann.knnIvfProbe(
-        Ann.withCoarseCellIndexed(Tables.embeddings(s, d), "vec_id",
-          graft.ann.CellIndexCache.embeddings(s, d)),
-        "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+      Ann.knnIvfProbeCentroids(
+        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+        "vec_id", "embedding", "cell",
+        graft.ann.CellIndexCache.centroids(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
 
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>

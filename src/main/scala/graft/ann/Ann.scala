@@ -100,17 +100,31 @@ object Ann {
     * nprobe cells' partitions. Norms precomputed per row, pairs pay
     * only the dot. */
   def knnIvfProbe(emb: DataFrame, id: String, vec: String, cell: String,
-                  queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+                  queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    knnIvfProbeCentroids(emb, id, vec, cell, ivfCentroids(emb, vec, cell),
+      queryIds, k, nprobe)
+
+  /** Decimal-exact per-cell centroids (c_cell, c_vec) — a corpus-level
+    * artifact: one posexplode + aggregation over the whole corpus,
+    * shared across every IVF probe against the same (corpus, cells)
+    * via [[CellIndexCache.centroids]] instead of recomputed per query. */
+  def ivfCentroids(emb: DataFrame, vec: String, cell: String): DataFrame = {
     val comp = emb
       .select(col(cell).as("c_cell"), posexplode(col(vec).cast("array<double>")))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "v")
-    val centroids = comp.groupBy(col("c_cell"), col("i"))
+    comp.groupBy(col("c_cell"), col("i"))
       .agg((sum(col("v").cast("decimal(38,12)")).cast("double") /
         count(lit(1))).as("cv"))
       .groupBy(col("c_cell"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
         s => s.getField("cv")).as("c_vec"))
+  }
+
+  /** [[knnIvfProbe]] over pre-built centroids. */
+  def knnIvfProbeCentroids(emb: DataFrame, id: String, vec: String, cell: String,
+                           centroids: DataFrame,
+                           queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val queries = emb.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
         Vec.normNative(col(vec)).as("q_nrm"))

@@ -70,6 +70,46 @@ object CellIndexCache {
     } else df
   }
 
+  private val withCellCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** The embeddings table with its primary coarse-cell column
+    * attached, persisted — the (id, vector, cell) table a3/a4 probe,
+    * built once per (session, dir) instead of re-running the
+    * cellsFromIndex aggregation + join per query. */
+  def embeddingsWithCell(spark: SparkSession, dir: String,
+                         id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.withCoarseCellIndexed(
+        Tables.embeddings(spark, dir), id, embeddings(spark, dir, id, vec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = withCellCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      withCellCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** Decimal-exact per-cell centroids over [[embeddingsWithCell]],
+    * persisted — the IVF coarse structure every a4-style probe
+    * shares (one corpus-wide aggregation, many queries). */
+  def centroids(spark: SparkSession, dir: String,
+                id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.ivfCentroids(embeddingsWithCell(spark, dir, id, vec), vec, "cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = centroidCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      centroidCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** Unpersist and forget every cached index (test hygiene). */
   def clear(): Unit = {
     cache.values.foreach { ix =>
@@ -77,9 +117,11 @@ object CellIndexCache {
         ix.asg.unpersist()
     }
     cache.clear()
-    pairsCache.values.foreach { df =>
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    Seq(pairsCache, withCellCache, centroidCache).foreach { c =>
+      c.values.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      }
+      c.clear()
     }
-    pairsCache.clear()
   }
 }
