@@ -222,6 +222,12 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value")
         .orderBy("user_id")),
 
+    // streaming exact dedup: first (user, event_type, day) occurrence
+    // passes, duplicates dropped by watermark-bounded keyed state;
+    // survivor report aggregated batch-side post-drain (deterministic)
+    "ts26_stream_dedup" -> ((s, d) =>
+      graft.streaming.Streams.streamDedup(s, d)),
+
     // day × event_type counts as a wide pivot (explicit value list ->
     // deterministic schema; one aggregation, Expand-free)
     "ts22_pivot" -> ((s, d) => {
@@ -981,6 +987,15 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
           |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+      // the drained survivor set = exactly one row per distinct
+      // (user_id, event_type, day); the post-drain report is then
+      // count(DISTINCT user_id) per (event_type, day)
+      "ts26_stream_dedup" ->
+        """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          |  count(DISTINCT user_id) AS n_unique
+          |FROM events GROUP BY 1, 2
+          |ORDER BY event_type, day""".stripMargin,
 
       "ts24_counter_rate" ->
         """WITH s AS (SELECT user_id, epoch_us(ts) AS us, value,

@@ -242,6 +242,34 @@ object Streams {
       .select("user_id", "start_us", "end_us", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup — the ingestion-time dedup stage of a
+    * training-data pipeline as a STREAM: the first occurrence of each
+    * (user_id, event_type, day) key passes, later duplicates are
+    * dropped by keyed state. `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the event-time watermark passes it, so state is
+    * bounded by keys-per-watermark-horizon, not stream lifetime — the
+    * unbounded-source shape (production tunes the delay to the dedup
+    * horizon; the AvailableNow drain plans all current files in one
+    * batch, where the watermark starts at −∞, so the drain dedups
+    * exactly). The survivor report (unique users per event_type × day)
+    * is aggregated BATCH-side after the drain, so the result is
+    * deterministic whichever physical duplicate arrived first.
+    * Streaming twin of the d1/ts10 batch shapes. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // state = O(distinct keys in the horizon) ≤ source rows; size
+    // parts to the key cardinality, like ts12 sizes to sessions
+    val deduped = eventStream(drainSession(spark, sourceRows(spark, sfDir) / 2), sfDir)
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+    drainToTable(spark, deduped, "graft_ts26", mode = "append")
+      .groupBy(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type", "day")
+  }
+
   /** ts12 floor decomposition (dev; StreamProbe's breakdown mode): the
     * SAME session aggregation drained through a foreachBatch row-count
     * sink — identical state-store work, but the ~1M-session result

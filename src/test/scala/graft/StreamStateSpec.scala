@@ -37,4 +37,20 @@ class StreamStateSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("streaming dedup survivor report equals batch count-distinct") {
+    val report = Streams.streamDedup(spark, sfDir)
+    val got = report.select("event_type", "day", "n_unique")
+      .as[(String, String, Long)].collect().toSet
+    val want = Tables.events(spark, sfDir)
+      .groupBy($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(countDistinct($"user_id").as("n_unique"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the drained survivor table itself (on the drain session, where
+    // the memory sink registered it) carries no duplicate keys
+    val survivors = report.sparkSession.table("graft_ts26")
+      .select("user_id", "event_type", "day").collect().toSeq
+    assert(survivors.length == survivors.toSet.size)
+  }
 }
