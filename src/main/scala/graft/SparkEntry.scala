@@ -337,8 +337,10 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("canonical_id")),
 
+    // candidate pair table built ONCE per (session, dir) and shared
+    // with d6/d7's clustering (ClusterCache.minhashPairs)
     "d2_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", 3, 16, 4)),
+      graft.dedup.ClusterCache.minhashPairs(s, d).orderBy("id_a", "id_b")),
 
     "d3_simhash" -> ((s, d) =>
       Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text", 8)

@@ -15,16 +15,39 @@ import graft.sources.Tables
   */
 object ClusterCache {
   private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
 
+  /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
+    * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
+    * the cluster build consumes it as the CC edge set. One signature +
+    * band-join job, every consumer. */
+  def minhashPairs(spark: SparkSession, dir: String,
+                   n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
+    val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
+    def build(): DataFrame =
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+          n, perms, bands, ordered = false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = pairCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      pairCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** The shared dup-cluster table over `dir`'s documents table
-    * (doc_id, cluster_id), persisted MEMORY_AND_DISK. */
+    * (doc_id, cluster_id), persisted MEMORY_AND_DISK — connected
+    * components over [[minhashPairs]]' edge set, so the LSH job is
+    * shared with d2 and the CC rounds with d7. */
   def documents(spark: SparkSession, dir: String,
                 n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
     val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
     def build(): DataFrame =
-      Dedup.dupClusters(Tables.documents(spark, dir), "doc_id", "text", n, perms, bands,
-          ordered = false)
+      Dedup.connectedComponents(
+          Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+          minhashPairs(spark, dir, n, perms, bands), "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     val df = cache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
@@ -37,9 +60,11 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    cache.values.foreach { df =>
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    Seq(cache, pairCache).foreach { c =>
+      c.values.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      }
+      c.clear()
     }
-    cache.clear()
   }
 }

@@ -313,7 +313,8 @@ object Dedup {
     * explode to (band_idx, band_key) then a self-equi-join per bucket —
     * the scalable path: no pairwise comparison outside buckets. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
-                      n: Int, perms: Int, bands: Int): DataFrame = {
+                      n: Int, perms: Int, bands: Int,
+                      ordered: Boolean = true): DataFrame = {
     val rows = perms / bands
     val sig = minhashSignatures(docs, id, text, n, perms)
     val bandKeys = (0 until bands).map(b =>
@@ -324,10 +325,12 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col(id).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(id).as("id_b"), col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+    val pairs = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .orderBy("id_a", "id_b")
+    // ordered=false skips the global range exchange for cached /
+    // CC-consumed pair tables (ClusterCache) — joins never need it
+    if (ordered) pairs.orderBy("id_a", "id_b") else pairs
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH

@@ -41,8 +41,14 @@ class PipelineSpec extends SparkSpec {
     assert(packed(0) == ((0L, 1L, 601L)) || packed(0)._2 == 1L)
   }
 
-  test("ClusterCache shared path matches the direct d6/d7 computations") {
+  test("ClusterCache shared path matches the direct d2/d6/d7 computations") {
     val docs = Tables.documents(spark, sfDir)
+    val directPairs = graft.dedup.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    val cachedPairs = graft.dedup.ClusterCache.minhashPairs(spark, sfDir)
+      .as[(Long, Long)].collect().toSet
+    assert(cachedPairs == directPairs)
     val direct = graft.dedup.Dedup
       .dupClusters(docs, "doc_id", "text", 3, 16, 4)
       .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
