@@ -552,6 +552,14 @@ object SparkEntry {
       graft.multimodal.Binary.chunked(
         graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", 256).orderBy("doc_id", "chunk_idx")),
+
+    // storage-level dedup for opaque blobs: Jaccard over 64-byte
+    // chunk-key sets (the d4 postings plan on chunk hashes — payload
+    // bytes never enter the exchange)
+    "m4_binary_neardup" -> ((s, d) =>
+      graft.multimodal.Binary.chunkDupPairs(
+        graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", 64, 0.5).orderBy("id_a", "id_b")),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -1656,6 +1664,26 @@ object SparkEntry {
           |    unnest(range(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1)) AS i
           |  FROM documents)
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // the Spark side keys chunks by md5Prefix60(chunk_md5) =
+      // conv(substr(md5(md5(chunk)),1,15),16,10) — mirror the double
+      // hash; chunk extraction mirrors m3's ASCII substr == byte slice
+      "m4_binary_neardup" ->
+        """WITH k AS (SELECT DISTINCT doc_id,
+          |    ('0x' || substr(md5(md5(substr(text, (i - 1) * 64 + 1, 64))), 1, 15))::BIGINT AS ck
+          |  FROM (SELECT doc_id, text,
+          |      unnest(range(1, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1)) AS i
+          |    FROM documents)),
+          |n AS (SELECT doc_id, count(*) AS n_ck FROM k GROUP BY 1)
+          |SELECT id_a, id_b, shared, jaccard FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+          |    round(count(*)::DOUBLE / (na.n_ck + nb.n_ck - count(*)), 6) AS jaccard
+          |  FROM k a JOIN k b ON a.ck = b.ck AND a.doc_id < b.doc_id
+          |  JOIN n na ON na.doc_id = a.doc_id
+          |  JOIN n nb ON nb.doc_id = b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id, na.n_ck, nb.n_ck)
+          |WHERE jaccard >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
     )
   }
 }

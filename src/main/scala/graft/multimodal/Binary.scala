@@ -53,6 +53,32 @@ object Binary {
         octet_length(col("col")).as("chunk_len"), md5(col("col")).as("chunk_md5"))
   }
 
+  /** Chunk-level near-dup pairs over binary payloads — the STORAGE
+    * dedup a multimodal lake runs on opaque blobs (image/video/audio
+    * files whose bytes, not semantics, repeat): payloads are cut into
+    * fixed `chunkSize`-byte chunks (the aligned-store case; a
+    * content-defined rolling-hash chunker is the unaligned extension
+    * with the same downstream plan), each chunk keyed by its md5, and
+    * two payloads pair when the Jaccard overlap of their DISTINCT
+    * chunk-key sets reaches `tau`. The pair plan IS the d4 postings
+    * machinery ([[graft.dedup.Dedup.jaccardDirect]]) over chunk keys
+    * instead of shingles — candidates only where a chunk is shared,
+    * never all-pairs, and the payload bytes never enter the exchange
+    * (only 64-bit key prefixes and counts do). */
+  def chunkDupPairs(withPayload: DataFrame, id: String,
+                    chunkSize: Int, tau: Double): DataFrame = {
+    // distinct keys + a count join, never a per-payload buffer: a
+    // single blob can carry millions of chunks at lake scale, so no
+    // collect_set / window may materialize one payload's key set
+    val keys = chunked(withPayload, id, chunkSize)
+      .select(col(id), graft.functions.Text.md5Prefix60(col("chunk_md5")).as("__ck"))
+      .distinct()
+    val counts = keys.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val postings = keys.join(counts, id)
+      .select(col(id), col("n_sh"), col("__ck").as("shingle"))
+    graft.dedup.Dedup.jaccardDirect(postings, tau)
+  }
+
   /** Frame sampling: every `stride`-th byte as a "frame", with count /
     * sum / head-of-stream per document. STUB: a real impl decodes
     * containers and samples frames; the sampling arithmetic, schema and

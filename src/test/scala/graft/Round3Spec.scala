@@ -218,6 +218,22 @@ class Round3Spec extends SparkSpec {
     assert(sums.filter($"mx" > 256).count() == 0)
   }
 
+  test("m4: chunk-dup pairs find identical and half-shared payloads, not unrelated ones") {
+    val a = "x" * 128            // chunks: [x*64, x*64]
+    val b = "x" * 128            // identical -> jaccard 1.0 (1 distinct key)
+    val c = "x" * 64 + "y" * 64  // shares the x-chunk -> jaccard 1/2
+    val d = "z" * 128            // no shared chunk
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val pairs = graft.multimodal.Binary.chunkDupPairs(
+        graft.multimodal.Binary.withPayload(docs, "doc_id", "text"),
+        "doc_id", 64, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.filter(p => p._2 == 3L || p._1 == 3L).forall(_._3 == 0.5))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0)
+  }
+
   test("m3: empty payload yields zero chunks, not phantom rows") {
     val df = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
     val chunks = graft.multimodal.Binary.chunked(
