@@ -436,6 +436,12 @@ object SparkEntry {
         graft.ann.CellIndexCache.centroids(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
 
+    // exact cosine RANGE search (radius query): one corpus pass for
+    // the whole broadcast query set, per-row norms precomputed
+    "a5_range_search" -> ((s, d) =>
+      Ann.rangeSearch(Tables.embeddings(s, d),
+        "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 0.25)),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -526,6 +532,21 @@ object SparkEntry {
           max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
         .withColumn("avg_k", round(col("sum_k") / col("n"), 6))
         .orderBy("event_type")),
+
+    // corpus-unigram-LM rarity profile (CCNet-style quality pass),
+    // token information quantized to integer bit-buckets so both
+    // engines agree bit-for-bit (no float log2 sums)
+    "x11_unigram_lm" -> ((s, d) =>
+      graft.operators.Pipeline.unigramLmProfile(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // training-mixture construction: uniform target shares over the
+    // 20 sources at a 30% global sample rate, deterministic
+    // hash-bucket thresholds per source (one scan, reduced to a
+    // (source, bucket) count table)
+    "x12_domain_mix" -> ((s, d) =>
+      graft.operators.Pipeline.domainMixture(
+        Tables.documents(s, d), "source", "doc_id", 10000, 3, 10, 20)),
 
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1183,6 +1204,53 @@ object SparkEntry {
           |  FROM events)
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+      // token information content quantized to INTEGER bit-buckets
+      // (length(bin(cnt)) = floor(log2 cnt)+1) — a float log2 sum
+      // would be summation-order- and libm-dependent across engines
+      "x11_unigram_lm" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |dw AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+          |wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM dw GROUP BY w)
+          |SELECT doc_id, n_tokens, n_distinct, rare_tokens, min_cnt,
+          |  round(CAST(sum_bits AS DOUBLE) / n_tokens, 6) AS avg_bits
+          |FROM (
+          |  SELECT dw.doc_id,
+          |    CAST(sum(dw.tf) AS BIGINT) AS n_tokens,
+          |    count(*) AS n_distinct,
+          |    CAST(sum(dw.tf * CAST(wc.cnt <= 2 AS INT)) AS BIGINT) AS rare_tokens,
+          |    CAST(sum(dw.tf * length(bin(wc.cnt))) AS BIGINT) AS sum_bits,
+          |    min(wc.cnt) AS min_cnt
+          |  FROM dw JOIN wc USING (w) GROUP BY dw.doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      // mixture construction: every number derives from the
+      // (source, bucket) count table; integer / single-division
+      // arithmetic end to end (thresholds are floors of one exact
+      // IEEE division), so both engines agree bit-for-bit
+      "x12_domain_mix" ->
+        """WITH db AS (SELECT source,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+          |  FROM documents),
+          |pb AS (SELECT source, bucket, count(*) AS n FROM db GROUP BY source, bucket),
+          |ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS available FROM pb GROUP BY source),
+          |tot AS (SELECT CAST(sum(available) AS BIGINT) AS corpus_total FROM ps),
+          |qt AS (SELECT source, available,
+          |    least(available, CAST(floor(corpus_total * 3 / 200.0) AS BIGINT)) AS target_quota
+          |  FROM ps CROSS JOIN tot),
+          |qs AS (SELECT *,
+          |    CAST(floor(target_quota * 10000 / CAST(available AS DOUBLE)) AS BIGINT)
+          |      AS bucket_threshold
+          |  FROM qt)
+          |SELECT q.source, q.available, q.target_quota, q.bucket_threshold,
+          |  CAST(sum(CASE WHEN pb.bucket < q.bucket_threshold THEN pb.n ELSE 0 END) AS BIGINT)
+          |    AS n_sampled,
+          |  round(CAST(sum(CASE WHEN pb.bucket < q.bucket_threshold THEN pb.n ELSE 0 END) AS BIGINT)
+          |    / CAST(q.available AS DOUBLE), 6) AS sampled_share
+          |FROM pb JOIN qs q USING (source)
+          |GROUP BY q.source, q.available, q.target_quota, q.bucket_threshold
+          |ORDER BY q.source""".stripMargin,
+
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (
           |  SELECT lang, bigram, n,
@@ -1583,6 +1651,14 @@ object SparkEntry {
           |    JOIN cells cn ON cn.cell = p.cell
           |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> p.query_id))
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "a5_range_search" ->
+        s"""SELECT query_id, nn_id, cos FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           |    ${cosSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id IN (0, 1, 2, 3, 4))
+           |WHERE cos >= 0.25 ORDER BY query_id, nn_id""".stripMargin,
 
       "x1_langid" ->
         """SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, guess,

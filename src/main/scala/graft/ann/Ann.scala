@@ -62,6 +62,29 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact cosine RANGE search (the radius-query API next to top-k):
+    * every corpus vector within cosine ≥ τ of each query vector.
+    * Queries are broadcast and the corpus is scanned once for all of
+    * them with per-row precomputed norms, so a bounded query set
+    * stays one linear pass at any corpus size — no index, no recall
+    * caveat (d5's coarse-cell blocking is the corpus×corpus variant
+    * of this predicate; this is the per-query exact form). */
+  def rangeSearch(emb: DataFrame, id: String, vec: String,
+                  queryIds: Seq[Long], tau: Double): DataFrame = {
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
+      Vec.normNative(col(vec)).as("nn_nrm"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("query_id"), col("nn_id"))
+  }
+
   /** IVF-style top-k within the query's coarse cell (`cell` column). */
   def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {

@@ -145,4 +145,78 @@ object Pipeline {
           .as("dup_tri_frac"))
       .orderBy(id)
   }
+
+  /** Corpus-unigram-LM rarity profile — the CCNet-style "LM quality"
+    * pass, with the token information content QUANTIZED to integer
+    * bit-buckets so every aggregate is cross-engine exact: a token
+    * whose corpus count is c carries bits(c) = length(bin(c)) =
+    * floor(log2 c)+1 bits of (inverse) evidence, an integer in both
+    * engines, where a float `log2` sum would be summation-order- and
+    * libm-dependent. Low avg_bits / high rare_tokens = documents made
+    * of corpus-rare vocabulary (OCR noise, codes, other languages);
+    * high avg_bits = common-word prose.
+    *
+    * Shape: one scan → (doc, word) tf aggregation; the corpus word
+    * count table is derived from that SAME aggregate (Spark reuses
+    * the exchange — no second scan), then an equi-join on `word`
+    * (vocabulary ≪ token count; AQE handles hot stopword keys) and a
+    * per-doc aggregation. No window, no collect, every sum an
+    * integer until the final rounded ratio. */
+  def unigramLmProfile(docs: DataFrame, id: String, text: String): DataFrame = {
+    val docWord = docs
+      .select(col(id), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val wordCnt = docWord.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+    docWord.join(wordCnt, Seq("w"))
+      .groupBy(col(id)).agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * when(col("cnt") <= 2, 1).otherwise(0))
+          .as("rare_tokens"),
+        sum(col("tf") * length(bin(col("cnt")))).as("sum_bits"),
+        min(col("cnt")).as("min_cnt"))
+      .select(col(id), col("n_tokens"), col("n_distinct"),
+        col("rare_tokens"), col("min_cnt"),
+        round(col("sum_bits") / col("n_tokens"), 6).as("avg_bits"))
+      .orderBy(id)
+  }
+
+  /** Mixture construction over a stratum column (training-data domain
+    * weighting): given a global sample fraction and uniform target
+    * shares per stratum, derive each stratum's deterministic
+    * hash-bucket acceptance threshold and report the realized sample.
+    * The selection predicate (`bucket < threshold`) is a pure function
+    * of the id — reproducible on any cluster size, monotone under
+    * rate changes, and applying it to materialize the sample is a
+    * broadcast-join + map-side filter over the corpus scan.
+    *
+    * Shape: ONE scan reduced to a (stratum, bucket) count table
+    * (≤ strata × buckets rows); availability, quotas, thresholds and
+    * realized counts all derive from that aggregate. Integer / single-
+    * division arithmetic end to end, so both engines agree bit-for-bit. */
+  def domainMixture(docs: DataFrame, stratum: String, id: String,
+                    buckets: Int, samplePctNum: Int, samplePctDen: Int,
+                    nStrata: Int): DataFrame = {
+    val perBucket = docs
+      .select(col(stratum), Text.hashBucket(col(id), buckets).as("bucket"))
+      .groupBy(col(stratum), col("bucket")).agg(count(lit(1)).as("n"))
+    val perStratum = perBucket.groupBy(col(stratum))
+      .agg(sum(col("n")).as("available"))
+    val total = perStratum.agg(sum(col("available")).as("corpus_total"))
+    val quotas = perStratum.crossJoin(broadcast(total))
+      .withColumn("target_quota", least(col("available"),
+        floor(col("corpus_total") * samplePctNum /
+          lit(samplePctDen.toDouble * nStrata))))
+      .withColumn("bucket_threshold",
+        floor(col("target_quota") * buckets / col("available").cast("double")))
+    perBucket.join(broadcast(quotas), Seq(stratum))
+      .groupBy(col(stratum), col("available"), col("corpus_total"),
+        col("target_quota"), col("bucket_threshold"))
+      .agg(sum(when(col("bucket") < col("bucket_threshold"), col("n"))
+        .otherwise(0)).as("n_sampled"))
+      .select(col(stratum), col("available"), col("target_quota"),
+        col("bucket_threshold"), col("n_sampled"),
+        round(col("n_sampled") / col("available"), 6).as("sampled_share"))
+      .orderBy(stratum)
+  }
 }

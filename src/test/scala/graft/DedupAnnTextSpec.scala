@@ -279,4 +279,25 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(got(1L) == Seq("a b c", "b c d"))
     assert(got(2L) == Seq("a b")) // shorter than n -> whole text
   }
+
+  test("range search: agrees with the brute-force predicate and nests by tau") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val qs = Seq(0L, 1L, 2L)
+    val loose = Ann.rangeSearch(emb, "vec_id", "embedding", qs, 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    // every reported cosine satisfies the radius, none is a self-pair
+    loose.foreach { case (q, nn, cos) => assert(cos >= 0.25 && q != nn) }
+    // equals the top-k scorer's pair set restricted to the radius, at
+    // k = corpus size (knnBrute is the established exact baseline)
+    val n = emb.count().toInt
+    val brute = Ann.knnBrute(emb, "vec_id", "embedding", qs, n)
+      .filter($"cos" >= 0.25).select($"query_id", $"nn_id", $"cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose == brute)
+    // tighter radius is a subset
+    val tight = Ann.rangeSearch(emb, "vec_id", "embedding", qs, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight.subsetOf(loose))
+    assert(tight == loose.filter(_._3 >= 0.4))
+  }
 }

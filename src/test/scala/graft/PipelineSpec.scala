@@ -121,4 +121,50 @@ class PipelineSpec extends SparkSpec {
     val d2 = got(1)
     assert(d2._4 == 1L && d2._6 == 0.0)
   }
+
+  test("unigram LM profile: exact bit-bucket arithmetic on a known corpus") {
+    // counts: a=3 ('11', 2 bits), b=1, c=1 (1 bit each)
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Pipeline.unigramLmProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    //            (id, n_tokens, n_distinct, rare, min_cnt, avg_bits)
+    assert(got == List(
+      (1L, 3L, 2L, 1L, 1L, math.rint(5.0 / 3 * 1e6) / 1e6), // 2*2 + 1 bits
+      (2L, 2L, 2L, 1L, 1L, 1.5)))                           // 2 + 1 bits
+  }
+
+  test("unigram LM profile: deterministic and token-conserving on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val prof = Pipeline.unigramLmProfile(docs, "doc_id", "text")
+    val rows = prof.as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == docs.count())
+    // total tokens equals the whitespace token count of the corpus
+    val toks = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(rows.map(_._2).sum == toks)
+    val again = Pipeline.unigramLmProfile(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("domain mixture: quota and threshold math, realized sample matches the predicate") {
+    val docs = Tables.documents(spark, sfDir)
+    val mix = Pipeline.domainMixture(docs, "source", "doc_id", 10000, 3, 10, 20)
+    val rows = mix.as[(String, Long, Long, Long, Long, Double)].collect()
+    val total = docs.count()
+    val quota = math.floor(total * 3 / 200.0).toLong
+    rows.foreach { case (_, avail, q, thr, sampled, share) =>
+      assert(q == math.min(avail, quota))
+      assert(thr == math.floor(q * 10000 / avail.toDouble).toLong)
+      assert(sampled >= 0 && sampled <= avail)
+      assert(share == math.rint(sampled.toDouble / avail * 1e6) / 1e6)
+    }
+    assert(rows.map(_._2).sum == total)
+    // realized counts equal applying the published predicate to the corpus
+    val thrs = rows.map(r => r._1 -> r._4).toMap
+    val byPredicate = docs
+      .select($"source", graft.functions.Text.hashBucket($"doc_id", 10000).as("b"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.count(_.getLong(1) < thrs(s)).toLong }
+    rows.foreach { case (s, _, _, _, sampled, _) => assert(byPredicate(s) == sampled) }
+  }
 }
