@@ -34,6 +34,11 @@ object SparkEntry {
   private val A2Probe = 3
   private val A2Tables = 16
   private val A2Seed = 42L
+  // x13's blocklist (all present in the synthetic 31-word vocabulary,
+  // so the density test discriminates instead of flagging everything).
+  // Shared by the entry and the oracle SQL so a retune cannot
+  // desynchronize the engines.
+  private val BlockWords = Seq("slow", "dup", "big")
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -408,6 +413,14 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // duplicated-SPAN coverage (Lee et al. 2022 ExactSubstr at word-
+    // 5-gram granularity): corpus-repeated n-grams mark their token
+    // spans; per-doc interval union -> covered tokens / fraction.
+    // Finds the boilerplate that repeats INSIDE otherwise-unique docs,
+    // which doc-level d1-d5 cannot see.
+    "d9_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 5)),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -441,6 +454,13 @@ object SparkEntry {
     "a5_range_search" -> ((s, d) =>
       Ann.rangeSearch(Tables.embeddings(s, d),
         "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), 0.25)),
+
+    // kNN majority-vote classification: exact top-10 neighbors vote
+    // with their `label`; plurality wins (ties: bigger vote count,
+    // then smaller label) — the label-propagation primitive over a1
+    "a6_knn_classify" -> ((s, d) =>
+      Ann.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", (0L until 10L).toSeq, 10)),
 
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
@@ -547,6 +567,20 @@ object SparkEntry {
     "x12_domain_mix" -> ((s, d) =>
       graft.operators.Pipeline.domainMixture(
         Tables.documents(s, d), "source", "doc_id", 10000, 3, 10, 20)),
+
+    // C4-style blocklist filtering by token DENSITY: flagged when
+    // blocklisted tokens exceed 1/20 of the document (integer
+    // cross-multiplication — engine-exact); per-source report
+    "x13_blocklist_filter" -> ((s, d) =>
+      graft.operators.Pipeline.blocklistFilter(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        BlockWords, 20)),
+
+    // CCNet head/middle/tail bucketing: per-language terciles on the
+    // corpus-LM bits-per-token score (x11's integer quantization)
+    "x14_ccnet_bucket" -> ((s, d) =>
+      graft.operators.Pipeline.ccnetBuckets(
+        Tables.documents(s, d), "doc_id", "text", "lang", 3)),
 
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1251,6 +1285,44 @@ object SparkEntry {
           |GROUP BY q.source, q.available, q.target_quota, q.bucket_threshold
           |ORDER BY q.source""".stripMargin,
 
+      "x13_blocklist_filter" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(hits) AS BIGINT) AS total_hits,
+           |  CAST(sum(CASE WHEN hits * 20 > n_words THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_flagged,
+           |  CAST(count(*) - sum(CASE WHEN hits * 20 > n_words THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  round(sum(CASE WHEN hits * 20 > n_words THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS flagged_rate,
+           |  min(CASE WHEN hits * 20 > n_words THEN doc_id END) AS first_flagged
+           |FROM (SELECT source, doc_id,
+           |    len(list_filter(ws, x -> x IN (${BlockWords.map("'" + _ + "'").mkString(", ")})))
+           |      AS hits,
+           |    len(ws) AS n_words
+           |  FROM (SELECT source, doc_id, string_split(text, ' ') AS ws
+           |    FROM documents))
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+      "x14_ccnet_bucket" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |dw AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+          |wc AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM dw GROUP BY w),
+          |per AS (SELECT dw.doc_id, CAST(sum(dw.tf) AS BIGINT) AS n_tokens,
+          |    CAST(sum(dw.tf * length(bin(wc.cnt))) AS BIGINT) AS sum_bits
+          |  FROM dw JOIN wc USING (w) GROUP BY dw.doc_id),
+          |wl AS (SELECT p.doc_id, d.lang, p.n_tokens, p.sum_bits,
+          |    ntile(3) OVER (PARTITION BY d.lang
+          |      ORDER BY p.sum_bits / CAST(p.n_tokens AS DOUBLE), p.doc_id)
+          |      AS bucket
+          |  FROM per p JOIN documents d USING (doc_id))
+          |SELECT lang, bucket, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+          |  round(CAST(sum(sum_bits) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+          |    AS bucket_avg_bits,
+          |  min(doc_id) AS first_id
+          |FROM wl GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (
           |  SELECT lang, bigram, n,
@@ -1585,6 +1657,37 @@ object SparkEntry {
            |SELECT cell, id_a, id_b, cos FROM cpr
            |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
+      // word-5-gram duplicated-span coverage; DuckDB positions are
+      // 1-based vs Spark's 0-based array index — span LENGTHS and the
+      // interval-union islands are shift-invariant, so outputs agree
+      "d9_span_dedup" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |oc AS (SELECT doc_id, unnest(range(1, len(ws) - 3)) AS p, ws
+          |  FROM w WHERE len(ws) >= 5),
+          |og AS (SELECT doc_id, p,
+          |    ('0x' || substr(md5(array_to_string(ws[p:p+4], ' ')), 1, 15))::BIGINT AS g
+          |  FROM oc),
+          |dup AS (SELECT g FROM og GROUP BY g HAVING count(*) > 1),
+          |sp AS (SELECT doc_id, p AS s, p + 4 AS e FROM og JOIN dup USING (g)),
+          |ni AS (SELECT doc_id, s, e,
+          |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          |    THEN 1 ELSE 0 END AS ni
+          |  FROM sp),
+          |isl AS (SELECT doc_id, s, e,
+          |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM ni),
+          |agg AS (SELECT doc_id, island, max(e) - min(s) + 1 AS len
+          |  FROM isl GROUP BY doc_id, island),
+          |per AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
+          |    count(*) AS n_spans FROM agg GROUP BY doc_id)
+          |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+          |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+          |  coalesce(p.n_spans, 0) AS n_spans,
+          |  round(coalesce(p.dup_tokens, 0)
+          |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE), 6) AS dup_frac
+          |FROM documents d LEFT JOIN per p USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
       "a1_knn_brute" ->
         """SELECT query_id, nn_id, cos, rank FROM (
           |  SELECT query_id, nn_id, cos,
@@ -1659,6 +1762,30 @@ object SparkEntry {
            |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
            |  WHERE q.vec_id IN (0, 1, 2, 3, 4))
            |WHERE cos >= 0.25 ORDER BY query_id, nn_id""".stripMargin,
+
+      "a6_knn_classify" ->
+        s"""WITH nn AS (
+           |  SELECT query_id, nn_id FROM (
+           |    SELECT query_id, nn_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+           |    FROM (
+           |      SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+           |        ${cosSql("q.embedding", "c.embedding")} AS cos
+           |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |      WHERE q.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)))
+           |  WHERE rank <= 10),
+           |v AS (SELECT nn.query_id, e.label AS nn_label, count(*) AS votes
+           |  FROM nn JOIN embeddings e ON e.vec_id = nn.nn_id
+           |  GROUP BY nn.query_id, e.label),
+           |p AS (SELECT query_id, nn_label AS pred_label, votes FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY votes DESC, nn_label) AS rn FROM v)
+           |  WHERE rn = 1)
+           |SELECT p.query_id, q.label AS true_label, p.pred_label,
+           |  CAST(p.votes AS BIGINT) AS votes,
+           |  CAST(p.pred_label = q.label AS INT) AS correct
+           |FROM p JOIN embeddings q ON q.vec_id = p.query_id
+           |ORDER BY p.query_id""".stripMargin,
 
       "x1_langid" ->
         """SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, guess,

@@ -85,6 +85,37 @@ object Ann {
       .orderBy(col("query_id"), col("nn_id"))
   }
 
+  /** kNN majority-vote classification over the embedding space — the
+    * label-propagation primitive on top of exact top-k ([[knnBrute]]):
+    * each query's k nearest neighbors vote with their `label`; the
+    * prediction is the plurality label (ties: larger vote count, then
+    * smaller label — fully deterministic). The neighbor table is
+    * queries·k rows, so the label join broadcasts it against the
+    * corpus-side (id, label) projection and the vote/argmax windows
+    * are over the tiny result — corpus cost stays the single scored
+    * scan of the underlying top-k. */
+  def knnClassify(emb: DataFrame, id: String, vec: String, label: String,
+                  queryIds: Seq[Long], k: Int): DataFrame = {
+    val labels = emb.select(col(id), col(label))
+    val nn = knnBrute(emb, id, vec, queryIds, k)
+    val votes = labels
+      .join(broadcast(nn), col(id) === col("nn_id"))
+      .groupBy(col("query_id"), col(label).as("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nn_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nn_label").as("pred_label"), col("votes"))
+    labels
+      .select(col(id).as("query_id"), col(label).as("true_label"))
+      .join(broadcast(pred), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
   /** IVF-style top-k within the query's coarse cell (`cell` column). */
   def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {

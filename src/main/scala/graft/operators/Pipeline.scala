@@ -219,4 +219,70 @@ object Pipeline {
         round(col("n_sampled") / col("available"), 6).as("sampled_share"))
       .orderBy(stratum)
   }
+
+  /** Blocklist filtering (the C4 "bad-words" pass): count blocklisted
+    * tokens per document and flag documents whose blocklist DENSITY
+    * crosses a threshold — flagged ⇔ hits · denomPer > n_words, i.e.
+    * more than 1/denomPer of the tokens are blocklisted. The density
+    * form (vs "any hit") is what real curation uses, and the integer
+    * cross-multiplication makes the decision engine-exact. One scan,
+    * reduced map-side to a per-stratum aggregate; the token test is a
+    * codegen'd array filter over the in-row word list — no explode,
+    * no join, no per-doc shuffle row. */
+  def blocklistFilter(docs: DataFrame, id: String, text: String,
+                      stratum: String, block: Seq[String],
+                      denomPer: Int): DataFrame = {
+    val ws = Text.words(col(text))
+    val perDoc = docs.select(col(stratum), col(id),
+      Text.stopwordHits(ws, block).as("hits"), size(ws).as("n_words"))
+    val flagged = col("hits") * denomPer > col("n_words")
+    perDoc.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hits")).as("total_hits"),
+        sum(when(flagged, 1).otherwise(0)).as("n_flagged"),
+        min(when(flagged, col(id))).as("first_flagged"))
+      .select(col(stratum), col("n_docs"), col("total_hits"),
+        col("n_flagged"), (col("n_docs") - col("n_flagged")).as("n_kept"),
+        round(col("n_flagged") / col("n_docs"), 6).as("flagged_rate"),
+        col("first_flagged"))
+      .orderBy(stratum)
+  }
+
+  /** CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    * 2020): per-language `nBuckets`-quantile split on the corpus-LM
+    * bits-per-token score (the same integer bit-bucket quantization
+    * as [[unigramLmProfile]], so both engines sort the identical IEEE
+    * double sum_bits/n_tokens; ties broken by doc id). Bucket 1 =
+    * most-predictable ("head") documents.
+    *
+    * Exact ntile needs a per-language sort — fine per-partition here
+    * since languages are few and the window parallelizes across them.
+    * At 100 TB the same split is served by approx-quantile CUTOFFS
+    * (one pass, no sort) and a map-side comparison against the
+    * broadcast cutoff table; exact ntile is kept because the oracle
+    * must agree bit-for-bit. */
+  def ccnetBuckets(docs: DataFrame, id: String, text: String,
+                   lang: String, nBuckets: Int): DataFrame = {
+    val docWord = docs
+      .select(col(id), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val wordCnt = docWord.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
+    val perDoc = docWord.join(wordCnt, Seq("w"))
+      .groupBy(col(id)).agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * length(bin(col("cnt")))).as("sum_bits"))
+    val w = Window.partitionBy(col(lang))
+      .orderBy((col("sum_bits") / col("n_tokens")).asc, col(id).asc)
+    perDoc.join(docs.select(col(id), col(lang)), Seq(id))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(lang), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("sum_bits")).as("bits"),
+        min(col(id)).as("first_id"))
+      .select(col(lang), col("bucket"), col("n_docs"), col("tokens"),
+        round(col("bits") / col("tokens"), 6).as("bucket_avg_bits"),
+        col("first_id"))
+      .orderBy(lang, "bucket")
+  }
 }
