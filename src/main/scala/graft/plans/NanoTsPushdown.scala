@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Predicate pushdown for nanosecond-long event timestamps.
   *
@@ -53,6 +53,32 @@ object NanoTsPushdown extends Rule[LogicalPlan] {
   private def nanosOf(us: Long): Option[Long] =
     if (us >= 0 && us < Long.MaxValue / 1000 - 1) Some(us * 1000L) else None
 
+  /** Matches cast(<ntz expr> AS TIMESTAMP) under a FIXED-OFFSET session
+    * zone (UTC in every graft session) and yields (<ntz expr>, zone).
+    * The newer driver testdata ships events.ts as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) = TIMESTAMP_NTZ; Tables.events normalizes
+    * with this cast, which — like the nanos wrapper — otherwise hides
+    * every ts comparison from the parquet scan. Under a fixed offset
+    * the cast is a bijection (strictly monotone), so comparisons move
+    * onto the raw column with the literal shifted by the offset; zones
+    * with DST are left untouched (the cast is not monotone across a
+    * backward transition). */
+  private object NtzToTs {
+    def unapply(e: Expression): Option[(Expression, java.time.ZoneId)] = e match {
+      case c @ Cast(child, TimestampType, _, _) if child.dataType == TimestampNTZType =>
+        c.timeZoneId.map(java.time.ZoneId.of)
+          .filter(_.getRules.isFixedOffset).map(z => (child, z))
+      case _ => None
+    }
+  }
+
+  /** LTZ epoch-micros literal → NTZ micros literal in fixed-offset zone. */
+  private def ntzLit(us: Long, zone: java.time.ZoneId): Literal = {
+    val offUs = zone.getRules
+      .getOffset(java.time.Instant.ofEpochSecond(0)).getTotalSeconds * 1000000L
+    Literal(us + offUs, TimestampNTZType)
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case LessThanOrEqual(NanosToTs(ts), TsLit(us)) if nanosOf(us).isDefined =>
       LessThanOrEqual(ts, Literal(nanosOf(us).get + 999L, LongType))
@@ -71,6 +97,16 @@ object NanoTsPushdown extends Rule[LogicalPlan] {
       LessThanOrEqual(Literal(nanosOf(us).get, LongType), ts)
     case LessThan(TsLit(us), NanosToTs(ts)) if nanosOf(us).isDefined =>
       LessThan(Literal(nanosOf(us).get + 999L, LongType), ts)
+    // TIMESTAMP_NTZ column cast to TIMESTAMP, compared to a literal:
+    // the fixed-offset cast is monotone, so the comparison operator is
+    // preserved and only the literal moves into the NTZ domain.
+    case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+      case (NtzToTs(ts, zone), TsLit(us)) =>
+        cmp.withNewChildren(Seq(ts, ntzLit(us, zone)))
+      case (TsLit(us), NtzToTs(ts, zone)) =>
+        cmp.withNewChildren(Seq(ntzLit(us, zone), ts))
+      case _ => cmp
+    }
   }
 }
 

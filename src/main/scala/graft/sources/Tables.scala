@@ -24,17 +24,30 @@ object Tables {
     * `temporal_records` table (reference app/models.py:7-24):
     * user_id ≈ record_id, ts ≈ timestamp, (event_type, value, props) ≈ data.
     *
-    * The file carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * only surfaces as a nanosecond long (`spark.sql.legacy.parquet
-    * .nanosAsLong`, set in Verify/Bench/tests); normalize it to a proper
-    * microsecond TimestampType here — the synthetic data is µs-grained,
-    * so the `div 1000` is lossless (and matches DuckDB's own ns→µs read).
+    * The file's ts physical type has shipped in two forms across
+    * driver testdata generations; both are normalized here to a µs
+    * TimestampType so every downstream operator sees one type:
+    *  - TIMESTAMP(NANOS), which Spark's vectorized reader only
+    *    surfaces as a nanosecond long (`spark.sql.legacy.parquet
+    *    .nanosAsLong`, set in Verify/Bench/tests) — the synthetic data
+    *    is µs-grained, so `div 1000` is lossless (and matches DuckDB's
+    *    own ns→µs read);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which loads as
+    *    TIMESTAMP_NTZ — cast to TimestampType. Sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast preserves the
+    *    micros value exactly and agrees with DuckDB's naive read.
+    * In both cases the wrapper would hide ts comparisons from the
+    * parquet scan; the NanoTsPushdown rule rewrites them back onto the
+    * raw column (pushed row-group pruning).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

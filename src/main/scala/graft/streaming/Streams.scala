@@ -32,6 +32,9 @@ object Streams {
           .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else raw
   }
 
