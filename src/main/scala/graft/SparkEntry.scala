@@ -462,6 +462,13 @@ object SparkEntry {
       Ann.knnClassify(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", (0L until 10L).toSeq, 10)),
 
+    // Lloyd k-means (the SemDeDup-style clustering stage): k=8
+    // deterministic seeds (smallest ids), 2 centroid updates, cosine
+    // assignment at 6-dp (ties -> smaller cluster id), decimal-exact
+    // centroid means — per-cluster size/min-member/mean-cos report
+    "a7_kmeans" -> ((s, d) =>
+      Ann.kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -699,6 +706,26 @@ object SparkEntry {
       s"""round(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
          |          / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
          |           * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+    // a7 k-means CTE builders: one assignment (argmax 6-dp cosine vs
+    // the `cent` centroid CTE, ties -> smaller cluster id) and one
+    // decimal-exact centroid update — the same formulas the Spark side
+    // runs (Ann.kmeans), digit-for-digit
+    def kmAssignCte(out: String, cent: String): String =
+      s"""$out AS (
+         |  SELECT v_id, c_cell, cos FROM (
+         |    SELECT v_id, c_cell, cos, row_number() OVER (
+         |      PARTITION BY v_id ORDER BY cos DESC, c_cell) AS rn
+         |    FROM (SELECT e.vec_id AS v_id, c.c_cell,
+         |        ${cosSql("e.embedding", "c.c_vec")} AS cos
+         |      FROM embeddings e CROSS JOIN $cent c))
+         |  WHERE rn = 1)""".stripMargin
+    def kmUpdateCte(out: String, asg: String): String =
+      s"""$out AS (
+         |  SELECT c_cell, list(cv ORDER BY i) AS c_vec FROM (
+         |    SELECT a.c_cell, p.i,
+         |      CAST(sum(CAST(p.v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+         |    FROM $asg a JOIN kcomp p ON p.vec_id = a.v_id
+         |    GROUP BY a.c_cell, p.i) GROUP BY c_cell)""".stripMargin
     // Corpus-proportional coarse cells, shared by d5/d8 (blocking) and
     // a3/a4 (IVF cells) — the same derivation Ann.coarseCellParams/
     // anchorAssignments run, digit-for-digit: k1·k2 ≈ ceil(n/64)
@@ -1786,6 +1813,28 @@ object SparkEntry {
            |  CAST(p.pred_label = q.label AS INT) AS correct
            |FROM p JOIN embeddings q ON q.vec_id = p.query_id
            |ORDER BY p.query_id""".stripMargin,
+
+      // Lloyd k-means, k=8, 2 decimal-exact centroid updates: seeds =
+      // the 8 smallest ids; every assignment orders by the SAME 6-dp
+      // rounded cosine (ties -> smaller cluster id) as the Spark side,
+      // so the argmax — hence membership, centroids, and the final
+      // report — is bit-identical cross-engine
+      "a7_kmeans" ->
+        s"""WITH kcomp AS (
+           |  SELECT vec_id, j AS i, CAST(embedding[j] AS DOUBLE) AS v
+           |  FROM embeddings, range(1, 65) t(j)),
+           |kc0 AS (SELECT vec_id AS c_cell, CAST(embedding AS DOUBLE[]) AS c_vec
+           |  FROM embeddings WHERE vec_id < 8),
+           |${kmAssignCte("ka1", "kc0")},
+           |${kmUpdateCte("kc1", "ka1")},
+           |${kmAssignCte("ka2", "kc1")},
+           |${kmUpdateCte("kc2", "ka2")},
+           |${kmAssignCte("kaf", "kc2")}
+           |SELECT c_cell AS cluster_id, count(*) AS n_members,
+           |  min(v_id) AS min_member,
+           |  round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           |    AS avg_cos
+           |FROM kaf GROUP BY c_cell ORDER BY cluster_id""".stripMargin,
 
       "x1_langid" ->
         """SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, guess,

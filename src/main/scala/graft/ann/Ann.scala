@@ -116,6 +116,57 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Lloyd k-means over the embedding corpus — the clustering stage a
+    * semantic-curation pipeline runs before pruning/balancing
+    * (SemDeDup-style cluster-then-dedup, topic mixture weighting):
+    * deterministic seeds (the k smallest ids), `rounds` centroid
+    * updates, cosine assignment with 6-dp rounding so the argmax (and
+    * its smaller-cluster-id tie-break) is bit-identical cross-engine.
+    *
+    * Scale shape: each assignment is ONE corpus scan against the k
+    * broadcast centroids (corpus × k, the standard Lloyd join — no
+    * shuffle of vectors); each update is a posexplode + decimal-exact
+    * per-(cluster, dim) mean (order-independent, so both engines get
+    * bit-identical centroids — same formula a4's IVF centroids
+    * hash-match with). Per-cluster report from a final assignment
+    * against the last centroids; the member-cos mean is a decimal sum
+    * of the 6-dp cosines, order-independent. Empty clusters drop out
+    * of the update naturally (deterministically in both engines). */
+  def kmeans(emb: DataFrame, id: String, vec: String, k: Int,
+             rounds: Int): DataFrame = {
+    val corpus = emb.select(col(id).cast("long").as("v_id"),
+      col(vec).cast("array<double>").as("v"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("v_id"))
+        .orderBy(col("cos").desc, col("c_cell").asc)
+      corpus.crossJoin(broadcast(cent))
+        .select(col("v_id"), col("v"), col("c_cell"),
+          round(Vec.cosine(col("v"), col("c_vec")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v_id"), col("v"), col("c_cell"), col("cos"))
+    }
+    var cent = corpus.filter(col("v_id") < k)
+      .select(col("v_id").as("c_cell"), col("v").as("c_vec"))
+    for (_ <- 1 to rounds) {
+      cent = assign(cent)
+        .select(col("c_cell"), posexplode(col("v")).as(Seq("i", "cv0")))
+        .groupBy(col("c_cell"), col("i"))
+        .agg((sum(col("cv0").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("cv"))
+        .groupBy(col("c_cell"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
+          s => s.getField("cv")).as("c_vec"))
+    }
+    assign(cent)
+      .groupBy(col("c_cell").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("v_id")).as("min_member"),
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** IVF-style top-k within the query's coarse cell (`cell` column). */
   def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {

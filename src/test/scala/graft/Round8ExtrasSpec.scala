@@ -165,4 +165,46 @@ class Round8ExtrasSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got == expected)
   }
+
+  // ---- a7 kmeans ---------------------------------------------------------
+
+  test("kmeans: recovers planted clusters around the seed directions") {
+    // two tight bundles around orthogonal axes; seeds 0 and 1 land one
+    // in each bundle, so Lloyd converges to the planted split
+    def v(axis: Int, eps: Double, at: Int): Array[Float] =
+      Array.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == at) eps else 0.0)).map(_.toFloat)
+    val emb = Seq(
+      (0L, v(0, 0.00, 1)), (2L, v(0, 0.05, 1)), (3L, v(0, 0.08, 2)),
+      (1L, v(1, 0.00, 2)), (4L, v(1, 0.05, 2)), (5L, v(1, 0.07, 3)),
+      (6L, v(1, 0.04, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.kmeans(emb, "vec_id", "embedding", 2, 2)
+      .select($"cluster_id", $"n_members", $"min_member")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((0L, 3L, 0L), (1L, 4L, 1L)))
+  }
+
+  test("kmeans: clusters partition the corpus; report is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val a = Ann.kmeans(emb, "vec_id", "embedding", 8, 2).collect()
+    val b = Ann.kmeans(emb, "vec_id", "embedding", 8, 2).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(1)).sum == n, "every vector assigned exactly once")
+    assert(a.forall(r => r.getDouble(3) <= 1.000001 && r.getDouble(3) >= -1.000001))
+  }
+
+  test("kmeans: a lost cluster drops out and members rehome deterministically") {
+    // seed 1 is strictly closer to seed 0's bundle than to anything
+    // else, so after one update every row sits in one cluster
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, Array(0.98f, 0.05f, 0f, 0f)), (3L, Array(0.97f, 0.12f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.kmeans(emb, "vec_id", "embedding", 2, 2)
+    val rows = out.select($"cluster_id", $"n_members")
+      .as[(Long, Long)].collect().toList
+    assert(rows.map(_._2).sum == 4, "all rows assigned")
+  }
 }
