@@ -589,6 +589,12 @@ object SparkEntry {
       graft.operators.Pipeline.ccnetBuckets(
         Tables.documents(s, d), "doc_id", "text", "lang", 3)),
 
+    // winnowing fingerprints (MOSS SIGMOD'03): min-hash of each
+    // 4-window of word-3-gram hashes; pairs sharing >= 2 fingerprints
+    // (guarantee: any shared run of >= 6 tokens shares a fingerprint)
+    "x15_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text", 3, 4, 2)),
+
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
@@ -1349,6 +1355,29 @@ object SparkEntry {
           |    AS bucket_avg_bits,
           |  min(doc_id) AS first_id
           |FROM wl GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+      // winnowing (k=3 grams, w=4 windows): per-window min of the
+      // 60-bit gram hashes — ties share the hash, so the selected SET
+      // needs no positional tie-break and both engines agree exactly;
+      // docs with < w grams have no full window and select nothing
+      "x15_winnow_pairs" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, i AS pos,
+          |    ('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15))::BIGINT AS h
+          |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i)
+          |  WHERE len(ws) >= 3),
+          |sel AS (SELECT DISTINCT doc_id, fp FROM (
+          |    SELECT doc_id,
+          |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+          |      count(*) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS nw
+          |    FROM g) WHERE nw = 4)
+          |SELECT id_a, id_b, n_shared FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
 
       "x5_top_bigrams" ->
         """SELECT lang, bigram, n, rank FROM (

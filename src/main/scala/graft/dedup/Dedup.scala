@@ -467,4 +467,57 @@ object Dedup {
           .as("dup_frac"))
       .orderBy(id)
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+    * MOSS local-fingerprinting scheme): hash every word k-gram, then
+    * in each sliding window of `w` consecutive gram hashes select the
+    * minimum — the selected set is a position-robust document
+    * fingerprint with the winnowing guarantee that any shared run of
+    * ≥ w+k−1 tokens contributes at least one SHARED fingerprint.
+    * (The classic rightmost-tie rule only disambiguates which
+    * occurrence is reported; tied candidates share the same hash, so
+    * the fingerprint SET — all downstream work — is tie-free. That is
+    * what makes one `min` over an ordered per-doc window sufficient,
+    * and cross-engine exact.)
+    *
+    * Shape: grams reduce to md5-prefix int64 before anything wide
+    * moves; selection is a per-document ROWS window (parallel across
+    * docs, no global order); docs with fewer than w grams select
+    * nothing (no full window). Returns (id, fp) distinct. */
+  def winnowFingerprints(docs: DataFrame, id: String, text: String,
+                         k: Int, w: Int): DataFrame = {
+    val grams = docs
+      .select(col(id), posexplode(Text.ngrams(col(text), k)).as(Seq("pos", "gram")))
+      .select(col(id), col("pos"), Text.md5Prefix60(col("gram")).as("h"))
+    val win = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("nw", count(lit(1)).over(win))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("nw") === w)
+      .select(col(id), col("fp"))
+      .distinct()
+  }
+
+  /** Winnowing near-dup candidate pairs: docs sharing ≥ `minShared`
+    * winnow fingerprints, with the shared count. The pair plan is the
+    * postings equi-join (candidates only where a fingerprint is
+    * shared — never all-pairs); winnow fingerprints are min-hashes of
+    * near-unique k-grams, so posting lists stay short on natural
+    * corpora, and a boilerplate-hot fingerprint shards the same way
+    * d4's hot postings do (excision/prefix routing is the documented
+    * escalation; d2 MinHash-LSH remains the designated 100 TB tier
+    * this grounds). */
+  def winnowPairs(docs: DataFrame, id: String, text: String,
+                  k: Int, w: Int, minShared: Int): DataFrame = {
+    val fp = winnowFingerprints(docs, id, text, k, w)
+    val a = fp.select(col(id).as("id_a"), col("fp"))
+    val b = fp.select(col(id).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

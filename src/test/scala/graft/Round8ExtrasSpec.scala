@@ -166,6 +166,43 @@ class Round8ExtrasSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- x15 winnowing -----------------------------------------------------
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // k=3, w=4: shared run of 6 tokens ("c1..c6") must yield >= 1
+    // shared fingerprint between docs 1 and 2; doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a1 a2 c1 c2 c3 c4 c5 c6 a3 a4"),
+      (2L, "b1 c1 c2 c3 c4 c5 c6 b2 b3 b4"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d0")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowFingerprints: docs with fewer than w grams select nothing") {
+    // 5 words -> 3 grams < w=4 windows
+    val docs = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4).count() == 0)
+  }
+
+  test("winnowFingerprints: selected set is the per-window min and deduped") {
+    // 7 words -> 5 grams -> 2 full windows; identical docs get the
+    // identical set, and the set size is bounded by full-window count
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+    val byDoc = fp.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == byDoc(2L) && byDoc(1L) >= 1 && byDoc(1L) <= 2)
+    val sets = fp.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, r) => d -> r.map(_._2).toSet }
+    assert(sets(1L) == sets(2L))
+  }
+
   // ---- a7 kmeans ---------------------------------------------------------
 
   test("kmeans: recovers planted clusters around the seed directions") {
