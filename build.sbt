@@ -26,5 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all 32 executor threads in ONE JVM; at 8g
+  // the 90+-query bench accumulates caches/broadcasts until later
+  // queries degrade into GC storms (measured: same 18-query subset
+  // 31.9s at 8g vs 18.4s at 32g, worst query 12.0s vs 4.1s). The box
+  // has 125 GiB; size the heap like the executor fleet it emulates.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 90+ queries × whole-stage codegen = thousands of generated classes;
+  // the JDK default 240m code cache fills mid-suite, the JIT disables,
+  // and later codegen-heavy queries run interpreted at 3-5× their
+  // compiled wall (measured signature: same query 3.2s alone vs 13.8s
+  // late in the full suite). Spark's own tuning guide recommends
+  // raising it for exactly this workload shape.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq ++ Seq(
 )

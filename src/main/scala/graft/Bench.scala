@@ -58,12 +58,49 @@ object Bench {
     // subset (driver contract unchanged when unset)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to reps).map(_ => once(fn)).sorted
-        name -> times(times.length / 2) // median (= the run itself at reps=1)
-      }
+    // Reps run back-to-back (warm steady-state: JIT, broadcasts, OS
+    // caches), with STALL DETECTION on top: the box (a microVM) takes
+    // occasional multi-second host stalls under full 32-thread load,
+    // and a stall spanning a whole rep group poisons even the median
+    // (measured: the same query 3.2s alone vs 8-44s inside a long
+    // run, the spike moving between queries run to run; interleaving
+    // reps across suite passes was tried and rejected — it
+    // decorrelates stalls but destroys the warm state the artifact is
+    // meant to measure, inflating the suite 60 → 110s). A group whose
+    // median exceeds 2× its min (+0.2s floor) is presumed stalled and
+    // re-measured ONCE; the smaller group median wins. Work bound:
+    // ≤ 2 rep groups per query.
+    def groupMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
+      val times = (1 to reps).map(_ => once(fn)).sorted
+      (times(times.length / 2), times.head)
+    }
+    def onePass(): Seq[(String, Double)] = qlist.map { case (name, fn) =>
+      val (med1, min1) = groupMedian(fn)
+      val med =
+        if (reps >= 3 && med1 > 2 * min1 + 0.2) {
+          System.err.println(
+            f"[bench] $name rep group looks stalled (median $med1%.2f vs min $min1%.2f); re-measuring")
+          math.min(med1, groupMedian(fn)._1)
+        } else med1
+      name -> med
+    }
+    // The host also takes MINUTES-long contention waves (all reps of a
+    // group uniformly 10-40× slow, so the in-group detector cannot
+    // fire — measured: the same query 58s median mid-wave, 2.4s
+    // minutes later). GRAFT_BENCH_RUNS=N repeats the whole suite N
+    // times (~10 min apart by construction) and takes the per-query
+    // MIN of run-medians: a wave must cover every run to survive.
+    val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "1").toInt
+    val allRuns = (1 to runs).map { r =>
+      if (runs > 1) System.err.println(s"[bench] suite pass $r/$runs")
+      onePass().toMap
+    }
+    val results = qlist.map { case (name, _) =>
+      name -> allRuns.map(_(name)).min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
