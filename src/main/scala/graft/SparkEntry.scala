@@ -200,6 +200,17 @@ object SparkEntry {
           "user_id", "ts", "event_id", "value", ts(T))
         .orderBy("user_id")),
 
+    // SCD Type-2 dimension build: the version chain as half-open
+    // validity intervals (valid_from/valid_to/is_current) — the
+    // materialized-warehouse twin of the AS-OF read
+    "t12_scd2" -> ((s, d) =>
+      Temporal.scd2(ev(s, d), "user_id", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_id"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"), col("event_type"), col("value"))
+        .orderBy("user_id", "version")),
+
     "ts21_stream_version_monitor" -> ((s, d) =>
       graft.streaming.Streams.versionMonitorStream(s, d)
         .orderBy("user_id", "version")),
@@ -595,6 +606,31 @@ object SparkEntry {
     "x15_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text", 3, 4, 2)),
 
+    // asymmetric n-gram containment (doc-in-doc detection): catches
+    // snippet/quote inclusion where Jaccard stays low because the
+    // host is much larger than the contained doc
+    "x16_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // ---- H. sketches -----------------------------------------------------
+    // HyperLogLog daily uniques: per-group state is 16 registers, not a
+    // user set — the exchange carries <= m rows/group/partition at any
+    // corpus size; exact count alongside for the error report
+    "s1_hll_distinct" -> ((s, d) =>
+      graft.functions.Sketch.hllDistinct(
+          ev(s, d).withColumn("day", unix_micros(date_trunc("day", col("ts"))))
+            .select("day", "user_id"),
+          Seq("day"), "user_id", p = 4)
+        .orderBy("day")),
+
+    // Count-Min heavy hitters: 4x64 counter grid (map-side combined to
+    // <= 256 partials per partition), est = min over rows, never
+    // under-counts; top-10 by estimate with exact count alongside
+    "s2_cms_topk" -> ((s, d) =>
+      graft.functions.Sketch.cmsTopK(ev(s, d).select("user_id"),
+        "user_id", depth = 4, width = 64, k = 10)),
+
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
@@ -628,6 +664,14 @@ object SparkEntry {
       graft.multimodal.Binary.chunkDupPairs(
         graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", 64, 0.5).orderBy("id_a", "id_b")),
+
+    // perceptual-hash index: per-payload 64-bit aHash (stub-decoded
+    // pixels) split into 4 pigeonhole chunks + candidate-neighborhood
+    // stats from the chunk equi-join (hamming <= 3 twins are found
+    // THROUGH this join; spec plants them — this corpus has none)
+    "m5_phash_index" -> ((s, d) =>
+      graft.multimodal.Binary.perceptualHashIndex(
+        Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -1965,6 +2009,107 @@ object SparkEntry {
           |  GROUP BY a.doc_id, b.doc_id, na.n_ck, nb.n_ck)
           |WHERE jaccard >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "t12_scd2" ->
+        """SELECT user_id, version, event_id, valid_from_us, valid_to_us,
+          |  (valid_to_us IS NULL) AS is_current, event_type, value
+          |FROM (SELECT user_id, event_id, event_type, value,
+          |    row_number() OVER w AS version,
+          |    epoch_us(ts) AS valid_from_us,
+          |    epoch_us(lead(ts) OVER w) AS valid_to_us
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |ORDER BY user_id, version""".stripMargin,
+
+      // HLL mirrored exactly: 60-bit md5-prefix hash, bucket = h % 16,
+      // rho from the remaining 56 bits via length(bin(..)), harmonic sum
+      // as BIGINT powers of two (2^57 per empty bucket), one exact
+      // double multiply+divide at the end (0.673*2^65 = alpha*m^2*2^57)
+      "s1_hll_distinct" ->
+        """WITH h AS (SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+          |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT day, h % 16 AS bucket,
+          |    max(CASE WHEN h // 16 = 0 THEN 57 ELSE 57 - length(bin(h // 16)) END) AS m,
+          |    count(*) AS n
+          |  FROM h GROUP BY 1, 2),
+          |s AS (SELECT day, sum(n)::BIGINT AS n_items,
+          |    (sum((2**(57 - m))::BIGINT))::BIGINT
+          |      + (16 - count(*)) * 144115188075855872 AS sv
+          |  FROM r GROUP BY 1),
+          |e AS (SELECT epoch_us(date_trunc('day', ts)) AS day,
+          |    count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+          |SELECT e.day, s.n_items, e.exact_distinct,
+          |  round(0.673 * 36893488147419103232.0 / sv, 6) AS est_distinct,
+          |  round((0.673 * 36893488147419103232.0 / sv) / e.exact_distinct - 1.0, 6)
+          |    AS rel_err
+          |FROM e JOIN s USING (day) ORDER BY day""".stripMargin,
+
+      "s2_cms_topk" ->
+        """WITH cj AS (SELECT user_id, unnest(range(4)) AS j FROM events),
+          |cells AS (SELECT j,
+          |    ('0x' || substr(md5('cms' || j || ':' || user_id), 1, 15))::BIGINT % 64 AS cell,
+          |    count(*) AS c
+          |  FROM cj GROUP BY 1, 2),
+          |u AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+          |uj AS (SELECT user_id, exact, unnest(range(4)) AS j FROM u)
+          |SELECT user_id, min(c)::BIGINT AS est, min(exact)::BIGINT AS exact
+          |FROM uj JOIN cells ON cells.j = uj.j
+          |  AND cells.cell = ('0x' || substr(md5('cms' || uj.j || ':' || uj.user_id), 1, 15))::BIGINT % 64
+          |GROUP BY user_id
+          |ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
+
+      "x16_containment" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, len(shingles) AS n_sh,
+          |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh)
+          |SELECT id_a, id_b, shared, n_a, containment FROM (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+          |    a.n_sh AS n_a, round(count(*)::DOUBLE / a.n_sh, 6) AS containment
+          |  FROM e a JOIN e b USING (shingle)
+          |  WHERE a.doc_id <> b.doc_id AND b.n_sh >= 0.6 * a.n_sh
+          |  GROUP BY a.doc_id, b.doc_id, a.n_sh)
+          |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+      // aHash mirrored exactly: pixel i = ord of byte 1 + floor(i*len/64)
+      // (len/64 division by a power of two is EXACT in doubles), bit via
+      // integer cross-multiplication, chunks as base-2 folds, candidate
+      // stats from the (chunk_idx, chunk_value) equi-join
+      "m5_phash_index" ->
+        """WITH p AS (SELECT doc_id,
+          |    [ord(substr(text, 1 + CAST(floor(i * greatest(length(text), 1) / 64.0) AS BIGINT), 1))
+          |     for i in range(0, 64)] AS px
+          |  FROM documents),
+          |s AS (SELECT doc_id, px, list_sum(px) AS sm FROM p),
+          |b AS (SELECT doc_id,
+          |    [CASE WHEN px[i] * 64 > sm THEN 1 ELSE 0 END for i in range(1, 65)] AS bits
+          |  FROM s),
+          |c AS (SELECT doc_id,
+          |    [list_sum([bits[c*16 + i] * (2**(16 - i))::BIGINT for i in range(1, 17)])::BIGINT
+          |     for c in range(0, 4)] AS ch
+          |  FROM b),
+          |hx AS (SELECT doc_id, ch,
+          |    lpad(hex(ch[1]), 4, '0') || lpad(hex(ch[2]), 4, '0')
+          |      || lpad(hex(ch[3]), 4, '0') || lpad(hex(ch[4]), 4, '0') AS ph_hex
+          |  FROM c),
+          |e2 AS (SELECT doc_id, ch, cc, ch[cc + 1] AS cv
+          |  FROM (SELECT doc_id, ch, unnest(range(4)) AS cc FROM c)),
+          |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    (bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+          |     + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4]))) AS hamming
+          |  FROM e2 a JOIN e2 b ON a.cc = b.cc AND a.cv = b.cv AND a.doc_id < b.doc_id),
+          |st AS (SELECT id, count(*) AS n_cand, min(hamming) AS min_ham FROM (
+          |    SELECT id_a AS id, hamming FROM prs
+          |    UNION ALL SELECT id_b AS id, hamming FROM prs)
+          |  GROUP BY id)
+          |SELECT hx.doc_id, hx.ph_hex, coalesce(st.n_cand, 0)::BIGINT AS n_cand,
+          |  st.min_ham
+          |FROM hx LEFT JOIN st ON st.id = hx.doc_id
+          |ORDER BY hx.doc_id""".stripMargin,
     )
   }
 }

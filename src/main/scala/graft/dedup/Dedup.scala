@@ -123,6 +123,34 @@ object Dedup {
     else jaccardPrefix(sh, dfc, tau)
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric companion of
+    * [[ngramJaccardPairs]]: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|, the
+    * measure that catches "A is inside B" (quoted snippets, benchmark
+    * questions embedded in crawl pages, doc-in-doc contamination) where
+    * Jaccard stays low because |B| ≫ |A|. Output is ORDERED pairs
+    * (id_a ≠ id_b, containment of a in b ≥ tau) — a full inclusion
+    * reports in both directions, a snippet only as (snippet → host).
+    *
+    * Same postings plan as d4's direct tier: candidates only where a
+    * shingle is shared, with the asymmetric size bound n_b ≥ tau·n_a
+    * (shared ≤ n_b, so C ≥ tau is impossible below it) pruning before
+    * the aggregation. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       n: Int, tau: Double): DataFrame = {
+    val sh = shinglePostings(docs, id, text, n)
+    val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= lit(tau) * col("n_a"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "shared", "n_a", "containment")
+  }
+
   /** The direct postings self-join — optimal on flat-df corpora. */
   private[graft] def jaccardDirect(sh: DataFrame, tau: Double): DataFrame = {
     val a = sh.select(col(sh.columns.head).as("id_a"), col("n_sh").as("n_a"), col("shingle"))

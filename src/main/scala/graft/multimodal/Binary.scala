@@ -79,6 +79,86 @@ object Binary {
     graft.dedup.Dedup.jaccardDirect(postings, tau)
   }
 
+  /** 64-bit average-hash ("aHash") perceptual fingerprint over a payload,
+    * as FOUR 16-bit pigeonhole chunks: 64 pixels sampled at evenly
+    * spaced offsets (pixel i = byte at 1 + ⌊i·len/64⌋ — the stride
+    * arithmetic a real thumbnail-resample reduces to), bit i set iff
+    * pixel_i·64 > Σpixels (the integer form of "above the mean" — no
+    * division, engine-exact). STUB decode as everywhere in this module:
+    * pixels come from the payload bytes directly; a real codec replaces
+    * the sampling line with decoded luma and NOTHING downstream changes.
+    *
+    * Chunking is d3's Manku-pigeonhole shape: hamming ≤ 3 over 64 bits
+    * forces ≥ 1 of the 4 chunks to match exactly, so near-dup search is
+    * an EQUI-join on (chunk_idx, chunk_value) — never an all-pairs
+    * hamming scan. Returns (id, c0..c3, ph_hex). */
+  def perceptualHash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val len = greatest(length(col(text)), lit(1))
+    val px = transform(sequence(lit(0), lit(63)),
+      i => ascii(col(text).substr(
+        (floor(i * len / lit(64.0)) + 1).cast("int"), lit(1))))
+    val bits = transform(col("__px"), p =>
+      when(p * 64 > col("__sum"), lit(1L)).otherwise(lit(0L)))
+    val chunk = (c: Int) => aggregate(
+      slice(col("__bits"), c * 16 + 1, 16), lit(0L), (acc, b) => acc * 2 + b)
+    docs.select(col(id), px.as("__px"))
+      .withColumn("__sum", aggregate(col("__px"), lit(0L), (acc, x) => acc + x))
+      .withColumn("__bits", bits)
+      .select(col(id) +: (0 until 4).map(c => chunk(c).as(s"c$c")): _*)
+      .withColumn("ph_hex", concat((0 until 4).map(c =>
+        lpad(hex(col(s"c$c")), 4, "0")): _*))
+  }
+
+  /** Near-dup candidate stats per payload from the pigeonhole index:
+    * docs sharing ≥ 1 of the 4 hash chunks are candidates; the report
+    * carries each doc's hash, candidate count and minimum hamming
+    * distance among candidates (NULL when no chunk collides). The
+    * full pair set at `maxHam` is [[perceptualHashPairs]]; the report
+    * shape keeps the query non-degenerate on corpora with no
+    * byte-identical payloads (true hamming twins are spec-planted). */
+  def perceptualHashIndex(docs: DataFrame, id: String, text: String): DataFrame = {
+    val ph = perceptualHash(docs, id, text)
+    val pairs = phashCandidates(ph, id)
+    val stats = pairs
+      .select(col("id_a").as("__id"), col("hamming"))
+      .union(pairs.select(col("id_b").as("__id"), col("hamming")))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_cand"), min(col("hamming")).as("min_ham"))
+    ph.join(stats, ph(id) === stats("__id"), "left")
+      .select(col(id), col("ph_hex"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("min_ham"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b, ≥ 1 chunk equal) with exact
+    * hamming distance — the pigeonhole equi-join. */
+  private def phashCandidates(ph: DataFrame, id: String): DataFrame = {
+    val chunkCols = (0 until 4).map(c => col(s"c$c"))
+    val legs = ph.select(col(id), array(chunkCols: _*).as("__ch"),
+        posexplode(array(chunkCols: _*)))
+      .select(col(id), col("__ch"), col("pos").as("__cc"), col("col").as("__cv"))
+    val a = legs.select(col(id).as("id_a"), col("__ch").as("__cha"),
+      col("__cc"), col("__cv"))
+    val b = legs.select(col(id).as("id_b"), col("__ch").as("__chb"),
+      col("__cc"), col("__cv"))
+    a.join(b, Seq("__cc", "__cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("__cha"), col("__chb"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .distinct()
+  }
+
+  /** Near-dup pairs at `maxHam` (≤ 3 for the 4-chunk guarantee to be
+    * complete — Manku et al. WWW'07 pigeonhole): the candidate join
+    * filtered to the exact hamming bound. */
+  def perceptualHashPairs(docs: DataFrame, id: String, text: String,
+                          maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, s"4-chunk pigeonhole is only complete to hamming 3, got $maxHam")
+    phashCandidates(perceptualHash(docs, id, text), id)
+      .filter(col("hamming") <= maxHam)
+  }
+
   /** Frame sampling: every `stride`-th byte as a "frame", with count /
     * sum / head-of-stream per document. STUB: a real impl decodes
     * containers and samples frames; the sampling arithmetic, schema and

@@ -89,6 +89,24 @@ object Temporal {
   def history(df: DataFrame, key: String, ts: String, tie: String, id: Column): DataFrame =
     versioned(df.filter(col(key) === id), key, ts, tie)
 
+  /** SCD Type-2 dimension build: the version chain as half-open validity
+    * intervals — each version row gains `valid_to` = the next version's
+    * timestamp (NULL on the current row) plus `version` and `is_current`.
+    * This is the materialized shape warehouses keep temporal dimensions
+    * in, and the one the reference's AS-OF read reduces to a range
+    * predicate against (`valid_from <= t < valid_to`) instead of a
+    * per-key max — the precomputed twin of [[asOf]].
+    *
+    * One window (the same single key-shuffle as [[versioned]]): lead()
+    * and row_number() share the (key × (ts, tie)) sort, so the whole
+    * build is one exchange + one per-key sort at any scale. */
+  def scd2(df: DataFrame, key: String, ts: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    df.withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Per-record version statistics: version count, first/last timestamp —
     * what `GET /compare` derives when start/end are omitted
     * (app/main.py:276-291). */

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketch
+import graft.temporal.Temporal
+import graft.dedup.Dedup
+import graft.multimodal.Binary
+
+/** Round-8 additions: sketches (HLL / Count-Min), SCD2, containment,
+  * perceptual-hash index. */
+class SketchScd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- HyperLogLog -------------------------------------------------------
+
+  test("hllDistinct estimate is within the m=16 error envelope and exact is exact") {
+    val df = (1 to 5000).map(i => ("g", i % 700)).toDF("g", "k")
+    val row = Sketch.hllDistinct(df, Seq("g"), "k").head()
+    assert(row.getAs[Long]("exact_distinct") === 700L)
+    assert(row.getAs[Long]("n_items") === 5000L)
+    val est = row.getAs[Double]("est_distinct")
+    // 1.04/sqrt(16) = 26% std error; 3 sigma bound
+    assert(est > 700 * 0.2 && est < 700 * 2.2, s"est $est wildly off 700")
+  }
+
+  test("hllDistinct is insensitive to duplication and order (registers are max-merged)") {
+    val base = (1 to 300).map(i => ("g", i)).toDF("g", "k")
+    val dup = base.union(base).union(base.orderBy(desc("k")))
+    val a = Sketch.hllDistinct(base, Seq("g"), "k")
+      .select("est_distinct").head().getDouble(0)
+    val b = Sketch.hllDistinct(dup, Seq("g"), "k")
+      .select("est_distinct").head().getDouble(0)
+    assert(a === b)
+  }
+
+  test("hllDistinct register table stays at <= m rows per group") {
+    val df = (1 to 4000).flatMap(i => Seq(("a", i), ("b", i * 7))).toDF("g", "k")
+    val out = Sketch.hllDistinct(df, Seq("g"), "k", p = 4)
+    assert(out.count() === 2)
+    // the register path never materializes more than 2 groups x 16 buckets
+    val regs = df.select(col("g"),
+        pmod(graft.functions.Text.md5Prefix60(col("k").cast("string")), lit(16L)).as("b"))
+      .distinct().count()
+    assert(regs <= 32)
+  }
+
+  // ---- Count-Min ---------------------------------------------------------
+
+  test("cmsTopK never under-estimates and finds the planted heavy hitter") {
+    val heavy = Seq.fill(500)(42)
+    val tail = (1 to 2000).map(_ % 97 + 100)
+    val df = (heavy ++ tail).toDF("k")
+    val out = Sketch.cmsTopK(df, "k", depth = 4, width = 64, k = 5).collect()
+    assert(out.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")),
+      "CMS under-estimated")
+    assert(out.head.getAs[Int]("k") === 42, "heavy hitter not ranked first")
+    assert(out.head.getAs[Long]("exact") === 500L)
+  }
+
+  test("cmsTopK output is deterministic") {
+    val df = (1 to 3000).map(i => i % 50).toDF("k")
+    val a = Sketch.cmsTopK(df, "k").collect().toSeq
+    val b = Sketch.cmsTopK(df, "k").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- SCD2 --------------------------------------------------------------
+
+  test("scd2 intervals tile each key's timeline with one current row") {
+    val df = Seq(
+      (1, "2024-01-01 00:00:00", 1, "a"),
+      (1, "2024-01-05 00:00:00", 2, "b"),
+      (1, "2024-01-09 00:00:00", 3, "c"),
+      (2, "2024-01-02 00:00:00", 4, "x")
+    ).toDF("k", "ts", "tie", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Temporal.scd2(df, "k", "ts", "tie").orderBy("k", "version").collect()
+    assert(out.length === 4)
+    val k1 = out.filter(_.getInt(0) == 1)
+    assert(k1.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3))
+    // interval chain: valid_to of v_n == valid_from of v_{n+1}
+    assert(k1(0).getAs[java.sql.Timestamp]("valid_to") ===
+      k1(1).getAs[java.sql.Timestamp]("ts"))
+    assert(k1(1).getAs[java.sql.Timestamp]("valid_to") ===
+      k1(2).getAs[java.sql.Timestamp]("ts"))
+    // exactly one current row per key
+    assert(out.count(_.getAs[Boolean]("is_current")) === 2)
+    assert(k1(2).getAs[Boolean]("is_current"))
+  }
+
+  test("scd2 as-of via interval predicate equals Temporal.asOf") {
+    val ev = sources.Tables.events(spark, sfDir)
+    val at = lit("2024-01-20 00:00:00").cast("timestamp")
+    val viaScd2 = Temporal.scd2(ev, "user_id", "ts", "event_id")
+      .filter(col("ts") <= at && (col("valid_to").isNull || col("valid_to") > at))
+      // several versions can share the boundary instant; as-of takes the last
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("event_id"))
+    val viaAsOf = Temporal.asOf(ev, "user_id", "ts", "event_id", at)
+      .select("user_id", "event_id")
+    assert(viaScd2.exceptAll(viaAsOf).isEmpty && viaAsOf.exceptAll(viaScd2).isEmpty)
+  }
+
+  // ---- containment -------------------------------------------------------
+
+  test("containmentPairs finds a planted snippet inside a host doc") {
+    val host = (1 to 60).map(i => s"w$i").mkString(" ")
+    val snippet = (20 to 30).map(i => s"w$i").mkString(" ")
+    val other = (100 to 160).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, snippet), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9).collect()
+    // snippet (2) contained in host (1); host NOT contained in snippet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 1L)))
+    assert(out.head.getAs[Double]("containment") === 1.0)
+  }
+
+  test("containment of identical docs is 1.0 both directions") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+    assert(out.count() === 2)
+    assert(out.select("containment").distinct().head().getDouble(0) === 1.0)
+  }
+
+  // ---- perceptual hash ---------------------------------------------------
+
+  test("perceptualHash: identical payloads collide, near payloads land within hamming 3") {
+    val a = (1 to 100).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, a), (2L, a), (3L, a.reverse.tail + "zz")).toDF("doc_id", "text")
+    val ph = Binary.perceptualHash(docs, "doc_id", "text").collect()
+    val h = ph.map(r => r.getAs[Long]("c0") :: r.getAs[Long]("c1") ::
+      r.getAs[Long]("c2") :: r.getAs[Long]("c3") :: Nil)
+    assert(h(0) === h(1), "identical payloads must hash identically")
+    val pairs = Binary.perceptualHashPairs(docs, "doc_id", "text", maxHam = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getAs[Long]("hamming") == 0L))
+  }
+
+  test("perceptualHashPairs pigeonhole is complete to hamming 3 vs brute force") {
+    // payloads = random-ish strings; brute-force all-pairs hamming from
+    // the hash table must equal the pigeonhole join's <=3 pair set
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 80).map(j => ('a' + (i * 31 + j * 7) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val ph = Binary.perceptualHash(docs, "doc_id", "text")
+    val a = ph.select(col("doc_id").as("id_a"), col("c0").as("a0"),
+      col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val b = ph.select(col("doc_id").as("id_b"), col("c0").as("b0"),
+      col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("b0"))).cast("long") +
+        bit_count(col("a1").bitwiseXOR(col("b1"))) +
+        bit_count(col("a2").bitwiseXOR(col("b2"))) +
+        bit_count(col("a3").bitwiseXOR(col("b3"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+    val pigeon = Binary.perceptualHashPairs(docs, "doc_id", "text", maxHam = 3)
+    assert(pigeon.exceptAll(brute).isEmpty && brute.exceptAll(pigeon).isEmpty)
+  }
+
+  test("perceptualHashIndex left-join keeps zero-candidate docs with NULL min_ham") {
+    val docs = Seq((1L, "abcdefgh" * 10), (2L, "zyxw" * 25)).toDF("doc_id", "text")
+    val out = Binary.perceptualHashIndex(docs, "doc_id", "text").orderBy("doc_id")
+    assert(out.count() === 2)
+    val rows = out.collect()
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_cand") == 0L) assert(r.isNullAt(r.fieldIndex("min_ham")))
+    }
+  }
+}
