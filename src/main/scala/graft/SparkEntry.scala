@@ -23,6 +23,9 @@ object SparkEntry {
   private val T1 = "2024-01-10 00:00:00"
   private val T2 = "2024-01-25 00:00:00"
   private val RecId = 42
+  // t13's transaction-time cutoff: state as known after the first 500
+  // appends (event_id is the monotone ingest sequence)
+  private val KnownAtSeq = 500L
   private val Stopwords = Seq("the", "a")
   // a2's multi-table LSH shape: production plane count (65k buckets —
   // the space actually shards a corpus), small per-table probe ball
@@ -198,6 +201,19 @@ object SparkEntry {
       Temporal.asOfInterpolate(
           ev(s, d).select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", ts(T))
+        .orderBy("user_id")),
+
+    // bitemporal as-of: state at valid time T as KNOWN at append
+    // sequence 500 (transaction-time axis = the monotone ingest id),
+    // with the current-knowledge answer + late-correction flag from
+    // the SAME single conditional-aggregate pass
+    "t13_bitemporal" -> ((s, d) =>
+      Temporal.bitemporalAsOf(
+          ev(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id", ts(T), lit(KnownAtSeq))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"),
+          col("current_event_id"), col("revised"))
         .orderBy("user_id")),
 
     // SCD Type-2 dimension build: the version chain as half-open
@@ -630,6 +646,13 @@ object SparkEntry {
     "s2_cms_topk" -> ((s, d) =>
       graft.functions.Sketch.cmsTopK(ev(s, d).select("user_id"),
         "user_id", depth = 4, width = 64, k = 10)),
+
+    // STREAMING HyperLogLog: the stream carries only the register
+    // table (state = days x 16, constant at any event volume);
+    // registers max-merge so the drain provably equals the batch
+    // build and s1's oracle shape validates it verbatim
+    "ts27_stream_hll" -> ((s, d) =>
+      graft.streaming.Streams.hllDistinctStream(s, d)),
 
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2009,6 +2032,39 @@ object SparkEntry {
           |  GROUP BY a.doc_id, b.doc_id, na.n_ck, nb.n_ck)
           |WHERE jaccard >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "t13_bitemporal" ->
+        s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+           |  FROM events WHERE ts <= TIMESTAMP '$T' AND event_id <= $KnownAtSeq
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+           |c AS (SELECT user_id, event_id FROM events WHERE ts <= TIMESTAMP '$T'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+           |SELECT k.user_id, k.ts_us, k.event_id, k.event_type, k.value,
+           |  c.event_id AS current_event_id, (k.event_id <> c.event_id) AS revised
+           |FROM k JOIN c USING (user_id) ORDER BY user_id""".stripMargin,
+
+      // same register/finalize math as s1 — the streaming drain is
+      // provably batch-equal (max/count merge), so one oracle shape
+      // serves both
+      "ts27_stream_hll" ->
+        """WITH h AS (SELECT epoch_us(date_trunc('day', ts)) AS day, user_id,
+          |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |r AS (SELECT day, h % 16 AS bucket,
+          |    max(CASE WHEN h // 16 = 0 THEN 57 ELSE 57 - length(bin(h // 16)) END) AS m,
+          |    count(*) AS n
+          |  FROM h GROUP BY 1, 2),
+          |s AS (SELECT day, sum(n)::BIGINT AS n_items,
+          |    (sum((2**(57 - m))::BIGINT))::BIGINT
+          |      + (16 - count(*)) * 144115188075855872 AS sv
+          |  FROM r GROUP BY 1),
+          |e AS (SELECT epoch_us(date_trunc('day', ts)) AS day,
+          |    count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1)
+          |SELECT e.day, s.n_items, e.exact_distinct,
+          |  round(0.673 * 36893488147419103232.0 / sv, 6) AS est_distinct,
+          |  round((0.673 * 36893488147419103232.0 / sv) / e.exact_distinct - 1.0, 6)
+          |    AS rel_err
+          |FROM e JOIN s USING (day) ORDER BY day""".stripMargin,
 
       "t12_scd2" ->
         """SELECT user_id, version, event_id, valid_from_us, valid_to_us,

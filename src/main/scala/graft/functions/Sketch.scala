@@ -50,32 +50,49 @@ object Sketch {
     */
   def hllDistinct(df: DataFrame, groups: Seq[String], key: String,
                   p: Int = 4): DataFrame = {
+    val regs = hllRegisters(df, groups, key, p)
+    val exact = df.groupBy(groups.map(col): _*)
+      .agg(countDistinct(col(key)).as("exact_distinct"))
+    hllFinalize(regs, groups, exact, p)
+  }
+
+  /** The (group, bucket) → (max rho, item count) register table — the
+    * sketch itself, and the only state a streaming twin carries. The
+    * stage below the groupBy is a stateless projection, so the SAME
+    * aggregation runs batch or incremental; registers merge by max/sum
+    * regardless of arrival order or duplication of partials. */
+  private[graft] def hllRegisters(df: DataFrame, groups: Seq[String],
+                                  key: String, p: Int): DataFrame = {
     require(p >= 2 && p <= 16, s"p=$p out of range")
     val m = 1 << p
-    val wBits = HashBits - p          // bits left after the bucket index
-    val maxRho = wBits + 1            // rho when the suffix is all zeros
-    // 2^maxRho scaling keeps the harmonic sum in exact BIGINT arithmetic
-    val scalePow = math.pow(2.0, maxRho)           // ≤ 2^57, exact double
-    val alphaNum = 0.673 * m * m * scalePow        // exact: 0.673·2^(2p+maxRho)
+    val maxRho = HashBits - p + 1     // rho when the hash suffix is all zeros
     val g = groups.map(col)
-
     val h = Text.md5Prefix60(col(key).cast("string"))
     val w = shiftright(h, p)
     val rho = when(w === 0, lit(maxRho))
       .otherwise(lit(maxRho) - length(bin(w)))
-    // register table: ≤ m rows per group survive the map-side combine
-    val regs = df
-      .select(g :+ pmod(h, lit(m.toLong)).as("__bucket") :+ rho.as("__rho"): _*)
+    df.select(g :+ pmod(h, lit(m.toLong)).as("__bucket") :+ rho.as("__rho"): _*)
       .groupBy(g :+ col("__bucket"): _*)
       .agg(max(col("__rho")).as("__m"), count(lit(1)).as("__n"))
+  }
+
+  /** Estimate from a register table (+ an exact-count side table for
+    * the error report): harmonic sum in exact BIGINT powers of two,
+    * then ONE exact double multiply + one correctly-rounded divide. */
+  private[graft] def hllFinalize(regs: DataFrame, groups: Seq[String],
+                                 exact: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRho = HashBits - p + 1
+    // 2^maxRho scaling keeps the harmonic sum in exact BIGINT arithmetic
+    val scalePow = math.pow(2.0, maxRho)           // ≤ 2^57, exact double
+    val alphaNum = 0.673 * m * m * scalePow        // exact: 0.673·2^(2p+maxRho)
+    val g = groups.map(col)
     val sums = regs.groupBy(g: _*).agg(
       sum(col("__n")).as("n_items"),
       // Σ 2^(maxRho − M) over present buckets + 2^maxRho per empty bucket,
       // all in BIGINT (each term a power of two ≤ 2^maxRho; m·2^maxRho < 2^63)
       (sum(pow(lit(2.0), lit(maxRho) - col("__m")).cast("long")) +
         (lit(m.toLong) - count(lit(1))) * lit(scalePow.toLong)).as("__s"))
-    val exact = df.groupBy(g: _*)
-      .agg(countDistinct(col(key)).as("exact_distinct"))
     val estRaw = lit(alphaNum) / col("__s").cast("double")
     sums.join(exact, groups)
       .select(g ++ Seq(

@@ -273,6 +273,32 @@ object Streams {
       .orderBy("event_type", "day")
   }
 
+  /** Streaming HyperLogLog daily uniques — the ingestion-time shape of
+    * s1_hll_distinct: the stream carries only the REGISTER table
+    * (state = days × m buckets, constant per day at ANY event volume —
+    * the entire point of sketching an unbounded stream), aggregated
+    * with max/count which are arrival-order- and duplication-of-
+    * partials-insensitive, so the drained registers are provably equal
+    * to the batch build and the batch-derived oracle validates the
+    * streaming output verbatim. The estimate finalize runs batch-side
+    * on the drained (tiny) register table; the exact-count leg is
+    * batch too — it exists only for the error report (a production
+    * stream would not carry it; that is what the sketch replaces). */
+  def hllDistinctStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 4
+    // state = 30 days x 16 registers — tiny
+    val prepped = eventStream(drainSession(spark, stateRows = 1L), sfDir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+    val regs = graft.functions.Sketch.hllRegisters(
+      prepped, Seq("day"), "user_id", p)
+    val drained = drainToTable(spark, regs, "graft_ts27")
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    graft.functions.Sketch.hllFinalize(drained, Seq("day"), exact, p)
+      .orderBy("day")
+  }
+
   /** ts12 floor decomposition (dev; StreamProbe's breakdown mode): the
     * SAME session aggregation drained through a foreachBatch row-count
     * sink — identical state-store work, but the ~1M-session result

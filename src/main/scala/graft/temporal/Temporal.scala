@@ -89,6 +89,36 @@ object Temporal {
   def history(df: DataFrame, key: String, ts: String, tie: String, id: Column): DataFrame =
     versioned(df.filter(col(key) === id), key, ts, tie)
 
+  /** BITEMPORAL as-of: state at VALID time `at` as KNOWN at system
+    * version `knownAt`. The reference's append-only chain gives every
+    * version a monotone ingest sequence (`tie`) — that sequence IS the
+    * transaction-time axis, so "what did we believe record X's state
+    * at T was, back when only the first V appends had arrived" is an
+    * audit/reproducibility query the vault can answer without any
+    * extra storage. Also surfaces the CURRENT-knowledge answer and a
+    * `revised` flag: versions appended after `knownAt` but valid
+    * before `at` (late-arriving corrections) made visible.
+    *
+    * ONE conditional-aggregate shuffle on the key (the
+    * [[asOfInterpolate]] trick): both knowledge horizons come out of a
+    * single pass — max of a (ts, tie, payload) struct under each
+    * predicate — no second scan, no join. */
+  def bitemporalAsOf(df: DataFrame, key: String, ts: String, tie: String,
+                     at: Column, knownAt: Column): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    val point = struct(col(ts) +: col(tie) +: others.filterNot(c => c == ts || c == tie)
+      .map(col): _*)
+    df.groupBy(col(key))
+      .agg(
+        max(when(col(ts) <= at && col(tie) <= knownAt, point)).as("__k"),
+        max(when(col(ts) <= at, point)).as("__c"))
+      .filter(col("__k").isNotNull)
+      .select(col(key) +:
+        others.map(c => col(s"__k.$c").as(c)) :+
+        col(s"__c.$tie").as(s"current_$tie") :+
+        (col(s"__k.$tie") =!= col(s"__c.$tie")).as("revised"): _*)
+  }
+
   /** SCD Type-2 dimension build: the version chain as half-open validity
     * intervals — each version row gains `valid_to` = the next version's
     * timestamp (NULL on the current row) plus `version` and `is_current`.

@@ -100,6 +100,44 @@ class SketchScd2Spec extends SparkSpec {
     assert(viaScd2.exceptAll(viaAsOf).isEmpty && viaAsOf.exceptAll(viaScd2).isEmpty)
   }
 
+  // ---- bitemporal --------------------------------------------------------
+
+  test("bitemporalAsOf sees late corrections only past their ingest sequence") {
+    val df = Seq(
+      // key 1: v appended at seq 1 (valid Jan 1), CORRECTION appended at
+      // seq 10 but valid back on Jan 2 (late-arriving, before the as-of)
+      (1, "2024-01-01 00:00:00", 1L, "orig"),
+      (1, "2024-01-02 00:00:00", 10L, "corrected"),
+      // key 2: stable
+      (2, "2024-01-03 00:00:00", 2L, "stable")
+    ).toDF("k", "ts", "seq", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val at = lit("2024-01-05 00:00:00").cast("timestamp")
+    // knowledge horizon seq<=5: the correction is invisible
+    val early = Temporal.bitemporalAsOf(df, "k", "ts", "seq", at, lit(5L))
+      .orderBy("k").collect()
+    assert(early(0).getAs[String]("v") === "orig")
+    assert(early(0).getAs[Boolean]("revised"))
+    assert(early(0).getAs[Long]("current_seq") === 10L)
+    assert(!early(1).getAs[Boolean]("revised"))
+    // full knowledge: equals plain asOf
+    val full = Temporal.bitemporalAsOf(df, "k", "ts", "seq", at, lit(Long.MaxValue))
+    val asof = Temporal.asOf(df, "k", "ts", "seq", at)
+    assert(full.select("k", "v").exceptAll(asof.select("k", "v")).isEmpty)
+    assert(full.filter(col("revised")).count() === 0)
+  }
+
+  // ---- streaming HLL -----------------------------------------------------
+
+  test("hllDistinctStream drain equals the batch hllDistinct") {
+    val batch = Sketch.hllDistinct(
+      sources.Tables.events(spark, sfDir)
+        .withColumn("day", unix_micros(date_trunc("day", col("ts"))))
+        .select("day", "user_id"),
+      Seq("day"), "user_id", p = 4)
+    val streamed = graft.streaming.Streams.hllDistinctStream(spark, sfDir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   // ---- containment -------------------------------------------------------
 
   test("containmentPairs finds a planted snippet inside a host doc") {
