@@ -118,10 +118,10 @@ object Binary {
     * byte-identical payloads (true hamming twins are spec-planted). */
   def perceptualHashIndex(docs: DataFrame, id: String, text: String): DataFrame = {
     val ph = perceptualHash(docs, id, text)
-    val pairs = phashCandidates(ph, id)
-    val stats = pairs
-      .select(col("id_a").as("__id"), col("hamming"))
-      .union(pairs.select(col("id_b").as("__id"), col("hamming")))
+    // one explode, not a union of two selects — a union re-executes the
+    // candidate join once per leg
+    val stats = phashCandidates(ph, id)
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id"), col("hamming"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_cand"), min(col("hamming")).as("min_ham"))
     ph.join(stats, ph(id) === stats("__id"), "left")
