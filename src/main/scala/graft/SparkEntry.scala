@@ -379,7 +379,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "d4_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.12)
+      Dedup.ngramJaccardPairsFrom(
+        graft.dedup.ClusterCache.postings(s, d, 3), 0.12)
         .orderBy("id_a", "id_b")),
 
     // cosine ≥ τ pairs over CORPUS-PROPORTIONAL coarse cells (k ≈ n/64
@@ -626,7 +627,8 @@ object SparkEntry {
     // snippet/quote inclusion where Jaccard stays low because the
     // host is much larger than the contained doc
     "x16_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+      Dedup.containmentPairsFrom(
+          graft.dedup.ClusterCache.postings(s, d, 3), 0.6)
         .orderBy("id_a", "id_b")),
 
     // ---- H. sketches -----------------------------------------------------

@@ -17,6 +17,24 @@ object ClusterCache {
   private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
   private val pairCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+  private val postingsCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+
+  /** The shared (doc_id, n_sh, shingle-hash) postings table over
+    * `dir`'s documents — the input both exact-similarity measures
+    * (d4 Jaccard, x16 containment) join on. One shingle + md5 build
+    * per corpus, persisted; each consumer pays only its own join. */
+  def postings(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
+    def build(): DataFrame =
+      Dedup.shinglePostings(Tables.documents(spark, dir), "doc_id", "text", n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = postingsCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      postingsCache.put(key, fresh)
+      fresh
+    } else df
+  }
 
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),

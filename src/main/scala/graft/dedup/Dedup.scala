@@ -101,8 +101,15 @@ object Dedup {
     * Exactness does not depend on the routing decision. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         n: Int, tau: Double,
-                        skewThreshold: Double = 0.5): DataFrame = {
-    val sh = shinglePostings(docs, id, text, n)
+                        skewThreshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFrom(shinglePostings(docs, id, text, n), tau, skewThreshold)
+
+  /** [[ngramJaccardPairs]] over a PREBUILT (possibly cached/persisted)
+    * postings table — the one-postings-table-many-consumers shape:
+    * d4 and x16 share one shingle+hash build per corpus
+    * ([[ClusterCache.postings]]). */
+  def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
+                            skewThreshold: Double = 0.5): DataFrame = {
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     // df² in double: at corpus scale df can reach 1e9+ and Σdf² would
     // overflow a long; the routing decision only needs a ratio
@@ -136,8 +143,13 @@ object Dedup {
     * (shared ≤ n_b, so C ≥ tau is impossible below it) pruning before
     * the aggregation. */
   def containmentPairs(docs: DataFrame, id: String, text: String,
-                       n: Int, tau: Double): DataFrame = {
-    val sh = shinglePostings(docs, id, text, n)
+                       n: Int, tau: Double): DataFrame =
+    containmentPairsFrom(shinglePostings(docs, id, text, n), tau)
+
+  /** [[containmentPairs]] over a prebuilt postings table (see
+    * [[ngramJaccardPairsFrom]]). */
+  def containmentPairsFrom(sh: DataFrame, tau: Double): DataFrame = {
+    val id = sh.columns.head
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))

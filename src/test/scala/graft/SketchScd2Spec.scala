@@ -159,6 +159,17 @@ class SketchScd2Spec extends SparkSpec {
     assert(out.select("containment").distinct().head().getDouble(0) === 1.0)
   }
 
+  test("cached postings give identical d4/x16 results to the direct build") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val sh = graft.dedup.ClusterCache.postings(spark, sfDir, 3)
+    val jd = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12)
+    val js = Dedup.ngramJaccardPairsFrom(sh, 0.12)
+    assert(js.exceptAll(jd).isEmpty && jd.exceptAll(js).isEmpty)
+    val cd = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6)
+    val cs = Dedup.containmentPairsFrom(sh, 0.6)
+    assert(cs.exceptAll(cd).isEmpty && cd.exceptAll(cs).isEmpty)
+  }
+
   // ---- perceptual hash ---------------------------------------------------
 
   test("perceptualHash: identical payloads collide, near payloads land within hamming 3") {
