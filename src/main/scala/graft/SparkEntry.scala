@@ -656,6 +656,13 @@ object SparkEntry {
     "ts27_stream_hll" -> ((s, d) =>
       graft.streaming.Streams.hllDistinctStream(s, d)),
 
+    // STREAMING Count-Min: ts27's sum-merged sibling — the stream
+    // folds into a 4x64 counter grid (256 cells of state at any
+    // volume); drain provably equals the batch grid, s2's oracle
+    // validates the report verbatim
+    "ts28_stream_cms" -> ((s, d) =>
+      graft.streaming.Streams.cmsTopKStream(s, d)),
+
     "x5_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), explode(Text.bigrams(col("text"))).as("bigram"))
@@ -2067,6 +2074,22 @@ object SparkEntry {
           |  round((0.673 * 36893488147419103232.0 / sv) / e.exact_distinct - 1.0, 6)
           |    AS rel_err
           |FROM e JOIN s USING (day) ORDER BY day""".stripMargin,
+
+      // streaming CMS drain == batch grid (sum-merge), so s2's SQL
+      // validates the streaming report verbatim
+      "ts28_stream_cms" ->
+        """WITH cj AS (SELECT user_id, unnest(range(4)) AS j FROM events),
+          |cells AS (SELECT j,
+          |    ('0x' || substr(md5('cms' || j || ':' || user_id), 1, 15))::BIGINT % 64 AS cell,
+          |    count(*) AS c
+          |  FROM cj GROUP BY 1, 2),
+          |u AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+          |uj AS (SELECT user_id, exact, unnest(range(4)) AS j FROM u)
+          |SELECT user_id, min(c)::BIGINT AS est, min(exact)::BIGINT AS exact
+          |FROM uj JOIN cells ON cells.j = uj.j
+          |  AND cells.cell = ('0x' || substr(md5('cms' || uj.j || ':' || uj.user_id), 1, 15))::BIGINT % 64
+          |GROUP BY user_id
+          |ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
 
       "t12_scd2" ->
         """SELECT user_id, version, event_id, valid_from_us, valid_to_us,

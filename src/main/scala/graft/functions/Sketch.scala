@@ -114,20 +114,35 @@ object Sketch {
     */
   def cmsTopK(df: DataFrame, key: String, depth: Int = 4, width: Int = 64,
               k: Int = 10): DataFrame = {
+    val grid = cmsGrid(df, key, depth, width)
+    val cand = df.groupBy(col(key)).agg(count(lit(1)).as("exact"))
+    cmsFinalize(grid, cand, key, depth, width, k)
+  }
+
+  private def cellOf(width: Int)(j: Column, x: Column): Column =
+    pmod(Text.md5Prefix60(concat(lit("cms"), j.cast("string"), lit(":"),
+      x.cast("string"))), lit(width.toLong))
+
+  /** The depth × width counter grid — the sketch itself. Counters
+    * merge by SUM (order-insensitive, partial-friendly), so the same
+    * aggregation runs batch or as incremental streaming state. */
+  private[graft] def cmsGrid(df: DataFrame, key: String,
+                             depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape $depth x $width")
-    def cellOf(j: Column, x: Column): Column =
-      pmod(Text.md5Prefix60(concat(lit("cms"), j.cast("string"), lit(":"),
-        x.cast("string"))), lit(width.toLong))
-    val ks = col(key)
-    // the sketch: depth·width cells, map-side combined
-    val grid = df
-      .select(ks, explode(sequence(lit(0), lit(depth - 1))).as("__j"))
-      .groupBy(col("__j"), cellOf(col("__j"), ks).as("__cell"))
+    df.select(col(key), explode(sequence(lit(0), lit(depth - 1))).as("__j"))
+      .groupBy(col("__j"), cellOf(width)(col("__j"), col(key)).as("__cell"))
       .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Top-k estimate report from a (possibly drained-from-a-stream)
+    * grid + a candidate table carrying (key, exact). */
+  private[graft] def cmsFinalize(grid: DataFrame, cand: DataFrame, key: String,
+                                 depth: Int, width: Int, k: Int): DataFrame = {
+    val ks = col(key)
     // probe: each candidate key reads its depth cells, takes the min
-    val probe = df.groupBy(ks).agg(count(lit(1)).as("exact"))
+    val probe = cand
       .select(ks, col("exact"), explode(sequence(lit(0), lit(depth - 1))).as("__pj"))
-      .withColumn("__pcell", cellOf(col("__pj"), ks))
+      .withColumn("__pcell", cellOf(width)(col("__pj"), ks))
     probe
       .join(broadcast(grid),
         probe("__pj") === grid("__j") && probe("__pcell") === grid("__cell"))

@@ -299,6 +299,24 @@ object Streams {
       .orderBy("day")
   }
 
+  /** Streaming Count-Min heavy hitters — ts27's sum-merged sibling:
+    * the stream folds every event into a 4×64 counter grid (state =
+    * 256 cells, constant at any volume; counters SUM-merge, so partial
+    * arrival order is irrelevant and the drain provably equals the
+    * batch grid). The top-k probe runs batch-side over the drained
+    * grid; the exact-count leg exists only for the error column. */
+  def cmsTopKStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (depth, width, k) = (4, 64, 10)
+    val grid = graft.functions.Sketch.cmsGrid(
+      eventStream(drainSession(spark, stateRows = 1L), sfDir)
+        .select(col("user_id")),
+      "user_id", depth, width)
+    val drained = drainToTable(spark, grid, "graft_ts28")
+    val cand = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    graft.functions.Sketch.cmsFinalize(drained, cand, "user_id", depth, width, k)
+  }
+
   /** ts12 floor decomposition (dev; StreamProbe's breakdown mode): the
     * SAME session aggregation drained through a foreachBatch row-count
     * sink — identical state-store work, but the ~1M-session result

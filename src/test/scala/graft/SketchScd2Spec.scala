@@ -128,6 +128,13 @@ class SketchScd2Spec extends SparkSpec {
 
   // ---- streaming HLL -----------------------------------------------------
 
+  test("cmsTopKStream drain equals the batch cmsTopK") {
+    val batch = Sketch.cmsTopK(
+      sources.Tables.events(spark, sfDir).select("user_id"), "user_id")
+    val streamed = graft.streaming.Streams.cmsTopKStream(spark, sfDir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("hllDistinctStream drain equals the batch hllDistinct") {
     val batch = Sketch.hllDistinct(
       sources.Tables.events(spark, sfDir)
