@@ -497,6 +497,14 @@ object SparkEntry {
     "a7_kmeans" -> ((s, d) =>
       Ann.kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)),
 
+    // product-quantization ADC (FAISS IVFPQ pattern): vectors stored
+    // as 8 one-byte codes, queries score candidates via a broadcast
+    // distance table — integer micro-distances end to end, exact
+    // cosine of each hit reported alongside the ADC estimate
+    "a8_pq_adc" -> ((s, d) =>
+      Ann.pqAdc(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L))),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -1924,6 +1932,41 @@ object SparkEntry {
       // rounded cosine (ties -> smaller cluster id) as the Spark side,
       // so the argmax — hence membership, centroids, and the final
       // report — is bit-identical cross-engine
+      // PQ/ADC mirrored exactly: 1-based inclusive list slices per
+      // subspace, integer micro-distances round(L2^2 * 1e6)::BIGINT so
+      // argmin ties and the ADC sum are order-free integer arithmetic
+      "a8_pq_adc" ->
+        s"""WITH mm AS (SELECT unnest(range(8)) AS m),
+           |cb AS (SELECT vec_id AS cid, m,
+           |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS csub
+           |  FROM embeddings, mm WHERE vec_id < 16),
+           |cs AS (SELECT vec_id, m,
+           |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS sub
+           |  FROM embeddings, mm),
+           |dm AS (SELECT c.vec_id, c.m, b.cid,
+           |    CAST(round(list_sum([(c.sub[i]-b.csub[i])*(c.sub[i]-b.csub[i])
+           |      for i in range(1, 9)]) * 1000000) AS BIGINT) AS dmicro
+           |  FROM cs c JOIN cb b USING (m)),
+           |enc AS (SELECT vec_id, m, cid AS code FROM (
+           |    SELECT vec_id, m, cid,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+           |    FROM dm) WHERE rn = 1),
+           |dt AS (SELECT vec_id AS query_id, m, cid, dmicro FROM dm
+           |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+           |ad AS (SELECT dt.query_id, e.vec_id AS nn_id,
+           |    sum(dt.dmicro)::BIGINT AS admicro
+           |  FROM enc e JOIN dt ON dt.m = e.m AND dt.cid = e.code
+           |  WHERE e.vec_id <> dt.query_id
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT query_id, nn_id, admicro,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY admicro, nn_id) AS rank
+           |  FROM ad)
+           |SELECT rk.query_id, rk.nn_id, round(rk.admicro / 1000000.0, 6) AS adc_dist,
+           |  ${cosSql("q.embedding", "c.embedding")} AS cos, rk.rank
+           |FROM rk JOIN embeddings q ON q.vec_id = rk.query_id
+           |JOIN embeddings c ON c.vec_id = rk.nn_id
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       "a7_kmeans" ->
         s"""WITH kcomp AS (
            |  SELECT vec_id, j AS i, CAST(embedding[j] AS DOUBLE) AS v

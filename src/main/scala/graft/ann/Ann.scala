@@ -116,6 +116,89 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation —
+    * the FAISS IVFPQ/ADC pattern (Jégou et al. 2011), the index family
+    * that makes billion-vector search fit in memory: each vector is
+    * stored as `m` one-byte CODES (argmin-L2 sub-centroid per
+    * subspace) instead of `m·subDim` floats, and a query scores a
+    * candidate by summing `m` PRECOMPUTED query↔centroid sub-distances
+    * (the "distance table") — no candidate vector is ever touched at
+    * query time.
+    *
+    * Scale shape: encoding is ONE corpus scan against the broadcast
+    * codebook (k·m sub-centroids, a few KB); the code table — the
+    * index — is n·m narrow integer rows (~m bytes/vector, the 32×
+    * compression that is PQ's reason to exist); ADC is an equi-join of
+    * that table against the broadcast distance table (q·m·k rows) plus
+    * one integer-sum aggregation. Nothing wider than ids and codes
+    * moves after the scan.
+    *
+    * Determinism/oracle: codebook = the subvectors of the `k` smallest
+    * ids (a pretrained codebook is an INPUT in production FAISS too;
+    * [[kmeans]] is the in-engine training extension). All distances
+    * are integer MICRO-distances — round(L2²·1e6) as BIGINT — so
+    * argmin tie-breaks and the ADC sum are exact integer arithmetic,
+    * immune to float summation order. The report carries the exact
+    * cosine of each returned neighbor alongside the ADC estimate, so
+    * the quantization error is visible in the result itself. */
+  def pqAdc(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
+            m: Int = 8, k: Int = 16, topK: Int = 10): DataFrame = {
+    val dims = 64 // documents corpus embedding width; subDim = dims / m
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val subDim = dims / m
+    val dArr = col(vec).cast("array<double>")
+    // (id', m, subvector) rows
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(id).as(idAs),
+          posexplode(transform(sequence(lit(0), lit(m - 1)),
+            i => slice(dArr, i * subDim + 1, lit(subDim)))))
+        .select(col(idAs), col("pos").as("__m"), col("col").as("__sub"))
+    // integer micro-distance: round(L2² · 1e6) — exact argmin/sum ties
+    def dmicro(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e) * 1e6).cast("long")
+
+    val seeds = emb.filter(col(id).isin((0L until k.toLong): _*))
+    val codebook = broadcast(
+      subs(seeds, "__cid").withColumnRenamed("__sub", "__csub"))
+    // the code table: n·m narrow rows — the compressed index
+    val codes = subs(emb, "__vid")
+      .join(codebook, "__m")
+      .groupBy(col("__vid"), col("__m"))
+      .agg(min(struct(dmicro(col("__sub"), col("__csub")).as("d"),
+        col("__cid").as("c"))).as("__best"))
+      .select(col("__vid"), col("__m"), col("__best.c").as("__code"))
+    // per-query distance table: q·m·k rows, broadcast
+    val dt = broadcast(
+      subs(emb.filter(col(id).isin(queryIds: _*)), "query_id")
+        .join(codebook, "__m")
+        .select(col("query_id"), col("__m"), col("__cid"),
+          dmicro(col("__sub"), col("__csub")).as("__d")))
+    val approx = codes
+      .join(dt, codes("__m") === dt("__m") && codes("__code") === dt("__cid"))
+      .groupBy(col("query_id"), col("__vid").as("nn_id"))
+      .agg(sum(col("__d")).as("__admicro"))
+      .filter(col("nn_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__admicro").asc, col("nn_id").asc)
+    val ranked = approx.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+    // exact cosine of each returned neighbor — quantization error made
+    // visible; 50 rows join the corpus, queries broadcast
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("__nv"),
+      Vec.normNative(col(vec)).as("__nn"))
+    val queries = broadcast(emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("__qv"),
+        Vec.normNative(col(vec)).as("__qn")))
+    ranked.join(corpus, "nn_id").join(queries, "query_id")
+      .select(col("query_id"), col("nn_id"),
+        round(col("__admicro") / 1e6, 6).as("adc_dist"),
+        Vec.cosinePrenormed(col("__qv"), col("__nv"),
+          col("__qn"), col("__nn")).as("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Lloyd k-means over the embedding corpus — the clustering stage a
     * semantic-curation pipeline runs before pruning/balancing
     * (SemDeDup-style cluster-then-dedup, topic mixture weighting):

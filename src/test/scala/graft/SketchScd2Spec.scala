@@ -177,6 +177,33 @@ class SketchScd2Spec extends SparkSpec {
     assert(cs.exceptAll(cd).isEmpty && cd.exceptAll(cs).isEmpty)
   }
 
+  // ---- PQ / ADC ----------------------------------------------------------
+
+  test("pqAdc: an exact twin attains the minimum possible ADC distance") {
+    // ADC(q, v) = sum_m dt[m][code_v[m]] and code_q[m] is the argmin of
+    // dt[m] — so a vector sharing q's codes (an exact twin shares them
+    // trivially) attains the minimum over ALL vectors. Plant a twin of
+    // query 20 and assert it ranks first.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val withTwin = base :+ (99L, base(20)._2.clone())
+    val emb = spark.createDataFrame(withTwin).toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.pqAdc(emb, "vec_id", "embedding",
+      Seq(20L), m = 8, k = 16, topK = 5).collect()
+    assert(out.head.getAs[Long]("nn_id") === 99L, "twin must rank first")
+    // and everything else's ADC >= the twin's
+    assert(out.forall(_.getAs[Double]("adc_dist") >= out.head.getAs[Double]("adc_dist")))
+  }
+
+  test("pqAdc is deterministic and returns topK per query") {
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val a = graft.ann.Ann.pqAdc(emb, "vec_id", "embedding", Seq(0L, 1L)).collect().toSeq
+    val b = graft.ann.Ann.pqAdc(emb, "vec_id", "embedding", Seq(0L, 1L)).collect().toSeq
+    assert(a === b)
+    assert(a.count(_.getAs[Long]("query_id") == 0L) === 10)
+  }
+
   // ---- perceptual hash ---------------------------------------------------
 
   test("perceptualHash: identical payloads collide, near payloads land within hamming 3") {
