@@ -26,6 +26,9 @@ object SparkEntry {
   // t13's transaction-time cutoff: state as known after the first 500
   // appends (event_id is the monotone ingest sequence)
   private val KnownAtSeq = 500L
+  // t14's weekly as-of checkpoints (events span 2024-01-01 .. 01-30)
+  private val TrendTs = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00", "2024-01-29 00:00:00")
   private val Stopwords = Seq("the", "a")
   // a2's multi-table LSH shape: production plane count (65k buckets —
   // the space actually shards a corpus), small per-table probe ball
@@ -202,6 +205,17 @@ object SparkEntry {
           ev(s, d).select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", ts(T))
         .orderBy("user_id")),
+
+    // as-of trend: the value metric aggregated over every record's
+    // state as of each of 4 weekly checkpoints — ONE scan + ONE
+    // key-shuffle for all four (conditional max-aggregates), not
+    // four as-of scans
+    "t14_asof_trend" -> ((s, d) =>
+      Temporal.asOfTrend(
+          ev(s, d).select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value",
+          TrendTs.map(t => t.substring(0, 10) -> ts(t)))
+        .orderBy("checkpoint")),
 
     // bitemporal as-of: state at valid time T as KNOWN at append
     // sequence 500 (transaction-time axis = the monotone ingest id),
@@ -2084,6 +2098,17 @@ object SparkEntry {
           |  GROUP BY a.doc_id, b.doc_id, na.n_ck, nb.n_ck)
           |WHERE jaccard >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "t14_asof_trend" ->
+        s"""WITH pts AS (SELECT unnest([${TrendTs.map(t => s"'${t.substring(0, 10)}'").mkString(", ")}]) AS checkpoint),
+           |av AS (SELECT p.checkpoint, e.user_id, e.value,
+           |    row_number() OVER (PARTITION BY p.checkpoint, e.user_id
+           |      ORDER BY e.ts DESC, e.event_id DESC) AS rn
+           |  FROM events e JOIN pts p ON e.ts <= (p.checkpoint || ' 00:00:00')::TIMESTAMP)
+           |SELECT checkpoint, count(*) AS n_records,
+           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+           |FROM av WHERE rn = 1 GROUP BY checkpoint ORDER BY checkpoint""".stripMargin,
 
       "t13_bitemporal" ->
         s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

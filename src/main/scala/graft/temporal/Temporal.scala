@@ -89,6 +89,40 @@ object Temporal {
   def history(df: DataFrame, key: String, ts: String, tie: String, id: Column): DataFrame =
     versioned(df.filter(col(key) === id), key, ts, tie)
 
+  /** AS-OF TREND: a metric aggregated over every record's state as of
+    * EACH of k checkpoints — "how did total portfolio value / record
+    * count develop week over week", reconstructed from the version
+    * chain. The naive plan is k independent as-of scans; this is ONE
+    * scan and ONE key-shuffle computing all k bracketing versions as
+    * conditional max-aggregates (the [[asOfInterpolate]] trick, k-wide),
+    * then a tiny explode+re-aggregate over the per-key row. At 100 TB
+    * the scan dominates — k checkpoints for the price of one pass.
+    *
+    * Returns (checkpoint, n_records, total_value, avg_value), one row
+    * per checkpoint; `value` sums through DECIMAL for cross-engine
+    * exactness. */
+  def asOfTrend(df: DataFrame, key: String, ts: String, tie: String,
+                value: String, ats: Seq[(String, Column)]): DataFrame = {
+    val aggs = ats.map { case (label, at) =>
+      max(when(col(ts) <= at,
+        struct(col(ts), col(tie),
+          col(value).cast("decimal(18,6)").as("v")))).as(s"__$label")
+    }
+    val perKey = df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    perKey
+      .select(col(key), explode(array(ats.map { case (label, _) =>
+        struct(lit(label).as("checkpoint"), col(s"__$label.v").as("v"))
+      }: _*)).as("__s"))
+      .select(col(key), col("__s.checkpoint").as("checkpoint"), col("__s.v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("checkpoint"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("__v")).cast("double").as("total_value"))
+      .withColumn("avg_value",
+        round(col("total_value") / col("n_records"), 6))
+  }
+
   /** BITEMPORAL as-of: state at VALID time `at` as KNOWN at system
     * version `knownAt`. The reference's append-only chain gives every
     * version a monotone ingest sequence (`tie`) — that sequence IS the

@@ -126,6 +126,22 @@ class SketchScd2Spec extends SparkSpec {
     assert(full.filter(col("revised")).count() === 0)
   }
 
+  test("asOfTrend single-pass equals k independent asOf aggregates") {
+    val ev = sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value")
+    val ats = Seq("2024-01-10 00:00:00", "2024-01-25 00:00:00")
+      .map(t => t.substring(0, 10) -> lit(t).cast("timestamp"))
+    val trend = Temporal.asOfTrend(ev, "user_id", "ts", "event_id", "value", ats)
+    val naive = ats.map { case (label, at) =>
+      Temporal.asOf(ev, "user_id", "ts", "event_id", at)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .select(lit(label).as("checkpoint"), col("n_records"), col("total_value"))
+        .withColumn("avg_value", round(col("total_value") / col("n_records"), 6))
+    }.reduce(_ union _)
+    assert(trend.exceptAll(naive).isEmpty && naive.exceptAll(trend).isEmpty)
+  }
+
   // ---- streaming HLL -----------------------------------------------------
 
   test("cmsTopKStream drain equals the batch cmsTopK") {
