@@ -359,6 +359,12 @@ object SparkEntry {
     "q19_disc_revenue_or" -> ((s, d) => Analytics.q19DiscRevenueOr(s, d)),
     "q20_qty_suppliers" -> ((s, d) => Analytics.q20QtySuppliers(s, d, "blue", 1996, 2.0)),
     "q21_returned_sole" -> ((s, d) => Analytics.q21ReturnedSole(s, d, 20)),
+    "q2_min_cost_supp" -> ((s, d) =>
+      Analytics.q2MinCostSupplier(s, d, "EUROPE", 15, "STANDARD", 100)),
+    "q11_important_stock" -> ((s, d) =>
+      Analytics.q11ImportantStock(s, d, "NATION_7", 0.001)),
+    "q12_ship_priority" -> ((s, d) =>
+      Analytics.q12ShipDelayPriority(s, d, 1997, 30, 60)),
     "q23_rollup_revenue" -> ((s, d) => Analytics.q23RollupRevenue(s, d)),
 
     // set operators: EXCEPT/INTERSECT compile to anti/semi joins over
@@ -1690,6 +1696,57 @@ object SparkEntry {
           |    FROM perPair)
           |  SELECT perPair.l_suppkey FROM perPair, thr WHERE perPair.qty > thr.thr)
           |ORDER BY s_suppkey""".stripMargin,
+
+      // supply cost = best per-unit price ever quoted (an exact MIN
+      // selection, no sum → the double equality with the per-part min
+      // is engine-stable)
+      "q2_min_cost_supp" ->
+        """WITH p AS (SELECT p_partkey, p_type FROM part
+          |  WHERE p_size <= 15 AND p_type = 'STANDARD'),
+          |cost AS (
+          |  SELECT l.l_suppkey, l.l_partkey, p.p_type,
+          |    min(l.l_extendedprice / l.l_quantity) AS supply_cost
+          |  FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+          |  WHERE l.l_quantity > 0
+          |  GROUP BY 1, 2, 3),
+          |mc AS (SELECT l_partkey, min(supply_cost) AS min_cost FROM cost GROUP BY 1)
+          |SELECT s.s_acctbal, s.s_name, n.n_name,
+          |  cost.l_partkey AS p_partkey, cost.p_type, cost.supply_cost
+          |FROM cost
+          |JOIN mc ON cost.l_partkey = mc.l_partkey AND cost.supply_cost = mc.min_cost
+          |JOIN supplier s ON cost.l_suppkey = s.s_suppkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin,
+
+      "q11_important_stock" ->
+        """WITH su AS (
+          |  SELECT s.s_suppkey FROM supplier s
+          |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |  WHERE n.n_name = 'NATION_7'),
+          |pp AS (
+          |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+          |  FROM lineitem
+          |  WHERE l_suppkey IN (SELECT s_suppkey FROM su)
+          |  GROUP BY 1)
+          |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+          |FROM pp
+          |WHERE CAST(value_dec AS DOUBLE) >
+          |  (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM pp)
+          |ORDER BY value DESC, p_partkey""".stripMargin,
+
+      "q12_ship_priority" ->
+        """SELECT CASE
+          |    WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30 THEN '1-FAST'
+          |    WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 60 THEN '2-MEDIUM'
+          |    ELSE '3-SLOW' END AS ship_bucket,
+          |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q21_returned_sole" ->
         """WITH f AS (

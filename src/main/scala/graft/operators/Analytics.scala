@@ -483,6 +483,106 @@ object Analytics {
       .orderBy("grp", "l_returnflag", "l_linestatus")
   }
 
+  /** TPC-H Q2 flavor: minimum-cost supplier per part for one region and
+    * part shape. The testdata has no partsupp, so supply cost is
+    * recovered from lineitem as the best per-unit price a supplier ever
+    * quoted for the part — min(l_extendedprice / l_quantity), an exact
+    * selection (no sum), so the double equality against the per-part
+    * minimum is engine-stable. Plan shape mirrors the original's
+    * correlated MIN subquery: the filtered part taxonomy broadcasts
+    * below the per-(supplier, part) aggregation (only ~1/|sizes| of the
+    * fact aggregates), the per-part minimum is a second agg over that
+    * already-tiny table, and all dimension joins broadcast. One fact
+    * shuffle total at any scale. */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String, regionName: String,
+                        maxSize: Int, pType: String, topK: Int): DataFrame = {
+    val r = Tables.region(spark, sfDir)
+      .filter(col("r_name") === regionName).select("r_regionkey")
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size") <= maxSize && col("p_type") === pType)
+      .select("p_partkey", "p_type")
+    val cost = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 0)
+      .select("l_suppkey", "l_partkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"), col("p_type"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+    val minPerPart = cost.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    val su = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cost
+      .join(broadcast(minPerPart),
+        col("l_partkey") === col("m_partkey") &&
+          col("supply_cost") === col("min_cost"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_type"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q11 flavor: parts representing a significant fraction of one
+    * nation's stocked value — inventory value proxied as the lineitem
+    * revenue the nation's suppliers shipped per part. The per-part sums
+    * stay DECIMAL until the final projection (order-independent); the
+    * global total is a scalar aggregate of the tiny per-part table,
+    * broadcast back as the HAVING threshold — the original's scalar
+    * subquery, without a second fact pass. */
+  def q11ImportantStock(spark: SparkSession, sfDir: String, nationName: String,
+                        fraction: Double): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name") === nationName).select("n_nationkey")
+    val su = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_partkey", "l_extendedprice")
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice"))).as("value_dec"))
+    val thr = perPart.agg(
+      (sum(col("value_dec")).cast("double") * fraction).as("thr"))
+    perPart.join(broadcast(thr), col("value_dec").cast("double") > col("thr"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey").asc)
+  }
+
+  /** TPC-H Q12 flavor: does slow shipping delay high-priority orders?
+    * The testdata has no l_shipmode/l_receiptdate, so the mode becomes a
+    * ship-DELAY bucket (days between order and ship date — integer date
+    * arithmetic, engine-exact). This is the suite's honest BIG-BIG join:
+    * both lineitem and orders arrive filtered but still fact-sized, so
+    * the join shuffles both sides on the order key — the case bucketing
+    * both tables on orderkey (sources/Bucketing.scala) turns into a
+    * zero-exchange sort-merge at 100 TB. Counts are integer. */
+  def q12ShipDelayPriority(spark: SparkSession, sfDir: String, year: Int,
+                           fastDays: Int, mediumDays: Int): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+    val delay = datediff(col("l_shipdate").cast("date"),
+      col("o_orderdate").cast("date"))
+    val bucket = when(delay <= fastDays, "1-FAST")
+      .when(delay <= mediumDays, "2-MEDIUM").otherwise("3-SLOW")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(bucket.as("ship_bucket"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_bucket")
+  }
+
   /** TPC-H Q6 flavor: forecast revenue change — pure scan+filter+agg;
     * every predicate reaches the parquet reader. */
   def q6RevenueDelta(spark: SparkSession, sfDir: String, year: Int): DataFrame = {
