@@ -45,6 +45,12 @@ object SparkEntry {
   // Shared by the entry and the oracle SQL so a retune cannot
   // desynchronize the engines.
   private val BlockWords = Seq("slow", "dup", "big")
+  // s3/s4/s5 sketch shapes — interpolated into BOTH the query wiring
+  // and the oracle SQL so a retune cannot desynchronize the engines
+  private val KmvK = 128
+  private val BloomM = 1 << 20
+  private val BloomHashes = 4
+  private val HistBuckets = 256
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -623,6 +629,13 @@ object SparkEntry {
       graft.operators.Pipeline.unigramLmProfile(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // integer-quantized TF-IDF top terms (keyword extraction): x11's
+    // bit-length trick applied to document frequency — score =
+    // tf * (bits(N) - bits(df) + 1), integer end to end
+    "x17_tfidf_terms" -> ((s, d) =>
+      graft.operators.Pipeline.tfidfTopTerms(
+        Tables.documents(s, d), "doc_id", "text", 3)),
+
     // training-mixture construction: uniform target shares over the
     // 20 sources at a 30% global sample rate, deterministic
     // hash-bucket thresholds per source (one scan, reduced to a
@@ -677,12 +690,48 @@ object SparkEntry {
       graft.functions.Sketch.cmsTopK(ev(s, d).select("user_id"),
         "user_id", depth = 4, width = 64, k = 10)),
 
+    // KMV/theta bottom-k sketch with SET OPERATIONS: distinct
+    // click- vs purchase-(user, day) cohorts, union and intersection
+    // estimated from the two k-long sketches alone — sketch-level set
+    // algebra, no second corpus pass
+    "s3_kmv_setops" -> ((s, d) =>
+      graft.functions.Sketch.kmvSetOps(
+        ev(s, d).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
+        "event_type", col("ud"), "click", "purchase", k = KmvK)),
+
+    // Bloom-filter decontamination — x8's eval-set check with the
+    // bench shingle SET replaced by a CONSTANT 2^20-bit filter
+    // (doc_id%20=0 bench convention, flagged at >=3 bloom-positive
+    // shingles); per-shingle no false negatives, per-source
+    // false-positive column keeps the filter honest
+    "s4_bloom_decontam" -> ((s, d) =>
+      graft.functions.Sketch.bloomDecontaminate(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        pmod(col("doc_id"), lit(20)) === 0, n = 3, minShared = 3,
+        m = BloomM, hashes = BloomHashes)),
+
+    // fixed-width histogram quantiles: groups x 256 counters replace
+    // ts9's full value sort; upper-edge estimate at ceil(q*n), exact
+    // percentiles alongside as the error report
+    "s5_hist_quantiles" -> ((s, d) =>
+      graft.functions.Sketch.histQuantiles(
+        ev(s, d).select("event_type", "value"), "event_type", "value",
+        buckets = HistBuckets)),
+
     // STREAMING HyperLogLog: the stream carries only the register
     // table (state = days x 16, constant at any event volume);
     // registers max-merge so the drain provably equals the batch
     // build and s1's oracle shape validates it verbatim
     "ts27_stream_hll" -> ((s, d) =>
       graft.streaming.Streams.hllDistinctStream(s, d)),
+
+    // STREAMING KMV bottom-k distinct: the set-union-truncate third
+    // of the mergeable-sketch trio — state = 128 longs per day at any
+    // event volume, drained sample supports s3-style set algebra
+    "ts29_stream_kmv" -> ((s, d) =>
+      graft.streaming.Streams.kmvDistinctStream(s, d, k = KmvK)),
 
     // STREAMING Count-Min: ts27's sum-merged sibling — the stream
     // folds into a 4x64 counter grid (256 cells of state at any
@@ -1394,6 +1443,43 @@ object SparkEntry {
           |    min(wc.cnt) AS min_cnt
           |  FROM dw JOIN wc USING (w) GROUP BY dw.doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      "x17_tfidf_terms" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |dw AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfw AS (SELECT w, count(*) AS df FROM dw GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |s AS (SELECT dw.doc_id, dw.w, dw.tf, dfw.df,
+          |    CAST(dw.tf * (length(bin(n.n_docs)) - length(bin(dfw.df)) + 1) AS BIGINT) AS score
+          |  FROM dw JOIN dfw USING (w) CROSS JOIN n)
+          |SELECT doc_id, rank, w AS term, tf, df, score FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score DESC, w) AS rank FROM s)
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // streaming KMV drain == the batch bottom-k sketch (spec-pinned),
+      // so the per-day theta estimate is oracle-checkable verbatim
+      "ts29_stream_kmv" ->
+        s"""WITH gh AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day,
+          |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |rk AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM gh),
+          |sk AS (SELECT day,
+          |    coalesce(max(CASE WHEN rn = $KmvK THEN h END), 1152921504606846976) AS theta
+          |  FROM rk GROUP BY day),
+          |ret AS (SELECT rk.day, count(*) AS r FROM rk JOIN sk USING (day)
+          |  WHERE rk.rn <= $KmvK AND rk.h < sk.theta GROUP BY rk.day),
+          |ex AS (SELECT epoch_us(date_trunc('day', ts)) AS day,
+          |    count(DISTINCT user_id) AS exact_distinct
+          |  FROM events GROUP BY 1)
+          |SELECT day, round(est, 6) AS est_distinct, exact_distinct,
+          |  round(est / CAST(exact_distinct AS DOUBLE) - 1.0, 6) AS rel_err
+          |FROM (SELECT sk.day,
+          |    CAST(ret.r AS DOUBLE) * 1152921504606846976.0 / CAST(sk.theta AS DOUBLE) AS est,
+          |    ex.exact_distinct
+          |  FROM sk JOIN ret USING (day) JOIN ex USING (day))
+          |ORDER BY day""".stripMargin,
 
       // mixture construction: every number derives from the
       // (source, bucket) count table; integer / single-division
@@ -2263,6 +2349,115 @@ object SparkEntry {
           |  AND cells.cell = ('0x' || substr(md5('cms' || uj.j || ':' || uj.user_id), 1, 15))::BIGINT % 64
           |GROUP BY user_id
           |ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
+
+      // KMV/theta: θ = k-th smallest distinct hash (or 2^60 when the
+      // sketch is unsaturated), est = |{h < θ}|·2^60/θ — one exact
+      // double multiply + one correctly-rounded divide, like s1
+      "s3_kmv_setops" ->
+        s"""WITH gh AS (
+          |  SELECT DISTINCT event_type AS g,
+          |    ('0x' || substr(md5(user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM gh),
+          |sk AS (SELECT g,
+          |    coalesce(max(CASE WHEN rn = $KmvK THEN h END), 1152921504606846976) AS theta,
+          |    count(*) AS exact
+          |  FROM rk GROUP BY g),
+          |ret AS (SELECT rk.g, count(*) AS r FROM rk JOIN sk ON sk.g = rk.g
+          |  WHERE rk.rn <= $KmvK AND rk.h < sk.theta GROUP BY rk.g),
+          |us AS (SELECT DISTINCT h FROM rk WHERE rn <= $KmvK),
+          |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM us),
+          |tu AS (SELECT least((SELECT min(theta) FROM sk),
+          |    coalesce((SELECT max(CASE WHEN rn = $KmvK THEN h END) FROM ur),
+          |      1152921504606846976)) AS theta),
+          |ru AS (SELECT count(*) AS r FROM us WHERE h < (SELECT theta FROM tu)),
+          |ti AS (SELECT min(theta) AS theta FROM sk),
+          |cs AS (SELECT h FROM rk WHERE rn <= $KmvK GROUP BY h HAVING count(*) = 2),
+          |ri AS (SELECT count(*) AS r FROM cs WHERE h < (SELECT theta FROM ti)),
+          |exu AS (SELECT count(DISTINCT h) AS exact_u FROM gh),
+          |exi AS (SELECT count(*) AS exact_i FROM (SELECT h FROM gh GROUP BY h HAVING count(*) = 2))
+          |SELECT cohort, round(est, 6) AS est_distinct, exact AS exact_distinct,
+          |  round(est / CAST(exact AS DOUBLE) - 1.0, 6) AS rel_err
+          |FROM (
+          |  SELECT '1_click' AS cohort,
+          |    CAST(ret.r AS DOUBLE) * 1152921504606846976.0 / CAST(sk.theta AS DOUBLE) AS est,
+          |    sk.exact AS exact
+          |  FROM sk JOIN ret ON sk.g = ret.g WHERE sk.g = 'click'
+          |  UNION ALL SELECT '2_purchase',
+          |    CAST(ret.r AS DOUBLE) * 1152921504606846976.0 / CAST(sk.theta AS DOUBLE),
+          |    sk.exact
+          |  FROM sk JOIN ret ON sk.g = ret.g WHERE sk.g = 'purchase'
+          |  UNION ALL SELECT '3_union',
+          |    CAST((SELECT r FROM ru) AS DOUBLE) * 1152921504606846976.0
+          |      / CAST((SELECT theta FROM tu) AS DOUBLE),
+          |    (SELECT exact_u FROM exu)
+          |  UNION ALL SELECT '4_intersect',
+          |    CAST((SELECT r FROM ri) AS DOUBLE) * 1152921504606846976.0
+          |      / CAST((SELECT theta FROM ti) AS DOUBLE),
+          |    (SELECT exact_i FROM exi))
+          |ORDER BY cohort""".stripMargin,
+
+      "s4_bloom_decontam" ->
+        s"""WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, source, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, source,
+          |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh),
+          |b AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 20 = 0),
+          |c AS (SELECT doc_id, source, shingle FROM e WHERE doc_id % 20 <> 0),
+          |bits AS (SELECT DISTINCT
+          |    ('0x' || substr(md5('bloom' || j || ':' || CAST(shingle AS VARCHAR)), 1, 15))::BIGINT % $BloomM AS pos
+          |  FROM b, (SELECT unnest(range($BloomHashes)) AS j)),
+          |p AS (SELECT c.doc_id, c.source, c.shingle,
+          |    ('0x' || substr(md5('bloom' || j || ':' || CAST(c.shingle AS VARCHAR)), 1, 15))::BIGINT % $BloomM AS pos
+          |  FROM c, (SELECT unnest(range($BloomHashes)) AS j)),
+          |shit AS (SELECT doc_id, source, shingle FROM p JOIN bits USING (pos)
+          |  GROUP BY 1, 2, 3 HAVING count(*) = $BloomHashes),
+          |bf AS (SELECT source, count(*) AS bloom_flagged FROM (
+          |    SELECT doc_id, source FROM shit GROUP BY 1, 2 HAVING count(*) >= 3)
+          |  GROUP BY 1),
+          |ef AS (SELECT source, count(*) AS exact_flagged FROM (
+          |    SELECT doc_id, source FROM c WHERE shingle IN (SELECT shingle FROM b)
+          |    GROUP BY 1, 2 HAVING count(*) >= 3)
+          |  GROUP BY 1),
+          |g AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1)
+          |SELECT g.source, g.n_docs,
+          |  coalesce(bf.bloom_flagged, 0) AS bloom_flagged,
+          |  coalesce(ef.exact_flagged, 0) AS exact_flagged,
+          |  coalesce(bf.bloom_flagged, 0) - coalesce(ef.exact_flagged, 0) AS false_pos
+          |FROM g LEFT JOIN bf USING (source) LEFT JOIN ef USING (source)
+          |ORDER BY source""".stripMargin,
+
+      "s5_hist_quantiles" ->
+        s"""WITH mm AS (SELECT min(value) AS gmin, max(value) AS gmax FROM events),
+          |b AS (SELECT event_type,
+          |    CAST(CASE WHEN gmax = gmin THEN 0
+          |      ELSE least(floor((value - gmin) / (gmax - gmin) * $HistBuckets), ${HistBuckets - 1}) END AS INT) AS bucket
+          |  FROM events, mm),
+          |c AS (SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+          |w AS (SELECT event_type, bucket,
+          |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+          |    sum(c) OVER (PARTITION BY event_type) AS n
+          |  FROM c),
+          |s AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS b50,
+          |    min(CASE WHEN cum >= ceil(0.9 * n) THEN bucket END) AS b90,
+          |    min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+          |  FROM w GROUP BY 1),
+          |ex AS (SELECT event_type,
+          |    round(quantile_cont(value, 0.5), 6) AS p50_exact,
+          |    round(quantile_cont(value, 0.9), 6) AS p90_exact,
+          |    round(quantile_cont(value, 0.99), 6) AS p99_exact
+          |  FROM events GROUP BY 1)
+          |SELECT s.event_type, s.n,
+          |  round(gmin + CAST(b50 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p50_est, p50_exact,
+          |  round(gmin + CAST(b90 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p90_est, p90_exact,
+          |  round(gmin + CAST(b99 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p99_est, p99_exact
+          |FROM s JOIN ex USING (event_type) CROSS JOIN mm
+          |ORDER BY event_type""".stripMargin,
 
       "x16_containment" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

@@ -134,6 +134,221 @@ object Sketch {
       .agg(count(lit(1)).as("__c"))
   }
 
+  /** 2^60 as an exact double (the hash-space size for θ normalization). */
+  private val HashSpace = math.pow(2.0, 60)
+  private val HashSpaceL = 1L << 60
+
+  /** KMV / theta bottom-k distinct sketch with SET OPERATIONS
+    * (Beyer et al. 2007; Dasgupta et al. 2016 theta sketches): per
+    * cohort keep the k smallest distinct 60-bit hashes; θ = the k-th
+    * smallest, est = |{h < θ}| · 2^60 / θ. Union and intersection
+    * estimates come from the SAMPLES ALONE — θ_AB = min(θ_A, θ_B),
+    * retained = qualifying sample hashes below it — which is the whole
+    * point at 100 TB: cohort sketches are built once (k longs each) and
+    * any set algebra over cohorts happens on the tiny sketch table, no
+    * second corpus pass. The exact counts computed alongside are the
+    * error report, as in [[hllDistinct]].
+    *
+    * Plan shape: one map-side-deduping groupBy(cohort, hash) exchange
+    * (the countDistinct shape), then a bounded CollectMinK per cohort —
+    * every buffer holds ≤ k longs regardless of cohort size. All
+    * arithmetic is integer until the final est division (one exact
+    * double multiply + one correctly-rounded divide, oracle-stable).
+    * Returns (cohort, est_distinct, exact_distinct, rel_err). */
+  def kmvSetOps(df: DataFrame, group: String, key: Column,
+                aVal: String, bVal: String, k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val gh = df.filter(col(group).isin(aVal, bVal))
+      .select(col(group).as("g"), Text.md5Prefix60(key).as("h"))
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("__dup"))
+    val sk = gh.groupBy(col("g")).agg(
+      graft.dedup.Dedup.collectMinK(col("h"), k).as("hs"),
+      count(lit(1)).as("exact"))
+    val a = sk.filter(col("g") === aVal)
+      .select(col("hs").as("ha"), col("exact").as("ea"))
+    val b = sk.filter(col("g") === bVal)
+      .select(col("hs").as("hb"), col("exact").as("eb"))
+    // exact union/intersection cardinalities (error report only)
+    val ex = gh.groupBy(col("h")).agg(count(lit(1)).as("ng"))
+      .agg(count(lit(1)).as("exact_u"),
+        sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_i"))
+    val one = a.crossJoin(broadcast(b)).crossJoin(broadcast(ex))
+
+    def theta(arr: Column): Column =
+      when(size(arr) >= k, element_at(arr, k)).otherwise(lit(HashSpaceL))
+    // est = |{h ∈ sample : h < θ}| · 2^60 / θ — one formula for full
+    // (retained = k−1) and unsaturated (θ = 2^60, est = exact) sketches
+    def est(retained: Column, th: Column): Column =
+      retained.cast("double") * lit(HashSpace) / th.cast("double")
+    def below(arr: Column, th: Column): Column =
+      size(filter(arr, h => h < th))
+
+    val thA = theta(col("ha"))
+    val thB = theta(col("hb"))
+    val merged = array_sort(array_union(col("ha"), col("hb")))
+    val thU = least(thA, thB,
+      when(size(merged) >= k, element_at(merged, k)).otherwise(lit(HashSpaceL)))
+    val thI = least(thA, thB)
+    val common = array_intersect(col("ha"), col("hb"))
+    val rows = one.select(explode(array(
+      struct(lit(s"1_$aVal").as("cohort"),
+        est(below(col("ha"), thA), thA).as("est"), col("ea").as("exact")),
+      struct(lit(s"2_$bVal").as("cohort"),
+        est(below(col("hb"), thB), thB).as("est"), col("eb").as("exact")),
+      struct(lit("3_union").as("cohort"),
+        est(below(merged, thU), thU).as("est"),
+        col("exact_u").as("exact")),
+      struct(lit("4_intersect").as("cohort"),
+        est(below(common, thI), thI).as("est"),
+        col("exact_i").cast("long").as("exact"))
+    )).as("r"))
+    rows.select(col("r.cohort").as("cohort"),
+        round(col("r.est"), 6).as("est_distinct"),
+        col("r.exact").as("exact_distinct"),
+        round(col("r.est") / col("r.exact").cast("double") - 1.0, 6)
+          .as("rel_err"))
+      .orderBy("cohort")
+  }
+
+  /** The KMV sketch TABLE — (groups..., ascending ≤k distinct hashes);
+    * built by the native bounded [[expressions.CollectMinKDistinct]]
+    * aggregate in ONE aggregation (every buffer ≤ k longs; merge =
+    * set-union-then-truncate, order/dup-insensitive), so the same plan
+    * runs batch or as streaming state of k longs per group. */
+  private[graft] def kmvSketch(df: DataFrame, groups: Seq[String],
+                               key: Column, k: Int): DataFrame =
+    df.select(groups.map(col) :+
+        Text.md5Prefix60(key.cast("string")).as("__h"): _*)
+      .groupBy(groups.map(col): _*)
+      .agg(collectMinKDistinct(col("__h"), k).as("hs"))
+
+  private[graft] def collectMinKDistinct(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      expressions.CollectMinKDistinct(ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+  }
+
+  /** Estimate report from a (possibly drained-from-a-stream) KMV
+    * sketch table + an exact-count side table for the error columns:
+    * θ = k-th smallest (or 2^60 unsaturated), est = |{h<θ}|·2^60/θ. */
+  private[graft] def kmvFinalize(sk: DataFrame, groups: Seq[String],
+                                 exact: DataFrame, k: Int): DataFrame = {
+    val th = when(size(col("hs")) >= k, element_at(col("hs"), k))
+      .otherwise(lit(HashSpaceL))
+    val estRaw = size(filter(col("hs"), h => h < th)).cast("double") *
+      lit(HashSpace) / th.cast("double")
+    sk.join(exact, groups)
+      .select(groups.map(col) ++ Seq(
+        round(estRaw, 6).as("est_distinct"),
+        col("exact_distinct"),
+        round(estRaw / col("exact_distinct").cast("double") - 1.0, 6)
+          .as("rel_err")): _*)
+  }
+
+  /** Bloom-filter decontamination (Bloom 1970) — the sketch-accelerated
+    * form of x8's eval-set check: benchmark-doc shingles set `hashes`
+    * bits in an m-bit filter; a corpus doc is flagged when ≥ `minShared`
+    * of its distinct shingles are bloom-POSITIVE (all their bits set).
+    * Per shingle there are no false negatives, so every exactly-flagged
+    * doc is bloom-flagged (spec-pinned); phantom shingles inflate only
+    * the false-positive column the report makes visible per source.
+    * The 100 TB story: x8 broadcasts the full bench shingle SET, which
+    * scales with the benchmark; the Bloom filter is CONSTANT-size — m
+    * bits however large the corpus side grows, and real eval suites are
+    * fixed-size, so m is sized ONCE (keep hashes·|bench shingles| below
+    * ~0.3·m for a per-shingle FPR under ~1e-3; the default 2^20 bits =
+    * 128 KiB of broadcast carries a ~80k-shingle benchmark).
+    * Returns (source, n_docs, bloom_flagged, exact_flagged, false_pos). */
+  def bloomDecontaminate(df: DataFrame, id: String, textCol: String,
+                         source: String, benchPred: Column, n: Int = 3,
+                         minShared: Int = 3, m: Int = 1 << 20,
+                         hashes: Int = 4): DataFrame = {
+    require(hashes >= 1 && m >= 2, s"bad bloom shape $m/$hashes")
+    val sh = df
+      .select(col(id), col(source), benchPred.as("__bench"),
+        explode(Text.shingles(col(textCol), n)).as("__s"))
+      .select(col(id), col(source), col("__bench"),
+        Text.md5Prefix60(col("__s")).as("shingle"))
+    val bench = sh.filter(col("__bench")).select("shingle").distinct()
+    val corpus = sh.filter(!col("__bench"))
+    def posArr(sg: Column): Column = array((0 until hashes).map(j =>
+      pmod(Text.md5Prefix60(concat(lit("bloom"), lit(j.toString), lit(":"),
+        sg.cast("string"))), lit(m.toLong))): _*)
+    val bits = bench.select(explode(posArr(col("shingle"))).as("pos")).distinct()
+    val shingleHits = corpus
+      .select(col(id), col(source), col("shingle"),
+        explode(posArr(col("shingle"))).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col(id), col(source), col("shingle"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") === hashes)
+    val bloomFlag = shingleHits
+      .groupBy(col(id), col(source)).agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= minShared)
+      .groupBy(col(source)).agg(count(lit(1)).as("bloom_flagged"))
+    val exactFlag = corpus
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy(col(id), col(source)).agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= minShared)
+      .groupBy(col(source)).agg(count(lit(1)).as("exact_flagged"))
+    corpus.select(col(id), col(source)).distinct()
+      .groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+      .join(bloomFlag, Seq(source), "left")
+      .join(exactFlag, Seq(source), "left")
+      .na.fill(0L, Seq("bloom_flagged", "exact_flagged"))
+      .select(col(source), col("n_docs"), col("bloom_flagged"),
+        col("exact_flagged"),
+        (col("bloom_flagged") - col("exact_flagged")).as("false_pos"))
+      .orderBy(source)
+  }
+
+  /** Fixed-width histogram quantiles — the bounded-state stand-in for
+    * exact per-group percentiles (ts9's sort is a full shuffle of the
+    * value column; the histogram is `groups × buckets` counters that
+    * map-side-combine at any row volume, the shape of every production
+    * quantile sketch). Two passes: a scalar global min/max, then the
+    * bucket-count aggregation; the estimate is the upper edge of the
+    * first bucket whose cumulative count reaches ceil(q·n). All bucket
+    * arithmetic is the same 3 IEEE ops in both engines; exact
+    * percentiles are computed alongside as the error report.
+    * Returns (group, n, p{50,90,99}_est, p{50,90,99}_exact). */
+  def histQuantiles(df: DataFrame, group: String, value: String,
+                    buckets: Int = 256): DataFrame = {
+    val v = col(value)
+    val mm = df.agg(min(v).as("gmin"), max(v).as("gmax"))
+    val bucket = when(col("gmax") === col("gmin"), lit(0)).otherwise(
+      least(floor((v - col("gmin")) / (col("gmax") - col("gmin")) * buckets),
+        lit(buckets - 1))).cast("int")
+    val counts = df.crossJoin(broadcast(mm))
+      .groupBy(col(group), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("__b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(group))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def qBucket(q: Double): Column =
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__b")))
+    val sel = cum.groupBy(col(group)).agg(
+      max(col("__n")).as("n"),
+      qBucket(0.5).as("__b50"), qBucket(0.9).as("__b90"),
+      qBucket(0.99).as("__b99"))
+    def estOf(b: Column): Column = round(col("gmin") +
+      (b + 1).cast("double") * (col("gmax") - col("gmin")) / lit(buckets.toDouble), 6)
+    val exact = df.groupBy(col(group)).agg(
+      round(expr(s"percentile($value, 0.5)"), 6).as("p50_exact"),
+      round(expr(s"percentile($value, 0.9)"), 6).as("p90_exact"),
+      round(expr(s"percentile($value, 0.99)"), 6).as("p99_exact"))
+    sel.crossJoin(broadcast(mm)).join(exact, Seq(group))
+      .select(col(group), col("n"),
+        estOf(col("__b50")).as("p50_est"), col("p50_exact"),
+        estOf(col("__b90")).as("p90_est"), col("p90_exact"),
+        estOf(col("__b99")).as("p99_est"), col("p99_exact"))
+      .orderBy(group)
+  }
+
   /** Top-k estimate report from a (possibly drained-from-a-stream)
     * grid + a candidate table carrying (key, exact). */
   private[graft] def cmsFinalize(grid: DataFrame, cand: DataFrame, key: String,

@@ -181,6 +181,37 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** Integer-quantized TF-IDF top terms per document — the keyword /
+    * salient-term extraction pass (topical indexing, dedup explainers,
+    * domain tagging). IDF is the x11 bit-length quantization applied to
+    * DOCUMENT frequency: idf_bits(w) = bits(N) − bits(df(w)) + 1 (an
+    * integer ≥ 1; halving df adds ~1 bit), so score = tf · idf_bits is
+    * integer end to end and both engines rank the identical numbers —
+    * where a float log(N/df) sum would be libm-dependent.
+    *
+    * Shape: one scan → (doc, word) tf aggregate; df table derived from
+    * that same aggregate (exchange reuse, no second scan); N from a
+    * scalar count broadcast back; top-k via a row_number window whose
+    * partition is one doc's vocabulary (bounded by doc length). */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: String,
+                    topK: Int): DataFrame = {
+    val docWord = docs
+      .select(col(id), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val dfT = docWord.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = docWord.join(dfT, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(id, "rank")
+  }
+
   /** Mixture construction over a stratum column (training-data domain
     * weighting): given a global sample fraction and uniform target
     * shares per stratum, derive each stratum's deterministic

@@ -299,6 +299,30 @@ object Streams {
       .orderBy("day")
   }
 
+  /** Streaming KMV bottom-k distinct — the third mergeable-sketch
+    * stream (max-merge HLL ts27, sum-merge CMS ts28, and now
+    * set-union-truncate KMV): the stream folds each day's user hashes
+    * into a ≤128-long ordered set via the bounded native
+    * CollectMinKDistinct aggregate — state = k longs per day however
+    * many events flow — and the batch-side finalize turns the drained
+    * sketch into the θ-estimate with exact counts alongside. Unlike
+    * HLL registers, the KMV sample supports SET ALGEBRA downstream
+    * (s3's union/intersection over cohorts) — streaming ingest can
+    * feed the same sketch store s3 queries. */
+  def kmvDistinctStream(spark: SparkSession, sfDir: String,
+                        k: Int = 128): DataFrame = {
+    val prepped = eventStream(drainSession(spark, stateRows = 30L), sfDir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+    val sk = graft.functions.Sketch.kmvSketch(
+      prepped, Seq("day"), col("user_id"), k)
+    val drained = drainToTable(spark, sk, "graft_ts29")
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    graft.functions.Sketch.kmvFinalize(drained, Seq("day"), exact, k)
+      .orderBy("day")
+  }
+
   /** Streaming Count-Min heavy hitters — ts27's sum-merged sibling:
     * the stream folds every event into a 4×64 counter grid (state =
     * 256 cells, constant at any volume; counters SUM-merge, so partial
