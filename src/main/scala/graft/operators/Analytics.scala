@@ -510,15 +510,16 @@ object Analytics {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"), col("p_type"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
-    val minPerPart = cost.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("supply_cost")).as("min_cost"))
+    // per-part minimum as a window over the (already tiny) aggregate —
+    // NOT a groupBy+self-join, which would re-evaluate the fact
+    // scan+aggregation subtree a second time
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     val su = Tables.supplier(spark, sfDir)
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     cost
-      .join(broadcast(minPerPart),
-        col("l_partkey") === col("m_partkey") &&
-          col("supply_cost") === col("min_cost"))
+      .withColumn("__min_cost", min(col("supply_cost")).over(w))
+      .filter(col("supply_cost") === col("__min_cost"))
       .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("p_type"), col("supply_cost"))
