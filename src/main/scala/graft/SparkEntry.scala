@@ -600,7 +600,8 @@ object SparkEntry {
     // 3-shingles with a benchmark doc (bench set = doc_id % 20 == 0)
     "x8_decontamination" -> ((s, d) =>
       graft.operators.Pipeline.decontaminate(Tables.documents(s, d),
-        "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3)),
+        "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3,
+        postings = Some(graft.dedup.ClusterCache.postings(s, d)))),
 
     // Gopher repetition filters: top-bigram char fraction + duplicate
     // trigram fraction (Rae et al. 2021, appendix A1.1)
@@ -710,7 +711,8 @@ object SparkEntry {
       graft.functions.Sketch.bloomDecontaminate(
         Tables.documents(s, d), "doc_id", "text", "source",
         pmod(col("doc_id"), lit(20)) === 0, n = 3, minShared = 3,
-        m = BloomM, hashes = BloomHashes)),
+        m = BloomM, hashes = BloomHashes,
+        postings = Some(graft.dedup.ClusterCache.postings(s, d)))),
 
     // fixed-width histogram quantiles: groups x 256 counters replace
     // ts9's full value sort; upper-edge estimate at ceil(q*n), exact

@@ -263,39 +263,45 @@ object Sketch {
   def bloomDecontaminate(df: DataFrame, id: String, textCol: String,
                          source: String, benchPred: Column, n: Int = 3,
                          minShared: Int = 3, m: Int = 1 << 20,
-                         hashes: Int = 4): DataFrame = {
+                         hashes: Int = 4,
+                         postings: Option[DataFrame] = None): DataFrame = {
     require(hashes >= 1 && m >= 2, s"bad bloom shape $m/$hashes")
-    val sh = df
-      .select(col(id), col(source), benchPred.as("__bench"),
-        explode(Text.shingles(col(textCol), n)).as("__s"))
-      .select(col(id), col(source), col("__bench"),
-        Text.md5Prefix60(col("__s")).as("shingle"))
+    // (id, shingle) — the SHARED per-corpus postings table when the
+    // caller has one (ClusterCache.postings serves d4/x16/x8/s4 from
+    // one shingle+md5 build); the bench flag is a pure function of the
+    // id column, so no doc-metadata join happens at token level —
+    // `source` attaches doc-level, after the per-doc flags are known
+    val sh = postings.map(_.select(col(id), col("shingle")))
+      .getOrElse(df
+        .select(col(id), explode(Text.shingles(col(textCol), n)).as("__s"))
+        .select(col(id), Text.md5Prefix60(col("__s")).as("shingle")))
+      .withColumn("__bench", benchPred)
     val bench = sh.filter(col("__bench")).select("shingle").distinct()
     val corpus = sh.filter(!col("__bench"))
     def posArr(sg: Column): Column = array((0 until hashes).map(j =>
       pmod(Text.md5Prefix60(concat(lit("bloom"), lit(j.toString), lit(":"),
         sg.cast("string"))), lit(m.toLong))): _*)
     val bits = bench.select(explode(posArr(col("shingle"))).as("pos")).distinct()
-    val shingleHits = corpus
-      .select(col(id), col(source), col("shingle"),
-        explode(posArr(col("shingle"))).as("pos"))
+    val bloomDocs = corpus
+      .select(col(id), col("shingle"), explode(posArr(col("shingle"))).as("pos"))
       .join(broadcast(bits), Seq("pos"))
-      .groupBy(col(id), col(source), col("shingle"))
-      .agg(count(lit(1)).as("__nb"))
+      .groupBy(col(id), col("shingle")).agg(count(lit(1)).as("__nb"))
       .filter(col("__nb") === hashes)
-    val bloomFlag = shingleHits
-      .groupBy(col(id), col(source)).agg(count(lit(1)).as("__ns"))
+      .groupBy(col(id)).agg(count(lit(1)).as("__ns"))
       .filter(col("__ns") >= minShared)
-      .groupBy(col(source)).agg(count(lit(1)).as("bloom_flagged"))
-    val exactFlag = corpus
+      .select(col(id))
+    val exactDocs = corpus
       .join(bench, Seq("shingle"), "left_semi")
-      .groupBy(col(id), col(source)).agg(count(lit(1)).as("__ns"))
+      .groupBy(col(id)).agg(count(lit(1)).as("__ns"))
       .filter(col("__ns") >= minShared)
-      .groupBy(col(source)).agg(count(lit(1)).as("exact_flagged"))
-    corpus.select(col(id), col(source)).distinct()
-      .groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
-      .join(bloomFlag, Seq(source), "left")
-      .join(exactFlag, Seq(source), "left")
+      .select(col(id))
+    val meta = df.filter(!benchPred).select(col(id), col(source))
+    def flagCount(docs: DataFrame, name: String): DataFrame =
+      meta.join(docs, Seq(id), "left_semi")
+        .groupBy(col(source)).agg(count(lit(1)).as(name))
+    meta.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+      .join(flagCount(bloomDocs, "bloom_flagged"), Seq(source), "left")
+      .join(flagCount(exactDocs, "exact_flagged"), Seq(source), "left")
       .na.fill(0L, Seq("bloom_flagged", "exact_flagged"))
       .select(col(source), col("n_docs"), col("bloom_flagged"),
         col("exact_flagged"),

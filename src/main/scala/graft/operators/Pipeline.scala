@@ -87,11 +87,18 @@ object Pipeline {
     * shingle postings, no shuffle of the corpus at all beyond the
     * per-doc aggregation. */
   def decontaminate(docs: DataFrame, id: String, text: String, n: Int,
-                    isBench: Column, minShared: Int): DataFrame = {
-    val sh = docs.repartition(col(id))
-      .select(col(id), isBench.as("__bench"),
-        explode(Text.shingles(col(text), n)).as("__s"))
-      .select(col(id), col("__bench"), Text.md5Prefix60(col("__s")).as("shingle"))
+                    isBench: Column, minShared: Int,
+                    postings: Option[DataFrame] = None): DataFrame = {
+    // the bench flag is a pure function of the id column, so the
+    // SHARED postings table (ClusterCache.postings — one shingle+md5
+    // build serving d4/x16/x8/s4) substitutes without any doc join
+    val sh = postings.map(_.select(col(id), col("shingle"))
+        .withColumn("__bench", isBench)
+        .select(col(id), col("__bench"), col("shingle")))
+      .getOrElse(docs.repartition(col(id))
+        .select(col(id), isBench.as("__bench"),
+          explode(Text.shingles(col(text), n)).as("__s"))
+        .select(col(id), col("__bench"), Text.md5Prefix60(col("__s")).as("shingle")))
     val bench = sh.filter(col("__bench"))
       .select(col(id).as("bench_id"), col("shingle"))
     val corpus = sh.filter(!col("__bench")).select(col(id), col("shingle"))
