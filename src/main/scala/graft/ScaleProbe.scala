@@ -116,6 +116,39 @@ object ScaleProbe {
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
 
+    // sketch family at 8x: the bounded-state claim under MEASUREMENT —
+    // wall should track the scan (~linear), never the key/row volume,
+    // because every aggregation buffer is fixed-size by construction
+    // (HLL registers, CMS grid, KMV k-set, Bloom bitmap, histogram
+    // buckets); a super-linear ratio here would mean state leaked into
+    // the exchange after all
+    def sketchSuite(ev: DataFrame, docs: DataFrame): Map[String, Double] = {
+      import graft.functions.Sketch
+      Map(
+        "kmv_setops" -> med3(Sketch.kmvSetOps(
+          ev.select(col("event_type"),
+            concat(col("user_id").cast("string"), lit("|"),
+              date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
+          "event_type", col("ud"), "click", "purchase", 128).count()),
+        "hist_quantiles" -> med3(Sketch.histQuantiles(
+          ev.select("event_type", "value"), "event_type", "value").count()),
+        "hll_daily" -> med3(Sketch.hllDistinct(
+          ev.withColumn("day", unix_micros(date_trunc("day", col("ts"))))
+            .select("day", "user_id"), Seq("day"), "user_id").count()),
+        "cms_topk" -> med3(Sketch.cmsTopK(
+          ev.select("user_id"), "user_id").count()),
+        "bloom_decontam" -> med3(Sketch.bloomDecontaminate(
+          docs, "doc_id", "text", "source",
+          pmod(col("doc_id"), lit(20)) === 0).count()))
+    }
+    sketchSuite(e1, d1) // warm-up
+    val sk1 = sketchSuite(e1, d1)
+    val sk8 = sketchSuite(e8, d8)
+    println(f"${"sketch op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    sk1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${sk1(k)}%8.2f ${sk8(k)}%8.2f ${sk8(k) / sk1(k)}%5.1fx")
+    }
+
     // embedding near-dup + semantic dedup at 8x and 64x corpus — the
     // round-7 coarse-cell claim under MEASUREMENT: the former fixed
     // 10-cell blocking ran 18x wall for 10x data (every new vector
@@ -427,6 +460,7 @@ object ScaleProbe {
       s"""{
          |"events_8x_vs_1x": ${sect(r1, r8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
+         |"sketches_8x_vs_1x": ${sect(sk1, sk8)},
          |"embeddings_8x_vs_1x": ${sect(nd1x, nd8x)},
          |"embeddings_64x_vs_8x": ${sect(nd8x, nd64x)},
          |"skew_all_rows_one_key_vs_uniform_8x": ${sect(uni, skw)},

@@ -776,6 +776,13 @@ object SparkEntry {
         graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", 64, 0.5).orderBy("id_a", "id_b")),
 
+    // content-addressed-store accounting: per-source storage savings
+    // from chunk-level dedup (m4's sibling at the storage layer — the
+    // number a media lake budgets by)
+    "m6_cas_stats" -> ((s, d) =>
+      graft.multimodal.Binary.casStats(
+        Tables.documents(s, d), "doc_id", "text", "source", 64)),
+
     // perceptual-hash index: per-payload 64-bit aHash (stub-decoded
     // pixels) split into 4 pigeonhole chunks + candidate-neighborhood
     // stats from the chunk equi-join (hamming <= 3 twins are found
@@ -2223,6 +2230,23 @@ object SparkEntry {
           |    unnest(range(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1)) AS i
           |  FROM documents)
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "m6_cas_stats" ->
+        """WITH ch AS (SELECT doc_id, source,
+          |    octet_length(encode(substr(text, (i - 1) * 64 + 1, 64))) AS chunk_len,
+          |    md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
+          |  FROM (SELECT doc_id, source, text,
+          |      unnest(range(1, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1)) AS i
+          |    FROM documents)),
+          |t AS (SELECT source, count(DISTINCT doc_id) AS n_blobs, count(*) AS total_chunks,
+          |    CAST(sum(chunk_len) AS BIGINT) AS total_bytes FROM ch GROUP BY 1),
+          |u AS (SELECT source, count(*) AS uniq_chunks, CAST(sum(len) AS BIGINT) AS uniq_bytes
+          |  FROM (SELECT source, chunk_md5, min(chunk_len) AS len FROM ch GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT t.source, n_blobs, total_chunks, total_bytes, uniq_chunks, uniq_bytes,
+          |  total_bytes - uniq_bytes AS saved_bytes,
+          |  round(CAST(uniq_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 6) AS dedup_ratio
+          |FROM t JOIN u USING (source) ORDER BY source""".stripMargin,
 
       // the Spark side keys chunks by md5Prefix60(chunk_md5) =
       // conv(substr(md5(md5(chunk)),1,15),16,10) — mirror the double

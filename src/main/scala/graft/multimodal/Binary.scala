@@ -79,6 +79,39 @@ object Binary {
     graft.dedup.Dedup.jaccardDirect(postings, tau)
   }
 
+  /** Content-addressed-store accounting — the dedup-savings report a
+    * chunked blob store tracks per tenant: payloads cut into fixed
+    * chunks ([[chunked]]), keyed by md5; a chunk stored once serves
+    * every referencing blob, so savings = total chunk bytes − bytes of
+    * DISTINCT chunks. This is m4's sibling at the STORAGE layer: m4
+    * reports which blobs pair, this reports what the CAS layout saves —
+    * the number a 100 TB media lake actually budgets by. The tenant
+    * column attaches via a doc-level join (never token/chunk-level
+    * metadata fan-out); dedup is scoped per source, the common tenancy
+    * boundary. Integer arithmetic throughout; one rounded ratio. */
+  def casStats(docs: DataFrame, id: String, text: String, source: String,
+               chunkSize: Int): DataFrame = {
+    val ch = chunked(withPayload(docs, id, text), id, chunkSize)
+    val meta = docs.select(col(id), col(source))
+    val sch = ch.join(meta, Seq(id))
+    val totals = sch.groupBy(col(source)).agg(
+      countDistinct(col(id)).as("n_blobs"),
+      count(lit(1)).as("total_chunks"),
+      sum(col("chunk_len")).as("total_bytes"))
+    val uniq = sch.groupBy(col(source), col("chunk_md5"))
+      .agg(min(col("chunk_len")).as("__len"))
+      .groupBy(col(source)).agg(
+        count(lit(1)).as("uniq_chunks"),
+        sum(col("__len")).as("uniq_bytes"))
+    totals.join(uniq, Seq(source))
+      .select(col(source), col("n_blobs"), col("total_chunks"),
+        col("total_bytes"), col("uniq_chunks"), col("uniq_bytes"),
+        (col("total_bytes") - col("uniq_bytes")).as("saved_bytes"),
+        round(col("uniq_bytes").cast("double") / col("total_bytes").cast("double"), 6)
+          .as("dedup_ratio"))
+      .orderBy(source)
+  }
+
   /** 64-bit average-hash ("aHash") perceptual fingerprint over a payload,
     * as FOUR 16-bit pigeonhole chunks: 64 pixels sampled at evenly
     * spaced offsets (pixel i = byte at 1 + ⌊i·len/64⌋ — the stride

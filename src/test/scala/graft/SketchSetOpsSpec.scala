@@ -128,6 +128,24 @@ class SketchSetOpsSpec extends SparkSpec {
     assert(out == List((1, "common", 3L), (2, "rare", 3L)))
   }
 
+  // ---- m6 casStats -------------------------------------------------------
+
+  test("casStats: duplicated chunks save their bytes, unique corpus saves none") {
+    val docs = Seq(
+      (1L, "a" * 64 + "b" * 64, "s1"),      // chunks A, B
+      (2L, "a" * 64 + "c" * 10, "s1"),      // A again + 10-byte tail C
+      (3L, "d" * 64, "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.multimodal.Binary
+      .casStats(docs, "doc_id", "text", "source", 64)
+      .select($"source", $"n_blobs", $"total_chunks", $"total_bytes",
+        $"uniq_chunks", $"saved_bytes")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      ("s1", 2L, 4L, 202L, 3L, 64L),
+      ("s2", 1L, 1L, 64L, 1L, 0L)))
+  }
+
   test("histQuantiles: constant column degenerates to the single bucket") {
     val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
     val out = Sketch.histQuantiles(df, "g", "v")
