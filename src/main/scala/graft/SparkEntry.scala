@@ -2315,16 +2315,20 @@ object SparkEntry {
       // streaming CMS drain == batch grid (sum-merge), so s2's SQL
       // validates the streaming report verbatim
       "ts28_stream_cms" ->
-        """WITH cj AS (SELECT user_id, unnest(range(4)) AS j FROM events),
-          |cells AS (SELECT j,
-          |    ('0x' || substr(md5('cms' || j || ':' || user_id), 1, 15))::BIGINT % 64 AS cell,
+        """WITH h AS (SELECT user_id,
+          |    ('0x' || substr(md5('cms:' || user_id), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |cj AS (SELECT h, unnest(range(4)) AS j FROM h),
+          |cells AS (SELECT j, (h % 1073741824 + j * (h // 1073741824)) % 64 AS cell,
           |    count(*) AS c
           |  FROM cj GROUP BY 1, 2),
           |u AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
-          |uj AS (SELECT user_id, exact, unnest(range(4)) AS j FROM u)
+          |uh AS (SELECT user_id, exact,
+          |    ('0x' || substr(md5('cms:' || user_id), 1, 15))::BIGINT AS h FROM u),
+          |uj AS (SELECT user_id, exact, h, unnest(range(4)) AS j FROM uh)
           |SELECT user_id, min(c)::BIGINT AS est, min(exact)::BIGINT AS exact
           |FROM uj JOIN cells ON cells.j = uj.j
-          |  AND cells.cell = ('0x' || substr(md5('cms' || uj.j || ':' || uj.user_id), 1, 15))::BIGINT % 64
+          |  AND cells.cell = (uj.h % 1073741824 + uj.j * (uj.h // 1073741824)) % 64
           |GROUP BY user_id
           |ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
 
@@ -2362,17 +2366,23 @@ object SparkEntry {
           |    AS rel_err
           |FROM e JOIN s USING (day) ORDER BY day""".stripMargin,
 
+      // Kirsch-Mitzenmacher double hashing: cell_j = (h%2^30 + j*(h//2^30)) % w
+      // from ONE md5 per row (mirrors Sketch.rowHash/cellOf)
       "s2_cms_topk" ->
-        """WITH cj AS (SELECT user_id, unnest(range(4)) AS j FROM events),
-          |cells AS (SELECT j,
-          |    ('0x' || substr(md5('cms' || j || ':' || user_id), 1, 15))::BIGINT % 64 AS cell,
+        """WITH h AS (SELECT user_id,
+          |    ('0x' || substr(md5('cms:' || user_id), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |cj AS (SELECT h, unnest(range(4)) AS j FROM h),
+          |cells AS (SELECT j, (h % 1073741824 + j * (h // 1073741824)) % 64 AS cell,
           |    count(*) AS c
           |  FROM cj GROUP BY 1, 2),
           |u AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
-          |uj AS (SELECT user_id, exact, unnest(range(4)) AS j FROM u)
+          |uh AS (SELECT user_id, exact,
+          |    ('0x' || substr(md5('cms:' || user_id), 1, 15))::BIGINT AS h FROM u),
+          |uj AS (SELECT user_id, exact, h, unnest(range(4)) AS j FROM uh)
           |SELECT user_id, min(c)::BIGINT AS est, min(exact)::BIGINT AS exact
           |FROM uj JOIN cells ON cells.j = uj.j
-          |  AND cells.cell = ('0x' || substr(md5('cms' || uj.j || ':' || uj.user_id), 1, 15))::BIGINT % 64
+          |  AND cells.cell = (uj.h % 1073741824 + uj.j * (uj.h // 1073741824)) % 64
           |GROUP BY user_id
           |ORDER BY est DESC, user_id LIMIT 10""".stripMargin,
 
