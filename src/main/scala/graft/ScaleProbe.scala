@@ -44,37 +44,51 @@ object ScaleProbe {
     // median-of-3: first runs of a new plan/data shape absorb JIT and
     // GC noise on the order of the signal itself
     def med3(f: => Long): Double = Seq(time(f), time(f), time(f)).sorted.apply(1)
-    def suite(name: String, ev: DataFrame): Map[String, Double] = {
+    // per-op INTERLEAVED base/probe timing: warm both shapes, then
+    // med3 of each back-to-back. The all-base-then-all-probe layout
+    // let one §18 host-contention wave inflate an entire probe column
+    // (one run measured changes 8.3x / semantic_dedup 3.9x that
+    // reproduce at ~2x in isolation); back-to-back pairs put both
+    // sides of every ratio inside the same wave window.
+    def interleave(ops: Seq[(String, DataFrame => Long)], base: DataFrame,
+                   probe: DataFrame)
+        : (Map[String, Double], Map[String, Double]) = {
+      val out = ops.map { case (name, op) =>
+        op(base); op(probe)               // warm both shapes
+        (name -> med3(op(base)), name -> med3(op(probe)))
+      }
+      (out.map(_._1).toMap, out.map(_._2).toMap)
+    }
+    val eventOps: Seq[(String, DataFrame => Long)] = {
       val at = lit("2024-01-20 00:00:00").cast("timestamp")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
-      Map(
-        "asof" -> med3(Temporal.asOf(ev, "user_id", "ts", "event_id", at).count()),
-        "asof_interp" -> med3(Temporal.asOfInterpolate(
+      Seq(
+        ("asof", ev => Temporal.asOf(ev, "user_id", "ts", "event_id", at).count()),
+        ("asof_interp", ev => Temporal.asOfInterpolate(
           ev.select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", at).count()),
-        "sessionize" -> med3(TimeSeries.sessionize(
+        ("sessionize", ev => TimeSeries.sessionize(
           ev.select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", 1800L).count()),
-        "tumbling" -> med3(TimeSeries.tumblingDaily(ev, "event_type", "ts", "value").count()),
-        "interval_join" -> med3(TimeSeries.intervalCount(
-          purchases, clicks, "user_id", "ts", "event_id", 3600000000L).count()),
-        "ewma" -> med3(TimeSeries.ewma(
+        ("tumbling", ev => TimeSeries.tumblingDaily(
+          ev, "event_type", "ts", "value").count()),
+        ("interval_join", ev => TimeSeries.intervalCount(
+          ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "click").select("user_id", "ts"),
+          "user_id", "ts", "event_id", 3600000000L).count()),
+        ("ewma", ev => TimeSeries.ewma(
           ev.select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value", 0.5, 3).count()),
-        "zscore" -> med3(TimeSeries.zscoreAnomalies(
+        ("zscore", ev => TimeSeries.zscoreAnomalies(
           ev, "event_type", "event_id", "value", 2.5).count()),
-        "changes" -> med3(Temporal.changesBetween(
+        ("changes", ev => Temporal.changesBetween(
           ev.select("user_id", "ts", "event_id", "event_type", "value"),
           "user_id", "ts", "event_id",
           lit("2024-01-10 00:00:00").cast("timestamp"),
           lit("2024-01-25 00:00:00").cast("timestamp"),
           Seq("event_type", "value")).count()))
     }
-    suite("warm", e1) // warm-up
-    val r1 = suite("1x", e1)
-    val r8 = suite("8x", e8)
+    val (r1, r8) = interleave(eventOps, e1, e8)
     println(f"${"op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
     r1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
@@ -99,18 +113,16 @@ object ScaleProbe {
       parts.reduce(_ unionByName _).repartition(32).write.parquet(docsPath)
     }
     val d8 = spark.read.parquet(docsPath)
-    def dedupSuite(docs: DataFrame): Map[String, Double] = Map(
-      "minhash_lsh" -> med3(graft.dedup.Dedup
+    val dedupOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("minhash_lsh", docs => graft.dedup.Dedup
         .minhashLshPairs(docs, "doc_id", "text", 3, 16, 4).count()),
-      "jaccard" -> med3(graft.dedup.Dedup
+      ("jaccard", docs => graft.dedup.Dedup
         .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12).count()),
-      "simhash" -> med3(graft.dedup.Dedup
+      ("simhash", docs => graft.dedup.Dedup
         .simhashFingerprints(docs, "doc_id", "text", 8).count()),
-      "bigrams" -> med3(docs.select(explode(
+      ("bigrams", docs => docs.select(explode(
         graft.functions.Text.bigrams(col("text")))).count()))
-    dedupSuite(d1) // warm-up
-    val d1r = dedupSuite(d1)
-    val d8r = dedupSuite(d8)
+    val (d1r, d8r) = interleave(dedupOps, d1, d8)
     println(f"${"dedup op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
     d1r.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
@@ -122,28 +134,42 @@ object ScaleProbe {
     // (HLL registers, CMS grid, KMV k-set, Bloom bitmap, histogram
     // buckets); a super-linear ratio here would mean state leaked into
     // the exchange after all
-    def sketchSuite(ev: DataFrame, docs: DataFrame): Map[String, Double] = {
+    // per-op INTERLEAVED base/probe timing (warm both, then med3 of
+    // each back-to-back): the all-1x-then-all-8x shape let one §18
+    // host-contention wave inflate a whole 8x column — back-to-back
+    // pairs put both sides of each ratio in the same wave window
+    val sketchOps: Seq[(String, DataFrame => Long)] = {
       import graft.functions.Sketch
-      Map(
-        "kmv_setops" -> med3(Sketch.kmvSetOps(
+      Seq(
+        ("kmv_setops", (ev: DataFrame) => Sketch.kmvSetOps(
           ev.select(col("event_type"),
             concat(col("user_id").cast("string"), lit("|"),
               date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
           "event_type", col("ud"), "click", "purchase", 128).count()),
-        "hist_quantiles" -> med3(Sketch.histQuantiles(
+        ("hist_quantiles", (ev: DataFrame) => Sketch.histQuantiles(
           ev.select("event_type", "value"), "event_type", "value").count()),
-        "hll_daily" -> med3(Sketch.hllDistinct(
+        ("hll_daily", (ev: DataFrame) => Sketch.hllDistinct(
           ev.withColumn("day", unix_micros(date_trunc("day", col("ts"))))
             .select("day", "user_id"), Seq("day"), "user_id").count()),
-        "cms_topk" -> med3(Sketch.cmsTopK(
+        ("cms_topk", (ev: DataFrame) => Sketch.cmsTopK(
           ev.select("user_id"), "user_id").count()),
-        "bloom_decontam" -> med3(Sketch.bloomDecontaminate(
+        ("bloom_decontam", (docs: DataFrame) => Sketch.bloomDecontaminate(
           docs, "doc_id", "text", "source",
           pmod(col("doc_id"), lit(20)) === 0).count()))
     }
-    sketchSuite(e1, d1) // warm-up
-    val sk1 = sketchSuite(e1, d1)
-    val sk8 = sketchSuite(e8, d8)
+    def sketchArg(name: String, probe: Boolean): DataFrame =
+      if (name == "bloom_decontam") { if (probe) d8 else d1 }
+      else { if (probe) e8 else e1 }
+    val (sk1, sk8) = {
+      val pairs = sketchOps.map { case (name, op) =>
+        op(sketchArg(name, probe = false))   // warm both shapes
+        op(sketchArg(name, probe = true))
+        val b = med3(op(sketchArg(name, probe = false)))
+        val p = med3(op(sketchArg(name, probe = true)))
+        (name -> b, name -> p)
+      }
+      (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+    }
     println(f"${"sketch op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
     sk1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${sk1(k)}%8.2f ${sk8(k)}%8.2f ${sk8(k) / sk1(k)}%5.1fx")
@@ -179,11 +205,14 @@ object ScaleProbe {
       spark.read.parquet(p)
     }
     // the d8 composition verbatim (CC over tau=0.4 pairs + bounded
-    // member sample); neardup is the d5 call (tau=0.25)
-    def ndSuite(emb: DataFrame): Map[String, Double] = Map(
-      "neardup" -> med3(graft.ann.Ann.nearDupPairsScaled(
+    // member sample); neardup is the d5 call (tau=0.25). Same
+    // interleaving rationale as `interleave`, extended to the three
+    // corpus sizes: each op times 1x/8x/64x back-to-back so a
+    // contention wave cannot inflate one whole size column.
+    val ndOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("neardup", emb => graft.ann.Ann.nearDupPairsScaled(
         emb, "vec_id", "embedding", tau = 0.25).count()),
-      "semantic_dedup" -> med3 {
+      ("semantic_dedup", emb => {
         val pairs = graft.ann.Ann.nearDupPairsScaled(
             emb, "vec_id", "embedding", tau = 0.4)
           .select(col("id_a"), col("id_b"))
@@ -195,12 +224,15 @@ object ScaleProbe {
               .collectMinK(col("vec_id"), 10).cast("array<string>"))
               .as("member_ids"))
           .count()
-      })
+      }))
     val (embA, embB, embC) = (embAt(1), embAt(8), embAt(64))
-    ndSuite(embA) // warm-up
-    val nd1x = ndSuite(embA)
-    val nd8x = ndSuite(embB)
-    val nd64x = ndSuite(embC)
+    val ndTriples = ndOps.map { case (name, op) =>
+      op(embA); op(embB)                    // warm the plan shapes
+      (name -> med3(op(embA)), name -> med3(op(embB)), name -> med3(op(embC)))
+    }
+    val nd1x = ndTriples.map(_._1).toMap
+    val nd8x = ndTriples.map(_._2).toMap
+    val nd64x = ndTriples.map(_._3).toMap
     println(f"${"embedding op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ${"64x(s)"}%8s 8x/1x 64x/8x")
     nd1x.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${nd1x(k)}%8.2f ${nd8x(k)}%8.2f ${nd64x(k)}%8.2f " +
