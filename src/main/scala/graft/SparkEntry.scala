@@ -223,6 +223,19 @@ object SparkEntry {
           TrendTs.map(t => t.substring(0, 10) -> ts(t)))
         .orderBy("checkpoint")),
 
+    // temporal ALIGNMENT join: the click chain and the view chain of
+    // each user intersected into the piecewise intervals where both
+    // states are simultaneously valid — ONE window sweep over the
+    // interleaved rows (chains are contiguous, so every boundary is a
+    // version start), not the quadratic scd2 x scd2 overlap join the
+    // oracle cross-checks it against
+    "t15_interval_align" -> ((s, d) =>
+      Temporal.intervalAlign(
+          ev(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id",
+          col("event_type") === "click", col("event_type") === "view", "value")
+        .orderBy("user_id", "iv_from_us", "a_version", "b_version")),
+
     // bitemporal as-of: state at valid time T as KNOWN at append
     // sequence 500 (transaction-time axis = the monotone ingest id),
     // with the current-knowledge answer + late-correction flag from
@@ -637,6 +650,13 @@ object SparkEntry {
       graft.operators.Pipeline.tfidfTopTerms(
         Tables.documents(s, d), "doc_id", "text", 3)),
 
+    // dataset card: per-(source x lang) composition summary at every
+    // CUBE granularity in one shuffle (grouping sets partial-aggregate
+    // map-side) — the composition table a curated corpus publishes
+    "x18_corpus_card" -> ((s, d) =>
+      graft.operators.Pipeline.corpusCard(
+        Tables.documents(s, d), "source", "lang", "text", "n_chars")),
+
     // training-mixture construction: uniform target shares over the
     // 20 sources at a 30% global sample rate, deterministic
     // hash-bucket thresholds per source (one scan, reduced to a
@@ -782,6 +802,14 @@ object SparkEntry {
     "m6_cas_stats" -> ((s, d) =>
       graft.multimodal.Binary.casStats(
         Tables.documents(s, d), "doc_id", "text", "source", 64)),
+
+    // WebDataset-style shard packing: blobs assigned to ~4 KiB output
+    // shards by cumulative byte budget per source (the manifest build
+    // for fixed-size training tar shards) — byte-budget twin of
+    // x7_pack_sequences, one range-exchange per source
+    "m7_shard_pack" -> ((s, d) =>
+      graft.multimodal.Binary.shardPack(
+        Tables.documents(s, d), "doc_id", "text", "source", 4096)),
 
     // perceptual-hash index: per-payload 64-bit aHash (stub-decoded
     // pixels) split into 4 pigeonhole chunks + candidate-neighborhood
@@ -1466,6 +1494,19 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY score DESC, w) AS rank FROM s)
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // CUBE with the q23 null-group convention (grp bit: source high)
+      "x18_corpus_card" ->
+        """SELECT (CASE WHEN source IS NULL THEN 2 ELSE 0 END
+          |      + CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS grp,
+          |  coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+          |  n_docs, total_chars, total_tokens,
+          |  round(CAST(total_chars AS DOUBLE) / n_docs, 6) AS avg_chars
+          |FROM (SELECT source, lang, count(*) AS n_docs,
+          |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+          |  FROM documents GROUP BY CUBE (source, lang))
+          |ORDER BY grp, source, lang""".stripMargin,
 
       // streaming KMV drain == the batch bottom-k sketch (spec-pinned),
       // so the per-day theta estimate is oracle-checkable verbatim
@@ -2248,6 +2289,17 @@ object SparkEntry {
           |  round(CAST(uniq_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 6) AS dedup_ratio
           |FROM t JOIN u USING (source) ORDER BY source""".stripMargin,
 
+      "m7_shard_pack" ->
+        """WITH t AS (SELECT doc_id, source,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
+          |c AS (SELECT *, CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+          |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |    0) AS BIGINT) AS cum_before FROM t)
+          |SELECT source, CAST(floor(cum_before / 4096.0) AS BIGINT) AS shard,
+          |  count(*) AS n_blobs, CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+          |  min(doc_id) AS first_id
+          |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+
       // the Spark side keys chunks by md5Prefix60(chunk_md5) =
       // conv(substr(md5(md5(chunk)),1,15),16,10) — mirror the double
       // hash; chunk extraction mirrors m3's ASCII substr == byte slice
@@ -2278,6 +2330,32 @@ object SparkEntry {
            |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
            |FROM av WHERE rn = 1 GROUP BY checkpoint ORDER BY checkpoint""".stripMargin,
+
+      // the PAIRWISE formulation (scd2 x scd2 interval-overlap join) —
+      // deliberately a different derivation than the Spark window
+      // sweep; chains being contiguous makes them provably equal
+      "t15_interval_align" ->
+        """WITH a AS (SELECT user_id, value AS a_value,
+          |    row_number() OVER w AS a_version,
+          |    epoch_us(ts) AS a_from, epoch_us(lead(ts) OVER w) AS a_to
+          |  FROM events WHERE event_type = 'click'
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |b AS (SELECT user_id, value AS b_value,
+          |    row_number() OVER w AS b_version,
+          |    epoch_us(ts) AS b_from, epoch_us(lead(ts) OVER w) AS b_to
+          |  FROM events WHERE event_type = 'view'
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT a.user_id,
+          |  greatest(a_from, b_from) AS iv_from_us,
+          |  nullif(least(coalesce(a_to, 9223372036854775807),
+          |               coalesce(b_to, 9223372036854775807)),
+          |         9223372036854775807) AS iv_to_us,
+          |  a_version, a_value, b_version, b_value
+          |FROM a JOIN b USING (user_id)
+          |WHERE greatest(a_from, b_from)
+          |    < least(coalesce(a_to, 9223372036854775807),
+          |            coalesce(b_to, 9223372036854775807))
+          |ORDER BY user_id, iv_from_us, a_version, b_version""".stripMargin,
 
       "t13_bitemporal" ->
         s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

@@ -112,6 +112,36 @@ object Binary {
       .orderBy(source)
   }
 
+  /** WebDataset-style shard packing: assign each blob to a ~targetBytes
+    * output shard by cumulative byte budget, per source — the manifest
+    * build that turns a blob lake into the fixed-size tar shards a
+    * training loader streams. Same machinery as the token-budget
+    * sequence packer (Pipeline.packSequences) applied to bytes: one
+    * window per source (cumulative bytes BEFORE each blob, id order —
+    * deterministic and restart-stable), shard = ⌊cum/target⌋, then a
+    * per-shard rollup. One range-exchange per source at any scale; the
+    * payload bytes never move — only their lengths do, and the byte
+    * length comes straight off the binary column. A blob larger than
+    * targetBytes gets a shard of its own (⌊cum/target⌋ still advances
+    * past it), which is exactly the oversize-sample rule WebDataset
+    * writers apply. */
+  def shardPack(docs: DataFrame, id: String, text: String, source: String,
+                targetBytes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(source)).orderBy(col(id))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(id), col(source),
+        octet_length(col(text).cast("binary")).cast("long").as("bytes"))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("cum_before") / lit(targetBytes.toDouble)).cast("long"))
+      .groupBy(col(source), col("shard"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("bytes")).cast("long").as("shard_bytes"),
+        min(col(id)).as("first_id"))
+      .orderBy(source, "shard")
+  }
+
   /** 64-bit average-hash ("aHash") perceptual fingerprint over a payload,
     * as FOUR 16-bit pigeonhole chunks: 64 pixels sampled at evenly
     * spaced offsets (pixel i = byte at 1 + ⌊i·len/64⌋ — the stride

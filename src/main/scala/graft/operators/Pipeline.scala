@@ -48,6 +48,30 @@ object Pipeline {
       .orderBy("shard", "bin")
   }
 
+  /** Dataset card: the per-(source × lang) composition summary every
+    * curated corpus publishes — doc counts, chars, whitespace tokens,
+    * mean doc length — at every grouping granularity at once via CUBE
+    * (source×lang, source, lang, grand total). One pass, one shuffle:
+    * Spark expands the grouping sets map-side and partial-aggregates
+    * before the exchange, so the cube costs the same single shuffle as
+    * the finest grouping. `grp` is the grouping_id (source = high bit),
+    * null group keys surfaced as 'ALL' — the q23 rollup convention. */
+  def corpusCard(docs: DataFrame, source: String, lang: String,
+                 text: String, nChars: String): DataFrame =
+    docs.select(col(source), col(lang), col(nChars),
+        Text.wsTokenCount(col(text)).cast("long").as("toks"))
+      .cube(col(source), col(lang))
+      .agg(grouping_id().as("grp"), count(lit(1)).as("n_docs"),
+        sum(col(nChars)).cast("long").as("total_chars"),
+        sum(col("toks")).cast("long").as("total_tokens"))
+      .select(col("grp"),
+        coalesce(col(source), lit("ALL")).as(source),
+        coalesce(col(lang), lit("ALL")).as(lang),
+        col("n_docs"), col("total_chars"), col("total_tokens"),
+        round(col("total_chars").cast("double") / col("n_docs"), 6)
+          .as("avg_chars"))
+      .orderBy("grp", source, lang)
+
   /** Survivorship dedup: connected-component near-dup clusters (the d6
     * pipeline) reduced to one surviving document per cluster — the doc
     * with the most characters, ties to the smallest id — plus what the

@@ -225,6 +225,54 @@ object Temporal {
           graft.dedup.Dedup.collectMinK(col(key), sampleK).cast("array<string>"))
           .as("record_ids"))
 
+  /** Temporal ALIGNMENT join of two version chains over the same key
+    * (the adjust/align primitive of temporal-database algebra, e.g.
+    * Dignös et al., SIGMOD'12): the piecewise intervals during which
+    * BOTH chains had a valid state, each interval carrying both states.
+    * This is the join the reference's `GET /compare` generalizes to —
+    * "what did record X's A-attribute and B-attribute look like,
+    * simultaneously, over time".
+    *
+    * The naive plan is scd2(A) ⋈ scd2(B) with an interval-overlap
+    * predicate — an equi-join on the key whose post-filter work is
+    * |A_k|·|B_k| candidate pairs per key (quadratic in chain length).
+    * Because SCD2 chains are CONTIGUOUS (each version's valid_to is the
+    * next version's valid_from), every alignment boundary is some
+    * version's start — so the whole join collapses to ONE window sweep
+    * over the interleaved rows: running last-state per chain + lead()
+    * for the segment end, all sharing a single (key × (ts, tie)) sort.
+    * One shuffle, O(n log n) per key, no pairwise blow-up. The pairwise
+    * formulation is kept as the DuckDB oracle — the two derivations
+    * agreeing is the correctness argument.
+    *
+    * `isA` / `isB` pick the two chains out of `df` (rows matching
+    * neither are dropped); `value` is the per-version state. Output:
+    * (key, iv_from_us, iv_to_us·nullable-open, a_version, a_value,
+    * b_version, b_value); zero-length intervals (equal-ts boundaries)
+    * are dropped on both sides. */
+  def intervalAlign(df: DataFrame, key: String, ts: String, tie: String,
+                    isA: Column, isB: Column, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // state payload wrapped in a struct so last(ignoreNulls) tracks the
+    // chain (a genuinely-null state value must not be skipped over)
+    df.filter(isA || isB).withColumn("__a", isA)
+      .withColumn("a_version", sum(when(col("__a"), 1L)).over(wRun))
+      .withColumn("b_version", sum(when(!col("__a"), 1L)).over(wRun))
+      .withColumn("__av",
+        last(when(col("__a"), struct(col(value).as("v"))), ignoreNulls = true).over(wRun))
+      .withColumn("__bv",
+        last(when(!col("__a"), struct(col(value).as("v"))), ignoreNulls = true).over(wRun))
+      .withColumn("__to", lead(col(ts), 1).over(w))
+      .filter(col("a_version").isNotNull && col("b_version").isNotNull &&
+        (col("__to").isNull || col(ts) < col("__to")))
+      .select(col(key),
+        unix_micros(col(ts)).as("iv_from_us"),
+        unix_micros(col("__to")).as("iv_to_us"),
+        col("a_version"), col("__av.v").as("a_value"),
+        col("b_version"), col("__bv.v").as("b_value"))
+  }
+
   /** Snapshot + delta-replay read — the reference's `Snapshot` table
     * (app/models.py:27-37) semantics: the state at `at` is the last full
     * snapshot at-or-before `at` plus a replay of the later deltas. At
