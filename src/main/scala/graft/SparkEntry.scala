@@ -236,6 +236,15 @@ object SparkEntry {
           col("event_type") === "click", col("event_type") === "view", "value")
         .orderBy("user_id", "iv_from_us", "a_version", "b_version")),
 
+    // state-duration report: each version's validity interval
+    // attributed to its event_type state, per-state dwell totals +
+    // share of observed time — one lead() shuffle + a broadcast
+    // grand-total scalar
+    "t16_state_durations" -> ((s, d) =>
+      Temporal.stateDurations(
+        ev(s, d).select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")),
+
     // bitemporal as-of: state at valid time T as KNOWN at append
     // sequence 500 (transaction-time axis = the monotone ingest id),
     // with the current-knowledge answer + late-correction flag from
@@ -2356,6 +2365,19 @@ object SparkEntry {
           |    < least(coalesce(a_to, 9223372036854775807),
           |            coalesce(b_to, 9223372036854775807))
           |ORDER BY user_id, iv_from_us, a_version, b_version""".stripMargin,
+
+      "t16_state_durations" ->
+        """WITH iv AS (SELECT event_type,
+          |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |a AS (SELECT event_type, count(*) AS n_intervals,
+          |    CAST(sum(dur_us) AS BIGINT) AS total_us
+          |  FROM iv WHERE dur_us IS NOT NULL GROUP BY 1)
+          |SELECT event_type, n_intervals, total_us,
+          |  round(CAST(total_us AS DOUBLE) / n_intervals, 6) AS avg_us,
+          |  round(CAST(total_us AS DOUBLE)
+          |    / (SELECT CAST(sum(total_us) AS DOUBLE) FROM a), 6) AS time_share
+          |FROM a ORDER BY event_type""".stripMargin,
 
       "t13_bitemporal" ->
         s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

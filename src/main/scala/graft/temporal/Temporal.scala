@@ -273,6 +273,32 @@ object Temporal {
         col("b_version"), col("__bv.v").as("b_value"))
   }
 
+  /** State-duration (dwell-time) report from the version chain: how
+    * long records spend in each state — each version's validity
+    * interval ([[scd2]]'s [ts, next ts)) attributed to its `state`
+    * column, rolled up per state: interval count, total/mean dwell
+    * micros, and each state's share of all observed time. Open tails
+    * (the current state, unbounded) are excluded — that's the as-of
+    * report's job. One key-shuffle for the lead() + one small
+    * aggregation; the grand total joins back as a broadcast scalar. */
+  def stateDurations(df: DataFrame, key: String, ts: String, tie: String,
+                     state: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val agg = df.withColumn("__to", lead(col(ts), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .select(col(state),
+        (unix_micros(col("__to")) - unix_micros(col(ts))).as("dur_us"))
+      .groupBy(col(state))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).cast("long").as("total_us"))
+    val tot = agg.agg(sum(col("total_us")).cast("long").as("__t"))
+    agg.crossJoin(broadcast(tot))
+      .select(col(state), col("n_intervals"), col("total_us"),
+        round(col("total_us").cast("double") / col("n_intervals"), 6).as("avg_us"),
+        round(col("total_us").cast("double") / col("__t"), 6).as("time_share"))
+      .orderBy(state)
+  }
+
   /** Snapshot + delta-replay read — the reference's `Snapshot` table
     * (app/models.py:27-37) semantics: the state at `at` is the last full
     * snapshot at-or-before `at` plus a replay of the later deltas. At

@@ -82,6 +82,22 @@ class IntervalAlignSpec extends SparkSpec {
     assert(collectAlign(sweep(ev)) == collectAlign(pairwise(ev)))
   }
 
+  test("stateDurations: hand-computed dwell times, open tails excluded") {
+    val df = evDf(Seq(
+      // user 1: click 10s→20s (10s in click), view 20s→50s (30s in view),
+      //         click 50s→(open, excluded)
+      (1L, "2024-01-01 00:00:10", 1L, "click", 0.0),
+      (1L, "2024-01-01 00:00:20", 2L, "view", 0.0),
+      (1L, "2024-01-01 00:00:50", 3L, "click", 0.0),
+      // user 2: single event → only an open tail, contributes nothing
+      (2L, "2024-01-01 00:00:00", 4L, "view", 0.0)))
+    val out = Temporal.stateDurations(df, "user_id", "ts", "event_id", "event_type")
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out == List(
+      ("click", 1L, 10000000L, 10000000.0, 0.25),
+      ("view", 1L, 30000000L, 30000000.0, 0.75)))
+  }
+
   test("shardPack: byte budgets, oversize blob isolated, totals conserved") {
     val docs = Seq(
       (1L, "aaaa", "s1"), // 4 B → shard 0 (cum_before 0)
