@@ -94,6 +94,51 @@ object ScaleProbe {
       println(f"$k%-14s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
     }
 
+    // t15 interval alignment under 8x chain DEPTH: the events8 corpus
+    // above grows the KEY count (user offsets), which both plans
+    // survive linearly — the alignment claim is about CHAIN LENGTH, so
+    // this corpus replicates every user's events 8x shifted past the
+    // data range (same keys, 8x-deep chains). The window sweep does 8x
+    // work per key; the pairwise scd2 overlap join does 64x pairs per
+    // key. Both compute the identical result (spec-pinned) — this leg
+    // measures why the sweep is the production plan.
+    val deepPath = s"/tmp/graft_scale/$slug/events8deep"
+    if (!new java.io.File(deepPath).exists()) {
+      val parts = (0 until 8).map { i =>
+        e1.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 90} DAYS"))
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+      }
+      parts.reduce(_ unionByName _).repartition(32).write.parquet(deepPath)
+    }
+    val ed8 = spark.read.parquet(deepPath)
+    def pairwiseAlign(ev: DataFrame): Long = {
+      val inf = Long.MaxValue
+      def chain(t: String, p: String) =
+        Temporal.scd2(ev.filter(col("event_type") === t), "user_id", "ts", "event_id")
+          .select(col("user_id"),
+            col("version").as(s"${p}_version"), col("value").as(s"${p}_value"),
+            unix_micros(col("ts")).as(s"${p}_from"),
+            unix_micros(col("valid_to")).as(s"${p}_to"))
+      chain("click", "a")
+        .join(chain("view", "b").withColumnRenamed("user_id", "user_id_b"),
+          col("user_id") === col("user_id_b") &&
+            greatest(col("a_from"), col("b_from")) <
+              least(coalesce(col("a_to"), lit(inf)), coalesce(col("b_to"), lit(inf))))
+        .count()
+    }
+    val alignOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("align_sweep", ev => Temporal.intervalAlign(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id",
+        col("event_type") === "click", col("event_type") === "view",
+        "value").count()),
+      ("align_pairwise", ev => pairwiseAlign(ev)))
+    val (al1, al8) = interleave(alignOps, e1, ed8)
+    println(f"${"align op"}%-14s ${"1x(s)"}%8s ${"8xdeep(s)"}%9s ratio")
+    al1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${al1(k)}%8.2f ${al8(k)}%9.2f ${al8(k) / al1(k)}%5.1fx")
+    }
+
     // dedup family over 8x documents. Each replica's characters are
     // rotated so replica shingle spaces are DISJOINT — this measures
     // operator scaling at 8x corpus size. (With shared text the same
@@ -491,6 +536,7 @@ object ScaleProbe {
     val json =
       s"""{
          |"events_8x_vs_1x": ${sect(r1, r8)},
+         |"interval_align_chain_depth_8x_sweep_vs_pairwise": ${sect(al1, al8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
          |"sketches_8x_vs_1x": ${sect(sk1, sk8)},
          |"embeddings_8x_vs_1x": ${sect(nd1x, nd8x)},
