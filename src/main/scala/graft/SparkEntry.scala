@@ -514,16 +514,23 @@ object SparkEntry {
         graft.ann.CellIndexCache.embeddingsWithCell(s, d),
         "vec_id", "embedding", "cell", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
-    // IVF with the nprobe accuracy knob: probe the 2 nearest coarse
+    // IVF with the nprobe accuracy knob: probe the nearest coarse
     // cells by decimal-exact centroid cosine, exact rerank within
     // them — the (id, vec, cell) table AND the centroids are shared
-    // corpus-level artifacts (CellIndexCache), not per-query jobs
-    "a4_ivf_nprobe" -> ((s, d) =>
+    // corpus-level artifacts (CellIndexCache), not per-query jobs.
+    // nprobe is NOT a constant: it follows the recall-targeted rule
+    // (⌈0.449·cells⌉ — Ann.recommendedNprobe), so recall@10 holds
+    // ~0.8 as the cell count grows with the corpus instead of
+    // decaying the way a fixed probe count does (ANN_SWEEP_r9)
+    "a4_ivf_nprobe" -> ((s, d) => {
+      val ix = graft.ann.CellIndexCache.embeddings(s, d)
       Ann.knnIvfProbeCentroids(
         graft.ann.CellIndexCache.embeddingsWithCell(s, d),
         "vec_id", "embedding", "cell",
         graft.ann.CellIndexCache.centroids(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+        Seq(0L, 1L, 2L, 3L, 4L), 10,
+        Ann.recommendedNprobe(ix.k1.toLong * ix.k2))
+    }),
 
     // exact cosine RANGE search (radius query): one corpus pass for
     // the whole broadcast query set, per-row norms precomputed
@@ -815,10 +822,13 @@ object SparkEntry {
     // WebDataset-style shard packing: blobs assigned to ~4 KiB output
     // shards by cumulative byte budget per source (the manifest build
     // for fixed-size training tar shards) — byte-budget twin of
-    // x7_pack_sequences, one range-exchange per source
+    // x7_pack_sequences and it reuses x7's md5-shard decomposition:
+    // the cumulative window runs per (source, sub-shard), never over a
+    // whole source in one task; global shard ids stitch via a running
+    // offset on the tiny per-sub-shard bin-count table
     "m7_shard_pack" -> ((s, d) =>
       graft.multimodal.Binary.shardPack(
-        Tables.documents(s, d), "doc_id", "text", "source", 4096)),
+        Tables.documents(s, d), "doc_id", "text", "source", 4096, 8)),
 
     // perceptual-hash index: per-payload 64-bit aHash (stub-decoded
     // pixels) split into 4 pigeonhole chunks + candidate-neighborhood
@@ -2075,9 +2085,10 @@ object SparkEntry {
 
       // centroid components are DECIMAL-exact means (order-independent,
       // so both engines get bit-identical centroids) over the SHARED
-      // corpus-proportional coarse cells; probe the 2 cells nearest
-      // each query by rounded centroid cosine (ties by cell id), exact
-      // rerank within them
+      // corpus-proportional coarse cells; probe the recall-targeted
+      // ⌈0.449·cells⌉ nearest cells (Ann.recommendedNprobe — SAME
+      // IEEE literal product both engines) by rounded centroid cosine
+      // (ties by cell id), exact rerank within them
       "a4_ivf_nprobe" ->
         s"""WITH $cellCtes,
           |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
@@ -2099,7 +2110,10 @@ object SparkEntry {
           |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
           |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
           |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.cell) AS cr
-          |    FROM q CROSS JOIN cvec c) WHERE cr <= 2)
+          |    FROM q CROSS JOIN cvec c)
+          |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
+          |    (${graft.ann.Ann.RecallNprobeNum} * k1 * k2 + ${graft.ann.Ann.RecallNprobeDen - 1})
+          |      // ${graft.ann.Ann.RecallNprobeDen})) FROM par))
           |SELECT query_id, nn_id, cos, rank FROM (
           |  SELECT query_id, nn_id, cos,
           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
@@ -2298,16 +2312,26 @@ object SparkEntry {
           |  round(CAST(uniq_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 6) AS dedup_ratio
           |FROM t JOIN u USING (source) ORDER BY source""".stripMargin,
 
+      // mirrors the md5-sub-shard decomposition (x7's pattern): local
+      // cumsum per (source, hshard), then global shard = running offset
+      // over the tiny per-sub-shard bin counts + local bin
       "m7_shard_pack" ->
         """WITH t AS (SELECT doc_id, source,
-          |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents),
-          |c AS (SELECT *, CAST(coalesce(sum(bytes) OVER (PARTITION BY source
-          |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-          |    0) AS BIGINT) AS cum_before FROM t)
-          |SELECT source, CAST(floor(cum_before / 4096.0) AS BIGINT) AS shard,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS hshard
+          |  FROM documents),
+          |l AS (SELECT *, CAST(floor(cum_before / 4096.0) AS BIGINT) AS lbin FROM (
+          |  SELECT *, CAST(coalesce(sum(bytes) OVER (PARTITION BY source, hshard
+          |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS BIGINT) AS cum_before FROM t)),
+          |o AS (SELECT source, hshard, CAST(coalesce(sum(n_bins) OVER (PARTITION BY source
+          |      ORDER BY hshard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin_off
+          |  FROM (SELECT source, hshard, max(lbin) + 1 AS n_bins FROM l GROUP BY 1, 2))
+          |SELECT l.source, o.bin_off + l.lbin AS shard,
           |  count(*) AS n_blobs, CAST(sum(bytes) AS BIGINT) AS shard_bytes,
           |  min(doc_id) AS first_id
-          |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+          |FROM l JOIN o ON l.source = o.source AND l.hshard = o.hshard
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // the Spark side keys chunks by md5Prefix60(chunk_md5) =
       // conv(substr(md5(md5(chunk)),1,15),16,10) — mirror the double

@@ -595,6 +595,46 @@ object Ann {
     l
   }
 
+  /** The probed corpus FRACTION that meets a recall@10 ≈ 0.8 target on
+    * a NEAR-UNIFORM corpus (every measured sweep point collapses onto
+    * one recall(f) ≈ 1 − (1−f)^2.7 curve across corpus sizes —
+    * ANN_SWEEP_r9; f(0.8) = 1 − 0.2^(1/2.7) ≈ 0.449). Pinned as an
+    * exact RATIONAL 449/1000, not a float: ⌈f·cells⌉ is then pure
+    * integer arithmetic, bit-identical in the JVM and the DuckDB
+    * oracle (a double 0.449 literal rounds ABOVE the decimal value,
+    * so the two engines' ceil could disagree whenever 449·cells is a
+    * multiple of 1000). */
+  val RecallNprobeNum = 449L
+  val RecallNprobeDen = 1000L
+
+  /** Recall-targeted IVF probe width: nprobe as a FUNCTION of the cell
+    * count, replacing the fixed constant whose recall decays as cells
+    * grow ∝ n (ANN_SWEEP_r8 measured 0.48→0.20 recall@10 from sf0.01
+    * to sf0.1 at nprobe=2). Two regimes, because the right rule
+    * depends on what the queries are:
+    *
+    *  - GENERIC top-k on a near-uniform corpus (this synthetic data;
+    *    worst case): a query's true top-10 are mostly unclustered
+    *    random directions, so recall is bought with the probed
+    *    fraction of the corpus and nothing sublinear can hold it —
+    *    corpus physics, not an implementation artifact (the AnnSweep
+    *    LSH legs document the same collapse). The rule holds the
+    *    fraction: nprobe = ⌈f·cells⌉ with f from the measured curve
+    *    — recall then provably does NOT decay with corpus size
+    *    (swept at sf0.01/sf0.1 in ANN_SWEEP_r9).
+    *  - NEAR-DUP queries (the d5/d8 tier — a true high-cos neighbor
+    *    exists): the neighbor shares the query's primary or boundary
+    *    cell, a CONSTANT nprobe ≈ probe² already reaches it, and the
+    *    planted-twin sweep shows no decay. Clustered real-embedding
+    *    corpora sit between the two; this fraction rule is the
+    *    conservative upper bound for them.
+    */
+  def recommendedNprobe(cells: Long,
+                        fracNum: Long = RecallNprobeNum,
+                        fracDen: Long = RecallNprobeDen): Int =
+    math.max(1L,
+      math.min(cells, (fracNum * cells + fracDen - 1) / fracDen)).toInt
+
   /** Per-row, per-level nearest coarse anchors for an L-level product:
     * (id, lvl ∈ [0,L), idx ∈ [0,ks(lvl)), rn ∈ [1,probe]) — the exact
     * [[anchorAssignments]] construction with the two hard-coded level

@@ -115,26 +115,52 @@ object Binary {
   /** WebDataset-style shard packing: assign each blob to a ~targetBytes
     * output shard by cumulative byte budget, per source — the manifest
     * build that turns a blob lake into the fixed-size tar shards a
-    * training loader streams. Same machinery as the token-budget
-    * sequence packer (Pipeline.packSequences) applied to bytes: one
-    * window per source (cumulative bytes BEFORE each blob, id order —
-    * deterministic and restart-stable), shard = ⌊cum/target⌋, then a
-    * per-shard rollup. One range-exchange per source at any scale; the
-    * payload bytes never move — only their lengths do, and the byte
-    * length comes straight off the binary column. A blob larger than
-    * targetBytes gets a shard of its own (⌊cum/target⌋ still advances
-    * past it), which is exactly the oversize-sample rule WebDataset
-    * writers apply. */
+    * training loader streams. The byte-budget twin of the token-budget
+    * sequence packer (Pipeline.packSequences), and it uses the SAME
+    * md5-shard decomposition: a single per-source cumulative window
+    * would sort an entire source's blobs in ONE task (with ~20 sources
+    * at 100 TB that is a multi-billion-row straggler partition per
+    * source), so instead
+    *
+    *  1. blobs are dealt to `hashShards` md5 sub-shards WITHIN their
+    *     source (pure function of the id — reproducible on any cluster
+    *     size), and the cumulative-bytes-before window runs per
+    *     (source, sub-shard): parallelism is sources × hashShards wide
+    *     however large any one source is;
+    *  2. each sub-shard packs locally — local bin = ⌊cum_before/target⌋;
+    *  3. local bins are stitched into GLOBAL per-source shard ids with a
+    *     running offset over the tiny (source, sub-shard) bin-count
+    *     table (≤ sources × hashShards rows; that window is the only
+    *     sequential dependency left and it runs over a few hundred rows).
+    *
+    * The payload bytes never move — only their lengths do, straight off
+    * the binary column. A blob larger than targetBytes overflows its own
+    * bin and advances the running budget past itself (so later blobs
+    * skip budget-exhausted shard ids); it does NOT claim an exclusive
+    * shard — preceding small blobs of the same bin stay with it, which
+    * is what a streaming tar writer produces when an oversize sample
+    * arrives mid-shard. */
   def shardPack(docs: DataFrame, id: String, text: String, source: String,
-                targetBytes: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(source)).orderBy(col(id))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col(id), col(source),
-        octet_length(col(text).cast("binary")).cast("long").as("bytes"))
-      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .withColumn("shard",
+                targetBytes: Int, hashShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col(source), col("hshard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = docs.select(col(id), col(source),
+        octet_length(col(text).cast("binary")).cast("long").as("bytes"),
+        graft.functions.Text.hashBucket(col(id), hashShards).as("hshard"))
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(wLocal), lit(0L)))
+      .withColumn("lbin",
         floor(col("cum_before") / lit(targetBytes.toDouble)).cast("long"))
+    // tiny stitch table: bins opened per (source, sub-shard), offset by a
+    // running sum in sub-shard order — global shard = offset + local bin
+    val wOff = Window.partitionBy(col(source)).orderBy(col("hshard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy(col(source), col("hshard"))
+      .agg((max(col("lbin")) + 1).as("n_bins"))
+      .withColumn("bin_off", coalesce(sum(col("n_bins")).over(wOff), lit(0L)))
+      .select(col(source), col("hshard"), col("bin_off"))
+    binned.join(broadcast(offsets), Seq(source, "hshard"))
+      .withColumn("shard", col("bin_off") + col("lbin"))
       .groupBy(col(source), col("shard"))
       .agg(count(lit(1)).as("n_blobs"),
         sum(col("bytes")).cast("long").as("shard_bytes"),

@@ -222,10 +222,26 @@ object Pipeline {
     *
     * Shape: one scan → (doc, word) tf aggregate; df table derived from
     * that same aggregate (exchange reuse, no second scan); N from a
-    * scalar count broadcast back; top-k via a row_number window whose
-    * partition is one doc's vocabulary (bounded by doc length). */
+    * scalar count broadcast back; top-k via a BOUNDED CollectMinK
+    * aggregate over an order-encoding key — never a per-doc
+    * row_number window: the window form re-shuffles and SORTS the
+    * whole scored (doc, word) table (≈ every token) to keep k rows
+    * per doc, while the bounded aggregate partial-combines map-side
+    * so the exchange after the df join carries ≤ k keys per doc (it
+    * was the one >2× DuckDB parity entry at sf1 as a window).
+    *
+    * The key is `lpad(10^12 − score) ⊔ term ⊔ tf ⊔ df` with ⊔ = ' ':
+    * fixed-width zero-padded (10^12 − score) makes lexicographic
+    * order equal (score DESC, term ASC) — terms come from a
+    * whitespace split, so they cannot contain the separator, and the
+    * separator is smaller than every printable non-space character,
+    * so a prefix term sorts before its extensions exactly as ORDER BY
+    * term ASC does. tf/df ride along for parse-back (never compared:
+    * (doc, term) is unique). Score bound: tf·idf_bits ≤ doc_tokens·64
+    * ≪ 10^12. */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
                     topK: Int): DataFrame = {
+    val Big = 1000000000000L // 10^12 > any tf·idf_bits
     val docWord = docs
       .select(col(id), explode(Text.words(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
@@ -233,13 +249,21 @@ object Pipeline {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = docWord.join(dfT, Seq("w")).crossJoin(broadcast(n))
       .withColumn("score",
-        col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1))
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("score").desc, col("w").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col(id), col("rank"), col("w").as("term"),
-        col("tf"), col("df"), col("score"))
+        (col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1))
+          .cast("long"))
+    val key = concat_ws(" ",
+      lpad((lit(Big) - col("score")).cast("string"), 13, "0"),
+      col("w"), col("tf").cast("string"), col("df").cast("string"))
+    scored
+      .groupBy(col(id))
+      .agg(Dedup.collectMinK(key.as("__k"), topK).as("__top"))
+      .select(col(id), posexplode(col("__top")).as(Seq("__pos", "__k")))
+      .withColumn("__p", split(col("__k"), " "))
+      .select(col(id), (col("__pos") + 1).as("rank"),
+        col("__p").getItem(1).as("term"),
+        col("__p").getItem(2).cast("long").as("tf"),
+        col("__p").getItem(3).cast("long").as("df"),
+        (lit(Big) - col("__p").getItem(0).cast("long")).as("score"))
       .orderBy(id, "rank")
   }
 
