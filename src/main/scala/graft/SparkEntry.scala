@@ -828,7 +828,8 @@ object SparkEntry {
     // offset on the tiny per-sub-shard bin-count table
     "m7_shard_pack" -> ((s, d) =>
       graft.multimodal.Binary.shardPack(
-        Tables.documents(s, d), "doc_id", "text", "source", 4096, 8)),
+        Tables.documents(s, d), "doc_id", "text", "source", 4096,
+        graft.multimodal.Binary.ShardPackHashShards)),
 
     // perceptual-hash index: per-payload 64-bit aHash (stub-decoded
     // pixels) split into 4 pigeonhole chunks + candidate-neighborhood
@@ -2316,9 +2317,9 @@ object SparkEntry {
       // cumsum per (source, hshard), then global shard = running offset
       // over the tiny per-sub-shard bin counts + local bin
       "m7_shard_pack" ->
-        """WITH t AS (SELECT doc_id, source,
+        s"""WITH t AS (SELECT doc_id, source,
           |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
-          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS hshard
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % ${graft.multimodal.Binary.ShardPackHashShards} AS hshard
           |  FROM documents),
           |l AS (SELECT *, CAST(floor(cum_before / 4096.0) AS BIGINT) AS lbin FROM (
           |  SELECT *, CAST(coalesce(sum(bytes) OVER (PARTITION BY source, hshard

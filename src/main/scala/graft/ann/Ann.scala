@@ -632,8 +632,12 @@ object Ann {
   def recommendedNprobe(cells: Long,
                         fracNum: Long = RecallNprobeNum,
                         fracDen: Long = RecallNprobeDen): Int =
-    math.max(1L,
-      math.min(cells, (fracNum * cells + fracDen - 1) / fracDen)).toInt
+    // clamp to Int.MaxValue BEFORE narrowing: at cells > ~4.78e9 the
+    // fraction exceeds Int range and a bare .toInt would wrap negative,
+    // silently emptying the c_rank <= nprobe probe filter downstream
+    math.min(Int.MaxValue.toLong,
+      math.max(1L,
+        math.min(cells, (fracNum * cells + fracDen - 1) / fracDen))).toInt
 
   /** Per-row, per-level nearest coarse anchors for an L-level product:
     * (id, lvl ∈ [0,L), idx ∈ [0,ks(lvl)), rn ∈ [1,probe]) — the exact

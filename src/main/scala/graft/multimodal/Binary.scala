@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Binary {
 
+  /** md5 sub-shards per source in [[shardPack]]'s parallel decomposition.
+    * The m7 DuckDB oracle interpolates the SAME constant into its
+    * `% N` — change it here and both engines move together. */
+  val ShardPackHashShards = 8
+
   /** Attach a binary payload column (here: utf-8 bytes of the text —
     * the stand-in for image/audio bytes loaded via `binaryFile` source). */
   def withPayload(docs: DataFrame, id: String, text: String): DataFrame =

@@ -230,15 +230,22 @@ object Pipeline {
     * so the exchange after the df join carries ≤ k keys per doc (it
     * was the one >2× DuckDB parity entry at sf1 as a window).
     *
-    * The key is `lpad(10^12 − score) ⊔ term ⊔ tf ⊔ df` with ⊔ = ' ':
-    * fixed-width zero-padded (10^12 − score) makes lexicographic
-    * order equal (score DESC, term ASC) — terms come from a
-    * whitespace split, so they cannot contain the separator, and the
-    * separator is smaller than every printable non-space character,
-    * so a prefix term sorts before its extensions exactly as ORDER BY
-    * term ASC does. tf/df ride along for parse-back (never compared:
-    * (doc, term) is unique). Score bound: tf·idf_bits ≤ doc_tokens·64
-    * ≪ 10^12. */
+    * The key is `lpad(10^12 − score) ⊔ hex(term) ⊔ tf ⊔ df` with
+    * ⊔ = ' ': fixed-width zero-padded (10^12 − score) makes
+    * lexicographic order equal (score DESC, term ASC). The term rides
+    * HEX-ENCODED: hex of the UTF-8 bytes is order-preserving (each
+    * byte maps to two chars from the monotone alphabet 0-9A-F, so
+    * hex-string order == byte order == Spark/DuckDB binary-collation
+    * string order) and its alphabet sits entirely above the ' '
+    * separator — so the encoding stays correct even for tokens
+    * carrying tab/newline/control chars, which the single-space
+    * Text.words split does NOT strip (a raw control char < 0x20 would
+    * sort a term before its own prefix). tf/df ride along for
+    * parse-back (never compared: (doc, term) is unique). Score bound
+    * tf·idf_bits ≤ doc_tokens·64 ≪ 10^12 is ENFORCED: a score ≥ 10^12
+    * raises instead of silently misranking (the '-' a negative
+    * difference would inject sorts above the digits and would float
+    * the highest-scoring terms to the bottom). */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
                     topK: Int): DataFrame = {
     val Big = 1000000000000L // 10^12 > any tf·idf_bits
@@ -251,16 +258,21 @@ object Pipeline {
       .withColumn("score",
         (col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1))
           .cast("long"))
+    val invScore = when(col("score") >= lit(Big),
+        raise_error(concat(lit("tfidfTopTerms: score >= 10^12 breaks the "
+          + "order-encoding key: "), col("score").cast("string"))))
+      .otherwise(lit(Big) - col("score"))
     val key = concat_ws(" ",
-      lpad((lit(Big) - col("score")).cast("string"), 13, "0"),
-      col("w"), col("tf").cast("string"), col("df").cast("string"))
+      lpad(invScore.cast("string"), 13, "0"),
+      hex(col("w").cast("binary")), col("tf").cast("string"),
+      col("df").cast("string"))
     scored
       .groupBy(col(id))
       .agg(Dedup.collectMinK(key.as("__k"), topK).as("__top"))
       .select(col(id), posexplode(col("__top")).as(Seq("__pos", "__k")))
       .withColumn("__p", split(col("__k"), " "))
       .select(col(id), (col("__pos") + 1).as("rank"),
-        col("__p").getItem(1).as("term"),
+        unhex(col("__p").getItem(1)).cast("string").as("term"),
         col("__p").getItem(2).cast("long").as("tf"),
         col("__p").getItem(3).cast("long").as("df"),
         (lit(Big) - col("__p").getItem(0).cast("long")).as("score"))

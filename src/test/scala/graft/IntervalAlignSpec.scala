@@ -98,7 +98,10 @@ class IntervalAlignSpec extends SparkSpec {
       ("view", 1L, 30000000L, 30000000.0, 0.75)))
   }
 
-  test("shardPack: byte budgets, oversize blob isolated, totals conserved") {
+  test("shardPack: byte budgets, oversize advances budget, totals conserved (hashShards=1)") {
+    // hashShards=1 collapses the md5 decomposition to a single sub-shard
+    // per source, so the hand-checked cumulative budget math applies
+    // directly (the stitch offset is 0 everywhere)
     val docs = Seq(
       (1L, "aaaa", "s1"), // 4 B → shard 0 (cum_before 0)
       (2L, "bbbbbbbb", "s1"), // 8 B → shard 0 (cum 4)
@@ -106,13 +109,53 @@ class IntervalAlignSpec extends SparkSpec {
       (4L, "dd", "s1"), // cum 32 → shard 3: oversize blob advanced the budget
       (5L, "ee", "s2") // separate source restarts at shard 0
     ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
-    val out = Binary.shardPack(docs, "doc_id", "text", "source", 10)
+    val out = Binary.shardPack(docs, "doc_id", "text", "source", 10, hashShards = 1)
       .as[(String, Long, Long, Long, Long)].collect().toList
     assert(out == List(
       ("s1", 0L, 2L, 12L, 1L), ("s1", 1L, 1L, 20L, 3L), ("s1", 3L, 1L, 2L, 4L),
       ("s2", 0L, 1L, 2L, 5L)))
     // conservation: shard bytes sum to corpus bytes
     assert(out.map(_._4).sum == 4 + 8 + 20 + 2 + 2)
+  }
+
+  test("shardPack: oversize blob arriving mid-shard does NOT claim an exclusive shard") {
+    // doc 1 (4 B) opens bin 0; the 20 B oversize doc 2 lands at cum 4 —
+    // still bin 0, SHARING the shard with doc 1 (what a streaming tar
+    // writer produces when an oversize sample arrives mid-shard); doc 3
+    // at cum 24 skips the budget-exhausted ids 1 and lands in bin 2
+    val docs = Seq(
+      (1L, "aaaa", "s1"),
+      (2L, "cccccccccccccccccccc", "s1"),
+      (3L, "dd", "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = Binary.shardPack(docs, "doc_id", "text", "source", 10, hashShards = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(out == List(("s1", 0L, 2L, 24L, 1L), ("s1", 2L, 1L, 2L, 3L)))
+  }
+
+  test("shardPack: md5 sub-shard stitch — global ids contiguous per source, totals conserved") {
+    // default hashShards=8 deals the 4 s1 docs into 4 distinct md5
+    // sub-shards (ids 1..4 → hshards 0,6,7,1); each packs its single
+    // blob into local bin 0 and the running-offset stitch assigns
+    // global shards 0..3 in hshard order: doc1(h0)→0, doc4(h1)→1,
+    // doc2(h6)→2, doc3(h7)→3
+    val docs = Seq(
+      (1L, "aaaa", "s1"), (2L, "bbbbbbbb", "s1"),
+      (3L, "cccccccccccccccccccc", "s1"), (4L, "dd", "s1"),
+      (5L, "ee", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Binary.shardPack(docs, "doc_id", "text", "source", 10)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      ("s1", 0L, 1L, 4L, 1L), ("s1", 1L, 1L, 2L, 4L), ("s1", 2L, 1L, 8L, 2L),
+      ("s1", 3L, 1L, 20L, 3L), ("s2", 0L, 1L, 2L, 5L)))
+    // stitch invariants: per-source shard ids are 0..n-1 with no gaps
+    // BETWEEN sub-shards (gaps inside one sub-shard's budget run are
+    // legal), and byte totals are conserved across the decomposition
+    assert(out.map(_._4).sum == 4 + 8 + 20 + 2 + 2)
+    val oneShardOut = Binary.shardPack(docs, "doc_id", "text", "source", 10, hashShards = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._4).sum == oneShardOut.map(_._4).sum)
   }
 
   test("corpusCard: CUBE granularities consistent, hand-checked groups") {
