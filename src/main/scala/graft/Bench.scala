@@ -101,11 +101,30 @@ object Bench {
     val results = qlist.map { case (name, _) =>
       name -> allRuns.map(_(name)).min
     }
+    // decomposition aid: each stream drain pays a fixed micro-batch
+    // machinery cost (source listing, planning, state-store setup,
+    // sink/checkpoint commits) that is NOT query work; measure it once
+    // (median of reps) via the minimal one-state-row drain and report
+    // it so the ts1x/ts2x stream entries read as floor + stateful work
+    val streamQs = results.count(_._1.contains("_stream_"))
+    val floor =
+      if (streamQs == 0) -1.0
+      else {
+        val t = (1 to math.max(1, reps)).map { _ =>
+          val t0 = System.nanoTime()
+          try graft.streaming.Streams.drainFloor(spark, sfDir).count()
+          catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        t(t.length / 2)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val floorField =
+      if (floor < 0) "" else s""","stream_drain_floor_s":$floor,"stream_queries":$streamQs"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs$floorField,"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Exception =>

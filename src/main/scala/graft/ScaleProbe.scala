@@ -94,6 +94,76 @@ object ScaleProbe {
       println(f"$k%-14s ${r1(k)}%8.2f ${r8(k)}%8.2f ${r8(k) / r1(k)}%5.1fx")
     }
 
+    // decomposition of the three events legs that sit ABOVE the 1-2x
+    // overhead-amortization band (r8: changes 7.57x, zscore 4.67x,
+    // cms_topk 3.02x). Hypothesis under test: these are the COMPUTE-
+    // bound ops of the suite — per-row work (md5 hashing, decimal
+    // sums, wide max_by buffers) already saturates the cores at 1x, so
+    // their 8x ratio approaches the IDEAL linear 8 instead of hiding
+    // in fixed overhead the way the sub-0.2s legs do; none of them
+    // grows superlinearly. Stage legs:
+    //  - calib_scan_sum: a bare scan + columnar sum — the ratio purely
+    //    row-linear work shows at this size (the honest floor).
+    //  - changes_agg: t8's shuffle+max_by aggregate without the final
+    //    diff projection; changes_keys1x folds the 8x corpus back onto
+    //    the 1x KEY space (pmod 1000) — separates rows-growth from
+    //    keys-growth (8x keys = 8x partial-agg rows into the exchange).
+    //  - zscore_stats: ts19's 5-key stats aggregate alone (the scan +
+    //    decimal-sum leg); the full op scans TWICE (stats + join pass)
+    //    and its output (|z| >= threshold rows) grows 8x.
+    //  - cms_grid / cms_cand: s2's two scans separately — the md5 grid
+    //    build (bounded exchange) and the exact-count candidate
+    //    aggregate (keys-proportional exchange).
+    val t25 = lit("2024-01-25 00:00:00").cast("timestamp")
+    val t10 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val decompOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("calib_scan_sum", ev => ev.agg(
+        sum(col("value").cast("decimal(28,6)")),
+        max(unix_micros(col("ts")))).count()),
+      ("changes_agg", ev => ev
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .filter(col("ts") <= t25)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("event_type"), col("value")),
+            when(col("ts") <= t10, struct(col("ts"), col("event_id")))).as("__a"),
+          max_by(struct(col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("__b"))
+        .count()),
+      ("changes_keys1x", ev => Temporal.changesBetween(
+        ev.select(pmod(col("user_id"), lit(1000L)).as("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("value")),
+        "user_id", "ts", "event_id", t10, t25,
+        Seq("event_type", "value")).count()),
+      ("changes_full", ev => Temporal.changesBetween(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id", t10, t25,
+        Seq("event_type", "value")).count()),
+      ("zscore_stats", ev => ev.groupBy(col("event_type"))
+        .agg(
+          (sum(col("value").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean"),
+          (sum((col("value") * col("value")).cast("decimal(28,6)"))
+            .cast("double") / count(lit(1))).as("ex2"))
+        .count()),
+      ("zscore_full", ev => TimeSeries.zscoreAnomalies(
+        ev, "event_type", "event_id", "value", 2.5).count()),
+      ("cms_grid", ev => graft.functions.Sketch.cmsGrid(
+        ev.select("user_id"), "user_id", 4, 64).count()),
+      ("cms_cand", ev => ev.groupBy(col("user_id"))
+        .agg(count(lit(1))).count()))
+    val (dc1, dc8) = interleave(decompOps, e1, e8)
+    // output growth: rows each op RETURNS at 1x vs 8x (true output
+    // growth, not a plan artifact)
+    val outChanges = (decompOps(3)._2(e1), decompOps(3)._2(e8))
+    val outZscore = (decompOps(5)._2(e1), decompOps(5)._2(e8))
+    println(f"${"decomp op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    dc1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${dc1(k)}%8.2f ${dc8(k)}%8.2f ${dc8(k) / dc1(k)}%5.1fx")
+    }
+    println(s"out rows: changes ${outChanges._1}->${outChanges._2}, " +
+      s"zscore ${outZscore._1}->${outZscore._2}")
+
     // t15 interval alignment under 8x chain DEPTH: the events8 corpus
     // above grows the KEY count (user offsets), which both plans
     // survive linearly — the alignment claim is about CHAIN LENGTH, so
@@ -527,6 +597,32 @@ object ScaleProbe {
     println(f"${"pack shards"}%-22s ${"2sh(s)"}%8s ${"32sh(s)"}%8s ratio")
     println(f"${"pack_sequences_4m"}%-22s $pk2%8.2f $pkDp%8.2f ${pkDp / pk2}%5.1fx")
 
+    // m7 shardPack under source skew: ALL 4M blobs in ONE source vs
+    // spread over 32 sources. The r9 rewrite's claim: the old
+    // one-window-per-source plan serializes a whole source's cumsum in
+    // ONE task (hashShards=1 reproduces it exactly — the A/B twin, the
+    // way t15 keeps pairwise), while the md5 sub-shard decomposition
+    // keeps sources x 8 tasks however the blobs distribute. Proof =
+    // the sharded plan stays ~flat between the two source shapes and
+    // beats the window twin outright on the one-source corpus.
+    val packSrcU = packDocs.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(32L)).cast("string")))
+      .localCheckpoint()
+    val packSrc1 = packDocs.withColumn("source", lit("s0")).localCheckpoint()
+    def timeShardPack(docs: DataFrame, shards: Int): Double = {
+      graft.multimodal.Binary
+        .shardPack(docs, "doc_id", "text", "source", 4096, shards).count()
+      med3(graft.multimodal.Binary
+        .shardPack(docs, "doc_id", "text", "source", 4096, shards).count())
+    }
+    val spShU = timeShardPack(packSrcU, graft.multimodal.Binary.ShardPackHashShards)
+    val spSh1 = timeShardPack(packSrc1, graft.multimodal.Binary.ShardPackHashShards)
+    val spWnU = timeShardPack(packSrcU, 1)
+    val spWn1 = timeShardPack(packSrc1, 1)
+    println(f"${"shard_pack 4M"}%-22s ${"uniform"}%8s ${"1-src"}%8s ratio")
+    println(f"${"sharded8"}%-22s $spShU%8.2f $spSh1%8.2f ${spSh1 / spShU}%5.1fx")
+    println(f"${"window_twin"}%-22s $spWnU%8.2f $spWn1%8.2f ${spWn1 / spWnU}%5.1fx")
+
     // machine-readable artifact (judge-facing): per-op seconds + ratios
     val out = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_r5.json")
     def sect(a: Map[String, Double], b: Map[String, Double]): String =
@@ -536,6 +632,12 @@ object ScaleProbe {
     val json =
       s"""{
          |"events_8x_vs_1x": ${sect(r1, r8)},
+         |"events_8x_decomposition": {
+         |  "legs": ${sect(dc1, dc8)},
+         |  "out_rows_changes_1x_8x": [${outChanges._1}, ${outChanges._2}],
+         |  "out_rows_zscore_1x_8x": [${outZscore._1}, ${outZscore._2}],
+         |  "note": "calib_scan_sum = bare scan+sum ratio (row-linear floor at this size); changes_keys1x folds 8x rows onto the 1x key space to separate key-growth from row-growth; zscore_stats / cms_grid / cms_cand are the stage legs of the two multi-scan ops"
+         |},
          |"interval_align_chain_depth_8x_sweep_vs_pairwise": ${sect(al1, al8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
          |"sketches_8x_vs_1x": ${sect(sk1, sk8)},
@@ -582,6 +684,14 @@ object ScaleProbe {
          |"pack_sequences_shard_scaling_4m_docs": {
          |  "shards2_vs_default32":
          |    {"base_s": ${f"$pk2%.3f"}, "probe_s": ${f"$pkDp%.3f"}, "ratio": ${f"${pkDp / pk2}%.2f"}}
+         |},
+         |"shard_pack_one_source_4m_docs": {
+         |  "sharded8_uniform_vs_one_source":
+         |    {"base_s": ${f"$spShU%.3f"}, "probe_s": ${f"$spSh1%.3f"}, "ratio": ${f"${spSh1 / spShU}%.2f"}},
+         |  "window_twin_uniform_vs_one_source":
+         |    {"base_s": ${f"$spWnU%.3f"}, "probe_s": ${f"$spWn1%.3f"}, "ratio": ${f"${spWn1 / spWnU}%.2f"}},
+         |  "window_twin_over_sharded_one_source": ${f"${spWn1 / spSh1}%.2f"},
+         |  "note": "hashShards=1 reproduces the pre-r9 one-window-per-source plan (the A/B twin); a flat sharded ratio across source shapes = the single-task cumsum straggler is gone"
          |}
          |}""".stripMargin
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -520,8 +520,10 @@ object SparkEntry {
     // corpus-level artifacts (CellIndexCache), not per-query jobs.
     // nprobe is NOT a constant: it follows the recall-targeted rule
     // (⌈0.449·cells⌉ — Ann.recommendedNprobe), so recall@10 holds
-    // ~0.8 as the cell count grows with the corpus instead of
-    // decaying the way a fixed probe count does (ANN_SWEEP_r9)
+    // ~0.8 (measured 0.88/0.72 at sf0.01/sf0.1) as the cell count
+    // grows with the corpus instead of decaying the way a fixed
+    // probe count does (0.48 → 0.20 in ANN_SWEEP_r8; rule swept in
+    // ANN_SWEEP_r10)
     "a4_ivf_nprobe" -> ((s, d) => {
       val ix = graft.ann.CellIndexCache.embeddings(s, d)
       Ann.knnIvfProbeCentroids(

@@ -595,10 +595,15 @@ object Ann {
     l
   }
 
-  /** The probed corpus FRACTION that meets a recall@10 ≈ 0.8 target on
-    * a NEAR-UNIFORM corpus (every measured sweep point collapses onto
-    * one recall(f) ≈ 1 − (1−f)^2.7 curve across corpus sizes —
-    * ANN_SWEEP_r9; f(0.8) = 1 − 0.2^(1/2.7) ≈ 0.449). Pinned as an
+  /** The probed corpus FRACTION targeting recall@10 ≈ 0.8 on a
+    * NEAR-UNIFORM corpus, from the model recall(f) ≈ 1 − (1−f)^2.7
+    * (f(0.8) = 1 − 0.2^(1/2.7) ≈ 0.449). Measured (ANN_SWEEP_r10,
+    * full nprobe grid at sf0.01/sf0.1): the curve fits within 0.04
+    * absolute at sf0.01 (9 cells) and within 0.10 at sf0.1 (36
+    * cells, mid-fraction points sit BELOW the model), and the
+    * ⌈0.449·cells⌉ operating point realizes recall 0.88 / 0.72 —
+    * ~0.8 ± 0.08 across the 4× corpus-size range where the old fixed
+    * nprobe=2 decayed 0.48 → 0.20 (ANN_SWEEP_r8). Pinned as an
     * exact RATIONAL 449/1000, not a float: ⌈f·cells⌉ is then pure
     * integer arithmetic, bit-identical in the JVM and the DuckDB
     * oracle (a double 0.449 literal rounds ABOVE the decimal value,
@@ -620,8 +625,10 @@ object Ann {
     *    corpus physics, not an implementation artifact (the AnnSweep
     *    LSH legs document the same collapse). The rule holds the
     *    fraction: nprobe = ⌈f·cells⌉ with f from the measured curve
-    *    — recall then provably does NOT decay with corpus size
-    *    (swept at sf0.01/sf0.1 in ANN_SWEEP_r9).
+    *    — swept at sf0.01/sf0.1 in ANN_SWEEP_r10, recall at the rule
+    *    holds 0.88 / 0.72 across a 4× corpus where nprobe=2 decayed
+    *    0.48 → 0.20; the residual wobble is the curve's ±0.1 fit
+    *    error at 36 cells, not size decay.
     *  - NEAR-DUP queries (the d5/d8 tier — a true high-cos neighbor
     *    exists): the neighbor shares the query's primary or boundary
     *    cell, a CONSTANT nprobe ≈ probe² already reaches it, and the

@@ -55,7 +55,14 @@ object Pipeline {
     * Spark expands the grouping sets map-side and partial-aggregates
     * before the exchange, so the cube costs the same single shuffle as
     * the finest grouping. `grp` is the grouping_id (source = high bit),
-    * null group keys surfaced as 'ALL' — the q23 rollup convention. */
+    * null group keys surfaced as 'ALL' — the q23 rollup convention.
+    *
+    * PRECONDITION: `source`/`lang` must be non-null in the data. A
+    * data-level NULL would also coalesce to 'ALL' and masquerade as a
+    * rollup row at grp=0 (the grouping_id still disambiguates it from
+    * the true rollups, but the label misleads any reader keying on the
+    * string). Corpora with unknown languages should materialize an
+    * explicit 'und' / 'unknown' category before the card. */
   def corpusCard(docs: DataFrame, source: String, lang: String,
                  text: String, nChars: String): DataFrame =
     docs.select(col(source), col(lang), col(nChars),

@@ -114,6 +114,21 @@ object Streams {
     agg.sparkSession.table(name)
   }
 
+  /** The fixed micro-batch machinery FLOOR: a drain of the same events
+    * source through the smallest possible stateful plan (global count —
+    * ONE state row). What it measures is everything a drain pays that
+    * is NOT query work: source listing, micro-batch planning, state
+    * store setup, memory-sink + checkpoint commits. Bench runs this
+    * once and reports it next to the streaming queries so per-query
+    * drain cost decomposes into (machinery floor) + (actual stateful
+    * work); the floor is per-DRAIN, so N streaming queries carry
+    * ~N × floor of irreducible harness cost at any data size. */
+  def drainFloor(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(spark,
+      eventStream(drainSession(spark, stateRows = 1L), sfDir)
+        .select(col("event_id")).groupBy().agg(count(lit(1)).as("n")),
+      "graft_floor")
+
   /** Streaming daily tumbling aggregate over events (twin of
     * TimeSeries.tumblingDaily). */
   def tumblingDailyStream(spark: SparkSession, sfDir: String): DataFrame = {
