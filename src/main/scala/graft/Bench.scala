@@ -104,31 +104,64 @@ object Bench {
     // decomposition aid: each stream drain pays a fixed micro-batch
     // machinery cost (source listing, planning, state-store setup,
     // sink/checkpoint commits) that is NOT query work; measure it once
-    // (median of reps) via the minimal one-state-row drain and report
-    // it so the ts1x/ts2x stream entries read as floor + stateful work
+    // (median of reps) and report it so the ts1x/ts2x stream entries
+    // read as floor + stateful work. Measured at the suite's typical 8
+    // state-store partitions (the r10 floor ran at the 4-partition
+    // minimum, understating setup for larger drains). FAILED reps are
+    // tracked, not averaged in: a rep that throws contributes no
+    // timing, and a floor with zero successful reps is reported as an
+    // error field instead of a bogus median of failure latencies.
+    val floorParts = 8
     val streamQs = results.count(_._1.contains("_stream_"))
-    val floor =
-      if (streamQs == 0) -1.0
+    val (floor, floorFails) =
+      if (streamQs == 0) (-1.0, 0)
       else {
-        val t = (1 to math.max(1, reps)).map { _ =>
+        val attempts = (1 to math.max(1, reps)).map { _ =>
           val t0 = System.nanoTime()
-          try graft.streaming.Streams.drainFloor(spark, sfDir).count()
-          catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        t(t.length / 2)
+          val ok =
+            try { graft.streaming.Streams.drainFloor(spark, sfDir,
+              stateRows = floorParts * 65536L).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] drainFloor rep failed: ${e.getMessage}")
+              false }
+          (ok, (System.nanoTime() - t0) / 1e9)
+        }
+        val good = attempts.filter(_._1).map(_._2).sorted
+        (if (good.isEmpty) -1.0 else good(good.length / 2),
+          attempts.count(!_._1))
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val floorField =
-      if (floor < 0) "" else s""","stream_drain_floor_s":$floor,"stream_queries":$streamQs"""
+      if (streamQs == 0) ""
+      else if (floor < 0)
+        s""","stream_drain_floor_error":"all $floorFails reps failed","stream_queries":$streamQs"""
+      else {
+        val failNote = if (floorFails > 0) s""","stream_drain_floor_failed_reps":$floorFails""" else ""
+        s""","stream_drain_floor_s":$floor,"stream_drain_floor_parts":$floorParts$failNote,"stream_queries":$streamQs"""
+      }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs$floorField,"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    // durable per-run history: the driver's BENCH_r{N}.json keeps only
+    // a truncated stdout TAIL (the 116-query JSON line overflows it —
+    // r10's committed round file lost half its per-query map), and
+    // BENCH_LAST_RUN.json is overwritten by the next run. Appending
+    // each run here (committed with the round) makes every run's full
+    // structured record recoverable from git history.
+    val histLine =
+      s"""{"at":"${java.time.Instant.now()}","out":"$outFile",${json.drop(1)}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), histLine + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not append BENCH_HISTORY.jsonl: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -154,9 +154,15 @@ object ScaleProbe {
         .agg(count(lit(1))).count()))
     val (dc1, dc8) = interleave(decompOps, e1, e8)
     // output growth: rows each op RETURNS at 1x vs 8x (true output
-    // growth, not a plan artifact)
-    val outChanges = (decompOps(3)._2(e1), decompOps(3)._2(e8))
-    val outZscore = (decompOps(5)._2(e1), decompOps(5)._2(e8))
+    // growth, not a plan artifact). Ops looked up BY NAME: positional
+    // indices silently mis-attributed counts when a leg was inserted.
+    def decompRows(opName: String): (Long, Long) = {
+      val op = decompOps.find(_._1 == opName)
+        .getOrElse(sys.error(s"decomp op $opName not in decompOps"))._2
+      (op(e1), op(e8))
+    }
+    val outChanges = decompRows("changes_full")
+    val outZscore = decompRows("zscore_full")
     println(f"${"decomp op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
     dc1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-14s ${dc1(k)}%8.2f ${dc8(k)}%8.2f ${dc8(k) / dc1(k)}%5.1fx")
@@ -515,19 +521,24 @@ object ScaleProbe {
     val shU = med3(graft.dedup.Dedup.simhashPairsFromFp(fpUniform, "id", 3).count())
     val shH = med3(graft.dedup.Dedup.simhashPairsFromFp(fpHot, "id", 3).count())
     println(f"${"hot-bucket"}%-22s ${"base"}%8s ${"hot"}%8s ratio")
-    println(f"${"neardup_1cell_sb1v8"}%-22s $nd8%8.2f $nd1%8.2f ${nd1 / nd8}%5.1fx")
+    // base = unsharded (subBlocks=1), probe = subBlocks=8; ratio < 1 =
+    // the sharding win (name convention: A_vs_B -> base=A, probe=B,
+    // ratio=probe/base — matches every other leg in the artifact)
+    println(f"${"neardup_1cell_sb1v8"}%-22s $nd1%8.2f $nd8%8.2f ${nd8 / nd1}%5.1fx")
     println(f"${"simhash_hotchunk"}%-22s $shU%8.2f $shH%8.2f ${shH / shU}%5.1fx")
 
-    // hot-group exact dedup: ONE content hash shared by 1M (then 8M)
+    // hot-group exact dedup: ONE content hash shared by 4M (then 32M)
     // docs — the dup-heavy-corpus shape (billions of boilerplate docs).
     // The bounded CollectMinK keeps every agg buffer ≤ K (the unbounded
     // `slice(sort_array(collect_list(id)),1,K)` twin materializes the
     // whole group in one buffer before slicing — a multi-GB row at real
-    // scale). Flat/sublinear time for the bounded path = it tracks the
-    // scan, not the group size; string ids are the realistic shape
-    // (URLs/uuids). Median-of-3 with both sizes warmed: the first run
-    // of a new data size absorbs multi-second JIT/GC noise that
-    // otherwise swamps the sub-second signal.
+    // scale). String ids are the realistic shape (URLs/uuids).
+    // Measurement protocol (r11, after SCALE_r10's 1M/8M leg proved
+    // noise-bound — sub-0.5s absolutes, bounded 4.16x vs unbounded
+    // 1.63x, inverted between rounds): sizes 4M/32M so the fast side
+    // clears ~1s, and the four (plan, size) cells are INTERLEAVED
+    // round-robin across 5 reps (median-of-5) so a host-contention
+    // wave lands on all four cells instead of inflating one column.
     def hotDocs(n: Long) = spark.range(n)
       .select(concat(lit("doc::"), lpad(col("id").cast("string"), 12, "0"))
         .as("doc_id"), lit("same boilerplate").as("text"))
@@ -537,16 +548,22 @@ object ScaleProbe {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"),
           concat_ws(",",
             slice(sort_array(collect_list(col("doc_id"))), 1, 100)).as("doc_ids"))
-    val h1 = hotDocs(1000000L).localCheckpoint()
-    val h8 = hotDocs(8000000L).localCheckpoint()
+    val h1 = hotDocs(4000000L).localCheckpoint()
+    val h8 = hotDocs(32000000L).localCheckpoint()
+    def medInterleaved(fns: Seq[() => Long], reps: Int): Seq[Double] = {
+      val t = Array.fill(fns.length)(List.empty[Double])
+      for (_ <- 1 to reps; i <- fns.indices) t(i) ::= time(fns(i)())
+      t.map(ts => ts.sorted.apply(ts.length / 2)).toSeq
+    }
     graft.dedup.Dedup.exact(h1, "doc_id", "text").count() // warm-up
     graft.dedup.Dedup.exact(h8, "doc_id", "text").count()
     exactUnbounded(h1).count(); exactUnbounded(h8).count()
-    val de1 = med3(graft.dedup.Dedup.exact(h1, "doc_id", "text").count())
-    val de8 = med3(graft.dedup.Dedup.exact(h8, "doc_id", "text").count())
-    val du1 = med3(exactUnbounded(h1).count())
-    val du8 = med3(exactUnbounded(h8).count())
-    println(f"${"hot-group dedup"}%-22s ${"1M(s)"}%8s ${"8M(s)"}%8s ratio")
+    val Seq(de1, de8, du1, du8) = medInterleaved(Seq(
+      () => graft.dedup.Dedup.exact(h1, "doc_id", "text").count(),
+      () => graft.dedup.Dedup.exact(h8, "doc_id", "text").count(),
+      () => exactUnbounded(h1).count(),
+      () => exactUnbounded(h8).count()), 5)
+    println(f"${"hot-group dedup"}%-22s ${"4M(s)"}%8s ${"32M(s)"}%8s ratio")
     println(f"${"bounded_collect_min_k"}%-22s $de1%8.2f $de8%8.2f ${de8 / de1}%5.1fx")
     println(f"${"unbounded_collect_list"}%-22s $du1%8.2f $du8%8.2f ${du8 / du1}%5.1fx")
 
@@ -566,7 +583,7 @@ object ScaleProbe {
     val rb1 = med3(Temporal.rollbackLog(a1m, "rid", "ts", rbAt).count())
     val rb8 = med3(Temporal.rollbackLog(a8m, "rid", "ts", rbAt).count())
     println(f"${"rollback audit"}%-22s $rb1%8.2f $rb8%8.2f ${rb8 / rb1}%5.1fx")
-    // drop this leg's 9M cached rows before the pack probe — leaving
+    // drop this leg's 45M cached rows before the pack probe — leaving
     // them resident pushes the cumsum stage into GC/spill and skews it.
     // These are localCheckpoint()ed plans: Dataset.unpersist is a no-op
     // on them (the LogicalRDD never registers with the cache manager),
@@ -662,16 +679,17 @@ object ScaleProbe {
          |},
          |"hot_bucket": {
          |  "neardup_one_cell_unsharded_vs_subblocks8":
-         |    {"base_s": ${f"$nd8%.3f"}, "probe_s": ${f"$nd1%.3f"}, "ratio": ${f"${nd1 / nd8}%.2f"}},
+         |    {"base_s": ${f"$nd1%.3f"}, "probe_s": ${f"$nd8%.3f"}, "ratio": ${f"${nd8 / nd1}%.2f"}},
          |  "simhash_hot_chunk_vs_uniform_200k":
          |    {"base_s": ${f"$shU%.3f"}, "probe_s": ${f"$shH%.3f"}, "ratio": ${f"${shH / shU}%.2f"}}
          |},
          |"hot_group_exact_dedup": {
-         |  "bounded_1m_vs_8m":
+         |  "protocol": "4M/32M one-hash corpus, 4 cells interleaved round-robin, median-of-5",
+         |  "bounded_4m_vs_32m":
          |    {"base_s": ${f"$de1%.3f"}, "probe_s": ${f"$de8%.3f"}, "ratio": ${f"${de8 / de1}%.2f"}},
-         |  "unbounded_twin_1m_vs_8m":
+         |  "unbounded_twin_4m_vs_32m":
          |    {"base_s": ${f"$du1%.3f"}, "probe_s": ${f"$du8%.3f"}, "ratio": ${f"${du8 / du1}%.2f"}},
-         |  "unbounded_over_bounded_8m": ${f"${du8 / de8}%.2f"}
+         |  "unbounded_over_bounded_32m": ${f"${du8 / de8}%.2f"}
          |},
          |"rollback_audit_bounded_1m_vs_8m": {
          |  "base_s": ${f"$rb1%.3f"}, "probe_s": ${f"$rb8%.3f"},

@@ -1527,7 +1527,9 @@ object SparkEntry {
           |FROM (SELECT source, lang, count(*) AS n_docs,
           |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-          |  FROM documents GROUP BY CUBE (source, lang))
+          |  FROM (SELECT coalesce(source, 'unknown') AS source,
+          |      coalesce(lang, 'und') AS lang, n_chars, text FROM documents)
+          |  GROUP BY CUBE (source, lang))
           |ORDER BY grp, source, lang""".stripMargin,
 
       // streaming KMV drain == the batch bottom-k sketch (spec-pinned),

@@ -57,15 +57,16 @@ object Pipeline {
     * the finest grouping. `grp` is the grouping_id (source = high bit),
     * null group keys surfaced as 'ALL' — the q23 rollup convention.
     *
-    * PRECONDITION: `source`/`lang` must be non-null in the data. A
-    * data-level NULL would also coalesce to 'ALL' and masquerade as a
-    * rollup row at grp=0 (the grouping_id still disambiguates it from
-    * the true rollups, but the label misleads any reader keying on the
-    * string). Corpora with unknown languages should materialize an
-    * explicit 'und' / 'unknown' category before the card. */
+    * Data-level NULL `source`/`lang` are materialized as 'unknown' /
+    * 'und' (BCP-47's undetermined-language tag) BEFORE the cube, so a
+    * NULL in the data can never masquerade as an 'ALL' rollup label:
+    * after the coalesce the only NULL group keys are the cube's own
+    * rollup slots. (This was a documented precondition until r11; now
+    * it's code — the r10 verdict's item 6.) */
   def corpusCard(docs: DataFrame, source: String, lang: String,
                  text: String, nChars: String): DataFrame =
-    docs.select(col(source), col(lang), col(nChars),
+    docs.select(coalesce(col(source), lit("unknown")).as(source),
+        coalesce(col(lang), lit("und")).as(lang), col(nChars),
         Text.wsTokenCount(col(text)).cast("long").as("toks"))
       .cube(col(source), col(lang))
       .agg(grouping_id().as("grp"), count(lit(1)).as("n_docs"),

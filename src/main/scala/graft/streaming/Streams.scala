@@ -122,10 +122,20 @@ object Streams {
     * once and reports it next to the streaming queries so per-query
     * drain cost decomposes into (machinery floor) + (actual stateful
     * work); the floor is per-DRAIN, so N streaming queries carry
-    * ~N × floor of irreducible harness cost at any data size. */
-  def drainFloor(spark: SparkSession, sfDir: String): DataFrame =
+    * ~N × floor of irreducible harness cost at any data size.
+    *
+    * `stateRows` sizes the drain's state-store partition count the
+    * same way the real drains size theirs ([[sizedParts]]): the r10
+    * floor ran at the minimum (1 row → 4 partitions) while real
+    * drains run at up to 32, understating per-drain state-store setup
+    * for larger drains. Bench now measures the floor at the suite's
+    * typical 8 partitions (stateRows = 8·65536) and records the
+    * partition count in the artifact so the decomposition is read at
+    * the right operating point. */
+  def drainFloor(spark: SparkSession, sfDir: String,
+                 stateRows: Long = 1L): DataFrame =
     drainToTable(spark,
-      eventStream(drainSession(spark, stateRows = 1L), sfDir)
+      eventStream(drainSession(spark, stateRows), sfDir)
         .select(col("event_id")).groupBy().agg(count(lit(1)).as("n")),
       "graft_floor")
 

@@ -179,4 +179,25 @@ class IntervalAlignSpec extends SparkSpec {
     for (grp <- 0L to 3L)
       assert(out.filter(_._1 == grp).map(_._4).sum == 4L, s"grp $grp")
   }
+
+  test("corpusCard: data-level NULL lang/source become 'und'/'unknown', never 'ALL'") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1"),
+      (2L, "x y z", null.asInstanceOf[String], "s1"), // lang unknown
+      (3L, "p q", "en", null.asInstanceOf[String])    // source unknown
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Pipeline.corpusCard(docs, "source", "lang", "text", "n_chars")
+      .as[(Long, String, String, Long, Long, Long, Double)].collect().toList
+    val byKey = out.map(r => (r._1, r._2, r._3) -> r).toMap
+    // the NULL-lang doc surfaces at the FINEST granularity under 'und'
+    assert(byKey((0L, "s1", "und"))._4 == 1L)
+    assert(byKey((0L, "unknown", "en"))._4 == 1L)
+    // no finest-granularity row carries the rollup label
+    assert(!out.exists(r => r._1 == 0L && (r._2 == "ALL" || r._3 == "ALL")))
+    // rollups still total the whole corpus (the coalesced docs count)
+    assert(byKey((3L, "ALL", "ALL"))._4 == 3L)
+    assert(byKey((2L, "ALL", "en"))._4 == 2L)
+    assert(byKey((2L, "ALL", "und"))._4 == 1L)
+  }
 }
