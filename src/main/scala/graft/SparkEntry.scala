@@ -562,6 +562,25 @@ object SparkEntry {
       Ann.pqAdc(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(0L, 1L, 2L, 3L, 4L))),
 
+    // true IVFPQ (a4 × a8): coarse-probe ⌈cells/5⌉ cells (the ≤0.2
+    // probed fraction the clustered-corpus sweep targets), score the
+    // probed cells' CODE rows via the broadcast ADC distance table
+    // (integer micro-distances, no vector reads), exact-cosine rerank
+    // only the top-50 shortlist. All three structures — cells,
+    // centroids, PQ codes — are shared corpus artifacts
+    // (CellIndexCache), not per-query jobs.
+    "a9_ivfpq" -> ((s, d) => {
+      val ix = graft.ann.CellIndexCache.embeddings(s, d)
+      Ann.knnIvfPq(
+        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+        "vec_id", "embedding", "cell",
+        graft.ann.CellIndexCache.centroids(s, d),
+        graft.ann.CellIndexCache.pqCodes(s, d),
+        graft.ann.CellIndexCache.pqCodebook(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10,
+        Ann.ivfPqNprobe(ix.k1.toLong * ix.k2))
+    }),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -2201,6 +2220,77 @@ object SparkEntry {
            |FROM rk JOIN embeddings q ON q.vec_id = rk.query_id
            |JOIN embeddings c ON c.vec_id = rk.nn_id
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // true IVFPQ = a4's probe CTEs × a8's PQ CTEs: coarse-probe
+      // ⌈cells/5⌉ cells by decimal-exact rounded centroid cosine,
+      // ADC-score only the probed cells' candidates (integer
+      // micro-distance sums, ties by nn_id), exact-cosine rerank of
+      // the top-50 ADC shortlist — every ranking rule identical to the
+      // Spark side digit-for-digit
+      "a9_ivfpq" ->
+        s"""WITH $cellCtes,
+          |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
+          |comp AS (
+          |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
+          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
+          |    range(1, 65) t(j)),
+          |cvec AS (
+          |  SELECT cell, list(cv ORDER BY i) AS c_vec FROM (
+          |    SELECT cell, i,
+          |      CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+          |    FROM comp GROUP BY cell, i) GROUP BY cell),
+          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |probed AS (
+          |  SELECT query_id, cell FROM (
+          |    SELECT q.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
+          |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.cell) AS cr
+          |    FROM q CROSS JOIN cvec c)
+          |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
+          |    (k1 * k2 + ${graft.ann.Ann.IvfPqNprobeDen - 1})
+          |      // ${graft.ann.Ann.IvfPqNprobeDen})) FROM par)),
+          |mm AS (SELECT unnest(range(8)) AS m),
+          |cb AS (SELECT vec_id AS cid, m,
+          |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS csub
+          |  FROM embeddings, mm WHERE vec_id < 16),
+          |cs AS (SELECT vec_id, m,
+          |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS sub
+          |  FROM embeddings, mm),
+          |dm AS (SELECT c.vec_id, c.m, b.cid,
+          |    CAST(round(list_sum([(c.sub[i]-b.csub[i])*(c.sub[i]-b.csub[i])
+          |      for i in range(1, 9)]) * 1000000) AS BIGINT) AS dmicro
+          |  FROM cs c JOIN cb b USING (m)),
+          |enc AS (SELECT vec_id, m, cid AS code FROM (
+          |    SELECT vec_id, m, cid,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
+          |    FROM dm) WHERE rn = 1),
+          |dt AS (SELECT vec_id AS query_id, m, cid, dmicro FROM dm
+          |  WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |cand AS (SELECT p.query_id, cl.vec_id AS nn_id
+          |  FROM probed p JOIN cells cl ON cl.cell = p.cell
+          |  WHERE cl.vec_id <> p.query_id),
+          |ad AS (SELECT ca.query_id, ca.nn_id,
+          |    sum(dt.dmicro)::BIGINT AS admicro
+          |  FROM cand ca
+          |  JOIN enc e ON e.vec_id = ca.nn_id
+          |  JOIN dt ON dt.query_id = ca.query_id AND dt.m = e.m AND dt.cid = e.code
+          |  GROUP BY 1, 2),
+          |sl AS (SELECT query_id, nn_id, admicro FROM (
+          |    SELECT query_id, nn_id, admicro,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY admicro, nn_id) AS arn
+          |    FROM ad) WHERE arn <= ${graft.ann.Ann.IvfPqRerank})
+          |SELECT query_id, nn_id, cos, adc_dist, rank FROM (
+          |  SELECT sl.query_id, sl.nn_id,
+          |    round(sl.admicro / 1000000.0, 6) AS adc_dist,
+          |    ${cosSql("qq.embedding", "c.embedding")} AS cos,
+          |    row_number() OVER (PARTITION BY sl.query_id ORDER BY
+          |      ${cosSql("qq.embedding", "c.embedding")} DESC, sl.nn_id) AS rank
+          |  FROM sl JOIN embeddings qq ON qq.vec_id = sl.query_id
+          |  JOIN embeddings c ON c.vec_id = sl.nn_id)
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       "a7_kmeans" ->
         s"""WITH kcomp AS (

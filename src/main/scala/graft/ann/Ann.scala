@@ -116,6 +116,79 @@ object Ann {
       .orderBy("query_id")
   }
 
+  /** Embedding width of the synthetic corpus (documents/embeddings
+    * tables); PQ subspace width = EmbDims / m. */
+  val EmbDims = 64
+
+  /** (idAs, __m, __sub) rows: each vector split into `m` contiguous
+    * subvectors — the shared decomposition under the PQ codebook, the
+    * code table, and the per-query distance table. */
+  private def pqSubvectors(df: DataFrame, id: String, idAs: String,
+                           vec: String, m: Int): DataFrame = {
+    require(EmbDims % m == 0, s"dims $EmbDims not divisible by m=$m")
+    val subDim = EmbDims / m
+    val dArr = col(vec).cast("array<double>")
+    df.select(col(id).as(idAs),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(dArr, i * subDim + 1, lit(subDim)))))
+      .select(col(idAs), col("pos").as("__m"), col("col").as("__sub"))
+  }
+
+  /** Integer micro-distance round(L2² · 1e6) as BIGINT — exact
+    * argmin/sum tie behavior, immune to float summation order. */
+  private def pqMicroDist(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e) * 1e6).cast("long")
+
+  /** PQ codebook (__m, __cid, __csub): the subvectors of the `k`
+    * smallest ids per subspace (a pretrained codebook is an INPUT in
+    * production FAISS too; [[kmeans]] is the in-engine training
+    * extension). k·m tiny rows — always broadcast at use sites. */
+  def pqCodebook(emb: DataFrame, id: String, vec: String,
+                 m: Int = 8, k: Int = 16): DataFrame =
+    pqSubvectors(emb.filter(col(id).isin((0L until k.toLong): _*)),
+        id, "__cid", vec, m)
+      .withColumnRenamed("__sub", "__csub")
+
+  /** The PQ code table (__vid, __m, __code): argmin-L2 sub-centroid
+    * per subspace — n·m narrow integer rows, ~m bytes/vector, the 32×
+    * compression that is PQ's reason to exist. ONE corpus scan against
+    * the broadcast codebook; a corpus-level artifact shared across
+    * queries (memoized in [[CellIndexCache.pqCodes]]). */
+  def pqCodes(emb: DataFrame, id: String, vec: String,
+              codebook: DataFrame, m: Int = 8): DataFrame =
+    pqSubvectors(emb, id, "__vid", vec, m)
+      .join(broadcast(codebook), "__m")
+      .groupBy(col("__vid"), col("__m"))
+      .agg(min(struct(pqMicroDist(col("__sub"), col("__csub")).as("d"),
+        col("__cid").as("c"))).as("__best"))
+      .select(col("__vid"), col("__m"), col("__best.c").as("__code"))
+
+  /** The inverted-list layout of a PQ code table: each code row
+    * carries its vector's coarse cell (`c_cell`), so probing a cell
+    * reads exactly that cell's code rows — a broadcast equi-join on
+    * the cell key instead of a corpus-wide id join at query time. The
+    * join here is narrow (n·m int rows × n (id, cell) rows) and runs
+    * ONCE at index-build time ([[CellIndexCache.pqCodes]] persists the
+    * result); at scale this is the table you'd bucket/partition BY
+    * CELL, which is precisely FAISS's inverted-list file layout. */
+  def pqCodesIndexed(codes: DataFrame, embWithCell: DataFrame,
+                     id: String, cell: String): DataFrame =
+    codes.join(
+      embWithCell.select(col(id).as("__vid"), col(cell).as("c_cell")),
+      Seq("__vid"))
+
+  /** Per-query ADC distance table (query_id, __m, __cid, __d):
+    * q·m·k rows of precomputed query↔sub-centroid micro-distances —
+    * broadcast at use sites; scoring a candidate is then m integer
+    * lookups + a sum, no vector arithmetic. */
+  def pqDistanceTable(queries: DataFrame, id: String, vec: String,
+                      codebook: DataFrame, m: Int = 8): DataFrame =
+    pqSubvectors(queries, id, "query_id", vec, m)
+      .join(broadcast(codebook), "__m")
+      .select(col("query_id"), col("__m"), col("__cid"),
+        pqMicroDist(col("__sub"), col("__csub")).as("__d"))
+
   /** Product-quantization ANN with asymmetric distance computation —
     * the FAISS IVFPQ/ADC pattern (Jégou et al. 2011), the index family
     * that makes billion-vector search fit in memory: each vector is
@@ -143,37 +216,13 @@ object Ann {
     * the quantization error is visible in the result itself. */
   def pqAdc(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
             m: Int = 8, k: Int = 16, topK: Int = 10): DataFrame = {
-    val dims = 64 // documents corpus embedding width; subDim = dims / m
-    require(dims % m == 0, s"dims $dims not divisible by m=$m")
-    val subDim = dims / m
-    val dArr = col(vec).cast("array<double>")
-    // (id', m, subvector) rows
-    def subs(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(id).as(idAs),
-          posexplode(transform(sequence(lit(0), lit(m - 1)),
-            i => slice(dArr, i * subDim + 1, lit(subDim)))))
-        .select(col(idAs), col("pos").as("__m"), col("col").as("__sub"))
-    // integer micro-distance: round(L2² · 1e6) — exact argmin/sum ties
-    def dmicro(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e) * 1e6).cast("long")
-
-    val seeds = emb.filter(col(id).isin((0L until k.toLong): _*))
-    val codebook = broadcast(
-      subs(seeds, "__cid").withColumnRenamed("__sub", "__csub"))
+    val codebook = broadcast(pqCodebook(emb, id, vec, m, k))
     // the code table: n·m narrow rows — the compressed index
-    val codes = subs(emb, "__vid")
-      .join(codebook, "__m")
-      .groupBy(col("__vid"), col("__m"))
-      .agg(min(struct(dmicro(col("__sub"), col("__csub")).as("d"),
-        col("__cid").as("c"))).as("__best"))
-      .select(col("__vid"), col("__m"), col("__best.c").as("__code"))
+    val codes = pqCodes(emb, id, vec, codebook, m)
     // per-query distance table: q·m·k rows, broadcast
     val dt = broadcast(
-      subs(emb.filter(col(id).isin(queryIds: _*)), "query_id")
-        .join(codebook, "__m")
-        .select(col("query_id"), col("__m"), col("__cid"),
-          dmicro(col("__sub"), col("__csub")).as("__d")))
+      pqDistanceTable(emb.filter(col(id).isin(queryIds: _*)), id, vec,
+        codebook, m))
     val approx = codes
       .join(dt, codes("__m") === dt("__m") && codes("__code") === dt("__cid"))
       .groupBy(col("query_id"), col("__vid").as("nn_id"))
@@ -334,6 +383,108 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** a9's probed-cell fraction: 1/5 of the cells — the ≤0.2 operating
+    * point the clustered-corpus sweep targets (recall ≥ 0.8 there;
+    * ANN_SWEEP_r11 clustered leg). Integer arithmetic (⌈cells/5⌉) so
+    * the JVM and the DuckDB oracle agree bit-for-bit. */
+  val IvfPqNprobeDen = 5L
+
+  /** ADC shortlist width per query before the exact-cosine rerank. */
+  val IvfPqRerank = 50
+
+  /** ⌈cells/[[IvfPqNprobeDen]]⌉ clamped to [1, cells] (and to Int
+    * before narrowing — same overflow guard as [[recommendedNprobe]]).
+    * Ceil-div written overflow-free: `cells + den - 1` wraps negative
+    * near Long.MaxValue. */
+  def ivfPqNprobe(cells: Long): Int = {
+    val ceilDiv =
+      cells / IvfPqNprobeDen + (if (cells % IvfPqNprobeDen == 0L) 0L else 1L)
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, math.min(cells, ceilDiv))).toInt
+  }
+
+  /** True IVFPQ: IVF coarse probe + PQ/ADC candidate scoring + exact
+    * rerank of a bounded shortlist — the composition of
+    * [[knnIvfProbeCentroids]] (which reranks EVERY row of every probed
+    * cell with exact cosine) and [[pqAdc]] (which ADC-scores the whole
+    * corpus). This is the scale shape FAISS ships as IndexIVFPQ +
+    * refine: the probe touches nprobe cells' CODE rows (m small ints
+    * per vector — no embedding is read for candidates), ADC scoring is
+    * an integer equi-join against the broadcast distance table, and
+    * only the top-[[IvfPqRerank]] shortlist per query ever touches
+    * real vectors again. Per query the exact-vector work drops from
+    * O(probed rows · dims) to O(rerank · dims) + O(probed rows · m)
+    * integer adds — the difference that makes a 0.2 probed fraction
+    * affordable at 10⁹ vectors.
+    *
+    * Why this closes a4's scale concern: a4's recall-targeted rule
+    * must probe ~45% of a UNIFORM corpus (corpus physics — recall is
+    * bought with probed fraction when true neighbors are unclustered),
+    * and exact-reranking 45% of the corpus per query is a near-scan.
+    * On clustered corpora (the real case) a 1/5-fraction probe holds
+    * recall ≥ 0.8 (ANN_SWEEP_r11 planted-Gaussian leg) and the ADC
+    * integer path prices the probed rows at m byte-codes each.
+    *
+    * Determinism/oracle: probed-cell choice by 6-dp-rounded
+    * decimal-exact centroid cosine (ties by cell id) — a4's rule;
+    * ADC sums are exact integer micro-distances (ties by nn_id) —
+    * a8's rule; final rank by 6-dp exact cosine (ties by nn_id). The
+    * ADC estimate rides along as `adc_dist` so quantization error is
+    * visible in the result. */
+  def knnIvfPq(emb: DataFrame, id: String, vec: String, cell: String,
+               centroids: DataFrame, codes: DataFrame, codebook: DataFrame,
+               queryIds: Seq[Long], k: Int, nprobe: Int,
+               rerank: Int = IvfPqRerank, m: Int = 8): DataFrame = {
+    require(codes.columns.contains("c_cell"),
+      "codes must be cell-indexed (Ann.pqCodesIndexed / CellIndexCache.pqCodes)")
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
+    // 1. coarse probe: nprobe nearest cells by rounded centroid cosine
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("c_cell"),
+        Vec.cosine(col("q_vec"), col("c_vec")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("c_cell").asc)))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("c_cell"))
+    // 2. ADC: candidates = the probed cells' inverted-list code rows
+    //    (one broadcast equi-join on the cell key — no corpus-wide id
+    //    join; at scale the code table is partitioned by cell so only
+    //    probed partitions are read); score = m integer lookups
+    //    against the broadcast distance table
+    val dt = broadcast(
+      pqDistanceTable(emb.filter(col(id).isin(queryIds: _*)), id, vec,
+          codebook, m)
+        .withColumnRenamed("__cid", "__code"))
+    val adc = codes
+      .join(broadcast(probed), Seq("c_cell"))
+      .filter(col("__vid") =!= col("query_id"))
+      .select(col("query_id"), col("__vid").as("nn_id"),
+        col("__m"), col("__code"))
+      .join(dt, Seq("query_id", "__m", "__code"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(sum(col("__d")).as("__admicro"))
+    val short = adc.withColumn("arn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__admicro").asc, col("nn_id").asc)))
+      .filter(col("arn") <= rerank)
+    // 3. exact rerank: only the shortlist touches real vectors
+    val corpus = emb.select(col(id).as("nn_id"), col(vec).as("__nv"),
+      Vec.normNative(col(vec)).as("__nn"))
+    short.join(corpus, "nn_id").join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosinePrenormed(col("q_vec"), col("__nv"),
+          col("q_nrm"), col("__nn")).as("cos"),
+        round(col("__admicro") / 1e6, 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nn_id").asc)))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }

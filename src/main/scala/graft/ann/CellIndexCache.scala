@@ -110,6 +110,47 @@ object CellIndexCache {
     } else df
   }
 
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+  private val pqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** The PQ codebook over `dir`'s embeddings (k·m tiny rows,
+    * broadcast at use sites), memoized per (session, dir). */
+  def pqCodebook(spark: SparkSession, dir: String,
+                 id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.pqCodebook(Tables.embeddings(spark, dir), id, vec)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = pqCodebookCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      pqCodebookCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
+  /** The CELL-INDEXED PQ code table (__vid, __m, __code, c_cell) over
+    * `dir`'s embeddings — the compressed inverted-list index a9's ADC
+    * scoring probes by cell key. ONE corpus-scan encode + one narrow
+    * (id, cell) join per (session, dir), persisted: n·m narrow integer
+    * rows, ~m bytes per vector. */
+  def pqCodes(spark: SparkSession, dir: String,
+              id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.pqCodesIndexed(
+        Ann.pqCodes(Tables.embeddings(spark, dir), id, vec,
+          pqCodebook(spark, dir, id, vec)),
+        embeddingsWithCell(spark, dir, id, vec), id, "cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = pqCodesCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      pqCodesCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** Unpersist and forget every cached index (test hygiene). */
   def clear(): Unit = {
     cache.values.foreach { ix =>
@@ -117,7 +158,8 @@ object CellIndexCache {
         ix.asg.unpersist()
     }
     cache.clear()
-    Seq(pairsCache, withCellCache, centroidCache).foreach { c =>
+    Seq(pairsCache, withCellCache, centroidCache,
+        pqCodebookCache, pqCodesCache).foreach { c =>
       c.values.foreach { df =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
       }

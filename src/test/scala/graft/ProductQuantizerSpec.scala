@@ -107,4 +107,76 @@ class ProductQuantizerSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(again == pairs)
   }
+
+  // ---- a9 IVFPQ (coarse probe + ADC shortlist + exact rerank) ----
+
+  private lazy val ivfpqStructures = {
+    val ix = Ann.buildCoarseIndex(corpus, "vec_id", "embedding", n)
+    val withCell = Ann.withCoarseCellIndexed(corpus, "vec_id", ix).localCheckpoint()
+    val cents = Ann.ivfCentroids(withCell, "embedding", "cell").localCheckpoint()
+    val cb = Ann.pqCodebook(corpus, "vec_id", "embedding").localCheckpoint()
+    val codes = Ann.pqCodesIndexed(
+      Ann.pqCodes(corpus, "vec_id", "embedding", cb),
+      withCell, "vec_id", "cell").localCheckpoint()
+    (ix, withCell, cents, cb, codes)
+  }
+
+  test("knnIvfPq with nprobe=cells and full-width rerank degenerates to exact knnBrute") {
+    val (ix, withCell, cents, cb, codes) = ivfpqStructures
+    val qs = Seq(0L, 1L, 2L)
+    val got = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb, qs, 10, nprobe = ix.k1 * ix.k2, rerank = n.toInt)
+      .select("query_id", "nn_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Ann.knnBrute(corpus, "vec_id", "embedding", qs, 10)
+      .select("query_id", "nn_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("knnIvfPq shortlist truly bounds the exact rerank (rerank=1 returns the ADC argmin)") {
+    val (ix, withCell, cents, cb, codes) = ivfpqStructures
+    val full = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb, Seq(0L), 10, nprobe = ix.k1 * ix.k2, rerank = n.toInt)
+      .select("query_id", "nn_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+    val one = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb, Seq(0L), 10, nprobe = ix.k1 * ix.k2, rerank = 1)
+      .select("query_id", "nn_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+    assert(one.length == 1)
+    // the one survivor must carry the globally smallest ADC distance
+    // among all candidates (ties by nn_id — mirror the shortlist rule)
+    val best = full.minBy(r => (r._3, r._2))
+    assert(one.head._3 == best._3)
+  }
+
+  test("knnIvfPq at the a9 operating point: <=k per query, deterministic, planted twin recovered") {
+    val (ix, withCell, cents, cb, codes) = ivfpqStructures
+    val cells = ix.k1 * ix.k2
+    val np = Ann.ivfPqNprobe(cells.toLong)
+    assert(np >= 1 && np <= cells)
+    val qs = (0L until 10L).toSeq
+    def run() = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb, qs, 10, np)
+      .select("query_id", "nn_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    val got = run()
+    assert(got.groupBy(_._1).forall(_._2.length <= 10))
+    assert(got == run()) // deterministic, ordered output
+    // a planted high-cos twin (1000+i ~ i) shares the query's primary
+    // or boundary cell and survives PQ quantization at the top of the
+    // ADC shortlist for most queries — require it found for >= 7/10
+    val found = qs.count(q => got.exists(r => r._1 == q && r._2 == 1000L + q))
+    assert(found >= 7, s"only $found/10 planted twins recovered at nprobe=$np")
+  }
+
+  test("ivfPqNprobe: ceil(cells/5), clamped, Int-safe at huge cell counts") {
+    assert(Ann.ivfPqNprobe(1L) == 1)
+    assert(Ann.ivfPqNprobe(5L) == 1)
+    assert(Ann.ivfPqNprobe(6L) == 2)
+    assert(Ann.ivfPqNprobe(9L) == 2)
+    assert(Ann.ivfPqNprobe(36L) == 8)
+    assert(Ann.ivfPqNprobe(Long.MaxValue) == Int.MaxValue) // no wrap
+  }
 }
