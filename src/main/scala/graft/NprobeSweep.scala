@@ -135,10 +135,10 @@ object NprobeSweep {
       val cells = ix.k1 * ix.k2
       val withCell = Ann.withCoarseCellIndexed(emb, "vec_id", ix).localCheckpoint()
       val cents = Ann.ivfCentroids(withCell, "embedding", "cell").localCheckpoint()
-      val cb = Ann.pqCodebook(emb, "vec_id", "embedding").localCheckpoint()
-      val codes = Ann.pqCodesIndexed(
-        Ann.pqCodes(emb, "vec_id", "embedding", cb),
-        withCell, "vec_id", "cell").localCheckpoint()
+      val cb = Ann.ivfPqCodebook(withCell, "vec_id", "embedding", "cell", cents)
+        .localCheckpoint()
+      val codes = Ann.ivfPqCodes(withCell, "vec_id", "embedding", "cell",
+        cents, cb).localCheckpoint()
 
       val truth = Ann.knnBrute(emb, "vec_id", "embedding", queries, k)
         .select("query_id", "nn_id")

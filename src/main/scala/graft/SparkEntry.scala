@@ -520,10 +520,10 @@ object SparkEntry {
     // corpus-level artifacts (CellIndexCache), not per-query jobs.
     // nprobe is NOT a constant: it follows the recall-targeted rule
     // (⌈0.449·cells⌉ — Ann.recommendedNprobe), so recall@10 holds
-    // ~0.8 (measured 0.88/0.72 at sf0.01/sf0.1) as the cell count
-    // grows with the corpus instead of decaying the way a fixed
+    // FLAT (0.76/0.74 at sf0.01/sf0.1 over 25 query ids) as the cell
+    // count grows with the corpus instead of decaying the way a fixed
     // probe count does (0.48 → 0.20 in ANN_SWEEP_r8; rule swept in
-    // ANN_SWEEP_r10)
+    // ANN_SWEEP_r11)
     "a4_ivf_nprobe" -> ((s, d) => {
       val ix = graft.ann.CellIndexCache.embeddings(s, d)
       Ann.knnIvfProbeCentroids(
@@ -566,7 +566,9 @@ object SparkEntry {
     // probed fraction the clustered-corpus sweep targets), score the
     // probed cells' CODE rows via the broadcast ADC distance table
     // (integer micro-distances, no vector reads), exact-cosine rerank
-    // only the top-50 shortlist. All three structures — cells,
+    // only the top-200 shortlist (constant per query — the
+    // (codebook=64, rerank=200) knee measured by IvfPqTune on the
+    // planted-cluster corpus). All three structures — cells,
     // centroids, PQ codes — are shared corpus artifacts
     // (CellIndexCache), not per-query jobs.
     "a9_ivfpq" -> ((s, d) => {
@@ -2225,7 +2227,7 @@ object SparkEntry {
       // ⌈cells/5⌉ cells by decimal-exact rounded centroid cosine,
       // ADC-score only the probed cells' candidates (integer
       // micro-distance sums, ties by nn_id), exact-cosine rerank of
-      // the top-50 ADC shortlist — every ranking rule identical to the
+      // the top-200 ADC shortlist — every ranking rule identical to the
       // Spark side digit-for-digit
       "a9_ivfpq" ->
         s"""WITH $cellCtes,
@@ -2253,30 +2255,33 @@ object SparkEntry {
           |    (k1 * k2 + ${graft.ann.Ann.IvfPqNprobeDen - 1})
           |      // ${graft.ann.Ann.IvfPqNprobeDen})) FROM par)),
           |mm AS (SELECT unnest(range(8)) AS m),
-          |cb AS (SELECT vec_id AS cid, m,
-          |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS csub
-          |  FROM embeddings, mm WHERE vec_id < 16),
-          |cs AS (SELECT vec_id, m,
-          |    CAST(embedding AS DOUBLE[])[m*8+1 : m*8+8] AS sub
-          |  FROM embeddings, mm),
-          |dm AS (SELECT c.vec_id, c.m, b.cid,
-          |    CAST(round(list_sum([(c.sub[i]-b.csub[i])*(c.sub[i]-b.csub[i])
+          |rv AS (SELECT e.vec_id, cl.cell,
+          |    [CAST(e.embedding[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
+          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+          |  JOIN cvec cv ON cv.cell = cl.cell),
+          |cb AS (SELECT vec_id AS cid, m, rvec[m*8+1 : m*8+8] AS csub
+          |  FROM rv, mm WHERE vec_id < ${graft.ann.Ann.IvfPqCodebookK}),
+          |rs AS (SELECT vec_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM rv, mm),
+          |enc AS (SELECT vec_id, cell, m, cid AS code FROM (
+          |    SELECT r.vec_id, r.cell, r.m, b.cid,
+          |      row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
+          |        CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
+          |          for i in range(1, 9)]) * 1000000) AS BIGINT), b.cid) AS rn
+          |    FROM rs r JOIN cb b USING (m)) WHERE rn = 1),
+          |qrv AS (SELECT p.query_id, p.cell,
+          |    [CAST(q.q_emb[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
+          |  FROM probed p JOIN q ON q.query_id = p.query_id
+          |  JOIN cvec cv ON cv.cell = p.cell),
+          |qrs AS (SELECT query_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM qrv, mm),
+          |dtq AS (SELECT r.query_id, r.cell, r.m, b.cid,
+          |    CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
           |      for i in range(1, 9)]) * 1000000) AS BIGINT) AS dmicro
-          |  FROM cs c JOIN cb b USING (m)),
-          |enc AS (SELECT vec_id, m, cid AS code FROM (
-          |    SELECT vec_id, m, cid,
-          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dmicro, cid) AS rn
-          |    FROM dm) WHERE rn = 1),
-          |dt AS (SELECT vec_id AS query_id, m, cid, dmicro FROM dm
-          |  WHERE vec_id IN (0, 1, 2, 3, 4)),
-          |cand AS (SELECT p.query_id, cl.vec_id AS nn_id
-          |  FROM probed p JOIN cells cl ON cl.cell = p.cell
-          |  WHERE cl.vec_id <> p.query_id),
-          |ad AS (SELECT ca.query_id, ca.nn_id,
-          |    sum(dt.dmicro)::BIGINT AS admicro
-          |  FROM cand ca
-          |  JOIN enc e ON e.vec_id = ca.nn_id
-          |  JOIN dt ON dt.query_id = ca.query_id AND dt.m = e.m AND dt.cid = e.code
+          |  FROM qrs r JOIN cb b USING (m)),
+          |ad AS (SELECT d.query_id, e.vec_id AS nn_id,
+          |    sum(d.dmicro)::BIGINT AS admicro
+          |  FROM enc e
+          |  JOIN dtq d ON d.cell = e.cell AND d.m = e.m AND d.cid = e.code
+          |  WHERE e.vec_id <> d.query_id
           |  GROUP BY 1, 2),
           |sl AS (SELECT query_id, nn_id, admicro FROM (
           |    SELECT query_id, nn_id, admicro,

@@ -164,19 +164,84 @@ object Ann {
         col("__cid").as("c"))).as("__best"))
       .select(col("__vid"), col("__m"), col("__best.c").as("__code"))
 
-  /** The inverted-list layout of a PQ code table: each code row
-    * carries its vector's coarse cell (`c_cell`), so probing a cell
-    * reads exactly that cell's code rows — a broadcast equi-join on
-    * the cell key instead of a corpus-wide id join at query time. The
-    * join here is narrow (n·m int rows × n (id, cell) rows) and runs
-    * ONCE at index-build time ([[CellIndexCache.pqCodes]] persists the
-    * result); at scale this is the table you'd bucket/partition BY
-    * CELL, which is precisely FAISS's inverted-list file layout. */
-  def pqCodesIndexed(codes: DataFrame, embWithCell: DataFrame,
-                     id: String, cell: String): DataFrame =
-    codes.join(
-      embWithCell.select(col(id).as("__vid"), col(cell).as("c_cell")),
-      Seq("__vid"))
+  /** Per-row RESIDUAL vs the row's own coarse-cell centroid:
+    * (id, cell, __rvec = x − c(cell(x))). The quantity IVFPQ encodes
+    * instead of the raw vector (Jégou 2011 §IV): within a cell, raw
+    * vectors are all near the centroid and quantize to the SAME codes
+    * — ADC then cannot rank in-cell candidates at all (measured: the
+    * raw-encoded first cut of a9 held recall@10 at 0.12 ≈
+    * shortlist/cluster-size on the planted-cluster corpus at EVERY
+    * nprobe). Residuals carry exactly the intra-cell variation, which
+    * is what the code must discriminate. Centroids are `cells` tiny
+    * rows — the join is a broadcast. */
+  def pqResiduals(embWithCell: DataFrame, id: String, vec: String,
+                  cell: String, centroids: DataFrame): DataFrame =
+    embWithCell.join(broadcast(centroids), col(cell) === col("c_cell"))
+      .select(col(id), col(cell),
+        zip_with(col(vec).cast("array<double>"), col("c_vec"),
+          (a, b) => a - b).as("__rvec"))
+
+  /** IVFPQ residual codebook (__m, __cid, __csub): the residual
+    * subvectors of the `k` smallest ids — the same pretrained-input
+    * convention as [[pqCodebook]], in residual space. */
+  def ivfPqCodebook(embWithCell: DataFrame, id: String, vec: String,
+                    cell: String, centroids: DataFrame,
+                    m: Int = 8, k: Int = IvfPqCodebookK): DataFrame =
+    pqSubvectors(
+      pqResiduals(embWithCell.filter(col(id).isin((0L until k.toLong): _*)),
+        id, vec, cell, centroids),
+      id, "__cid", "__rvec", m)
+      .withColumnRenamed("__sub", "__csub")
+
+  /** The IVFPQ inverted-list code table (c_cell, __vid, __m, __code):
+    * residual-encoded, cell-indexed — probing a cell reads exactly
+    * that cell's code rows (a broadcast equi-join on the cell key; at
+    * scale the table is bucketed BY CELL, FAISS's inverted-list file
+    * layout). ONE corpus scan against the broadcast residual codebook;
+    * a corpus-level artifact ([[CellIndexCache.pqCodes]]). */
+  def ivfPqCodes(embWithCell: DataFrame, id: String, vec: String,
+                 cell: String, centroids: DataFrame, codebook: DataFrame,
+                 m: Int = 8): DataFrame = {
+    val subDim = EmbDims / m
+    val res = pqResiduals(embWithCell, id, vec, cell, centroids)
+    res.select(col(id).as("__vid"), col(cell).as("c_cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__rvec"), i * subDim + 1, lit(subDim)))))
+      .select(col("__vid"), col("c_cell"),
+        col("pos").as("__m"), col("col").as("__sub"))
+      .join(broadcast(codebook), "__m")
+      .groupBy(col("__vid"), col("c_cell"), col("__m"))
+      .agg(min(struct(pqMicroDist(col("__sub"), col("__csub")).as("d"),
+        col("__cid").as("c"))).as("__best"))
+      .select(col("c_cell"), col("__vid"), col("__m"),
+        col("__best.c").as("__code"))
+  }
+
+  /** Per-(query, probed cell) ADC distance table
+    * (query_id, c_cell, __m, __code, __d): the query's residual vs
+    * EACH probed cell's centroid, scored against the residual
+    * codebook — q·nprobe·m·k small rows, broadcast. This is the
+    * per-cell table IVFPQ must build because residuals are
+    * cell-relative; scoring a candidate is still m integer lookups. */
+  def ivfPqDistanceTable(queries: DataFrame, probed: DataFrame,
+                         centroids: DataFrame, codebook: DataFrame,
+                         m: Int): DataFrame = {
+    val subDim = EmbDims / m
+    val qres = probed.join(queries, Seq("query_id"))
+      .join(broadcast(centroids), Seq("c_cell"))
+      .select(col("query_id"), col("c_cell"),
+        zip_with(col("q_vec").cast("array<double>"), col("c_vec"),
+          (a, b) => a - b).as("__rvec"))
+    qres.select(col("query_id"), col("c_cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col("__rvec"), i * subDim + 1, lit(subDim)))))
+      .select(col("query_id"), col("c_cell"),
+        col("pos").as("__m"), col("col").as("__sub"))
+      .join(broadcast(codebook), "__m")
+      .select(col("query_id"), col("c_cell"), col("__m"),
+        col("__cid").as("__code"),
+        pqMicroDist(col("__sub"), col("__csub")).as("__d"))
+  }
 
   /** Per-query ADC distance table (query_id, __m, __cid, __d):
     * q·m·k rows of precomputed query↔sub-centroid micro-distances —
@@ -393,8 +458,19 @@ object Ann {
     * the JVM and the DuckDB oracle agree bit-for-bit. */
   val IvfPqNprobeDen = 5L
 
-  /** ADC shortlist width per query before the exact-cosine rerank. */
-  val IvfPqRerank = 50
+  /** ADC shortlist width per query before the exact-cosine rerank,
+    * and the residual codebook size per subspace. Jointly measured on
+    * the planted-cluster corpus (IvfPqTune, nprobe=⌈cells/5⌉):
+    * (k=16, rerank=50) 0.38, (16,200) 0.70, (64,50) 0.50,
+    * (64,200) **0.86**, (256,200) 0.90 at 4–5× the latency — the
+    * (64,200) knee is the pinned operating point. Both are CONSTANTS
+    * per query (the point of the design): rerank does not grow with
+    * cell size, and the codebook stays k·m tiny rows however large
+    * the corpus. */
+  val IvfPqRerank = 200
+
+  /** Residual sub-centroids per subspace (see [[IvfPqRerank]]). */
+  val IvfPqCodebookK = 64
 
   /** ⌈cells/[[IvfPqNprobeDen]]⌉ clamped to [1, cells] (and to Int
     * before narrowing — same overflow guard as [[recommendedNprobe]]).
@@ -434,13 +510,18 @@ object Ann {
     * ADC sums are exact integer micro-distances (ties by nn_id) —
     * a8's rule; final rank by 6-dp exact cosine (ties by nn_id). The
     * ADC estimate rides along as `adc_dist` so quantization error is
-    * visible in the result. */
+    * visible in the result.
+    *
+    * `codes`/`codebook` are the RESIDUAL-encoded structures
+    * ([[ivfPqCodes]]/[[ivfPqCodebook]]): the ADC sum approximates
+    * ‖q − x‖² = ‖(q − c) − (x − c)‖² per probed cell c, which is what
+    * lets the code discriminate WITHIN a cell (see [[pqResiduals]]). */
   def knnIvfPq(emb: DataFrame, id: String, vec: String, cell: String,
                centroids: DataFrame, codes: DataFrame, codebook: DataFrame,
                queryIds: Seq[Long], k: Int, nprobe: Int,
                rerank: Int = IvfPqRerank, m: Int = 8): DataFrame = {
     require(codes.columns.contains("c_cell"),
-      "codes must be cell-indexed (Ann.pqCodesIndexed / CellIndexCache.pqCodes)")
+      "codes must be the cell-indexed residual table (Ann.ivfPqCodes)")
     val queries = emb.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
         Vec.normNative(col(vec)).as("q_nrm"))
@@ -453,23 +534,22 @@ object Ann {
           .orderBy(col("c_cos").desc, col("c_cell").asc)))
       .filter(col("c_rank") <= nprobe)
       .select(col("query_id"), col("c_cell"))
-    // 2. ADC: candidates = the probed cells' inverted-list code rows
-    //    (one broadcast equi-join on the cell key — no corpus-wide id
-    //    join; at scale the code table is partitioned by cell so only
-    //    probed partitions are read); score = m integer lookups
-    //    against the broadcast distance table
+    // 2. ADC: the per-(query, probed cell) residual distance table is
+    //    broadcast; joining the inverted-list code table on
+    //    (c_cell, __m, __code) BOTH restricts candidates to probed
+    //    cells and attaches their per-subspace distances — one
+    //    broadcast equi-join, no corpus-wide id join (at scale the
+    //    code table is partitioned by cell so only probed partitions
+    //    are read); scoring is m integer adds per candidate
     val dt = broadcast(
-      pqDistanceTable(emb.filter(col(id).isin(queryIds: _*)), id, vec,
-          codebook, m)
-        .withColumnRenamed("__cid", "__code"))
+      ivfPqDistanceTable(queries.select(col("query_id"), col("q_vec")),
+        probed, centroids, codebook, m))
     val adc = codes
-      .join(broadcast(probed), Seq("c_cell"))
+      .join(dt, Seq("c_cell", "__m", "__code"))
       .filter(col("__vid") =!= col("query_id"))
-      .select(col("query_id"), col("__vid").as("nn_id"),
-        col("__m"), col("__code"))
-      .join(dt, Seq("query_id", "__m", "__code"))
-      .groupBy(col("query_id"), col("nn_id"))
+      .groupBy(col("query_id"), col("__vid"))
       .agg(sum(col("__d")).as("__admicro"))
+      .withColumnRenamed("__vid", "nn_id")
     val short = adc.withColumn("arn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("__admicro").asc, col("nn_id").asc)))
@@ -748,13 +828,15 @@ object Ann {
 
   /** The probed corpus FRACTION targeting recall@10 ≈ 0.8 on a
     * NEAR-UNIFORM corpus, from the model recall(f) ≈ 1 − (1−f)^2.7
-    * (f(0.8) = 1 − 0.2^(1/2.7) ≈ 0.449). Measured (ANN_SWEEP_r10,
-    * full nprobe grid at sf0.01/sf0.1): the curve fits within 0.04
-    * absolute at sf0.01 (9 cells) and within 0.10 at sf0.1 (36
-    * cells, mid-fraction points sit BELOW the model), and the
-    * ⌈0.449·cells⌉ operating point realizes recall 0.88 / 0.72 —
-    * ~0.8 ± 0.08 across the 4× corpus-size range where the old fixed
-    * nprobe=2 decayed 0.48 → 0.20 (ANN_SWEEP_r8). Pinned as an
+    * (f(0.8) = 1 − 0.2^(1/2.7) ≈ 0.449). Measured (ANN_SWEEP_r11,
+    * full nprobe grid at sf0.01/sf0.1 over 25 query ids — the r10
+    * sweep's 5-id sample overstated the rule at 0.88/0.72): the
+    * ⌈0.449·cells⌉ operating point realizes recall@10 0.76 / 0.74 —
+    * FLAT across the 4× corpus-size range where the old fixed
+    * nprobe=2 decayed 0.48 → 0.20 (ANN_SWEEP_r8), which is the
+    * rule's claim (no size decay), sitting ~0.05 below the model's
+    * 0.8 target (the curve overpredicts mid-fractions: max
+    * |measured−pred| 0.135/0.082 at 9/36 cells). Pinned as an
     * exact RATIONAL 449/1000, not a float: ⌈f·cells⌉ is then pure
     * integer arithmetic, bit-identical in the JVM and the DuckDB
     * oracle (a double 0.449 literal rounds ABOVE the decimal value,
@@ -776,10 +858,11 @@ object Ann {
     *    corpus physics, not an implementation artifact (the AnnSweep
     *    LSH legs document the same collapse). The rule holds the
     *    fraction: nprobe = ⌈f·cells⌉ with f from the measured curve
-    *    — swept at sf0.01/sf0.1 in ANN_SWEEP_r10, recall at the rule
-    *    holds 0.88 / 0.72 across a 4× corpus where nprobe=2 decayed
-    *    0.48 → 0.20; the residual wobble is the curve's ±0.1 fit
-    *    error at 36 cells, not size decay.
+    *    — swept at sf0.01/sf0.1 over 25 query ids in ANN_SWEEP_r11,
+    *    recall at the rule holds 0.76 / 0.74 (flat) across a 4×
+    *    corpus where nprobe=2 decayed 0.48 → 0.20; the ~0.05 gap to
+    *    the 0.8 target is the curve's fit error (≤0.135/0.082 abs),
+    *    not size decay.
     *  - NEAR-DUP queries (the d5/d8 tier — a true high-cos neighbor
     *    exists): the neighbor shares the query's primary or boundary
     *    cell, a CONSTANT nprobe ≈ probe² already reaches it, and the

@@ -115,12 +115,14 @@ object CellIndexCache {
   private val pqCodesCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
 
-  /** The PQ codebook over `dir`'s embeddings (k·m tiny rows,
-    * broadcast at use sites), memoized per (session, dir). */
+  /** The IVFPQ RESIDUAL codebook over `dir`'s embeddings (k·m tiny
+    * rows, broadcast at use sites), memoized per (session, dir). */
   def pqCodebook(spark: SparkSession, dir: String,
                  id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.pqCodebook(Tables.embeddings(spark, dir), id, vec)
+    def build() = Ann.ivfPqCodebook(
+        embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
+        centroids(spark, dir, id, vec))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val df = pqCodebookCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
@@ -130,18 +132,18 @@ object CellIndexCache {
     } else df
   }
 
-  /** The CELL-INDEXED PQ code table (__vid, __m, __code, c_cell) over
-    * `dir`'s embeddings — the compressed inverted-list index a9's ADC
-    * scoring probes by cell key. ONE corpus-scan encode + one narrow
-    * (id, cell) join per (session, dir), persisted: n·m narrow integer
-    * rows, ~m bytes per vector. */
+  /** The IVFPQ inverted-list code table (c_cell, __vid, __m, __code)
+    * over `dir`'s embeddings — residual-encoded, cell-indexed, the
+    * compressed index a9's ADC scoring probes by cell key. ONE
+    * corpus-scan encode per (session, dir), persisted: n·m narrow
+    * integer rows, ~m bytes per vector. */
   def pqCodes(spark: SparkSession, dir: String,
               id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.pqCodesIndexed(
-        Ann.pqCodes(Tables.embeddings(spark, dir), id, vec,
-          pqCodebook(spark, dir, id, vec)),
-        embeddingsWithCell(spark, dir, id, vec), id, "cell")
+    def build() = Ann.ivfPqCodes(
+        embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
+        centroids(spark, dir, id, vec),
+        pqCodebook(spark, dir, id, vec))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val df = pqCodesCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {

@@ -114,10 +114,10 @@ class ProductQuantizerSpec extends SparkSpec {
     val ix = Ann.buildCoarseIndex(corpus, "vec_id", "embedding", n)
     val withCell = Ann.withCoarseCellIndexed(corpus, "vec_id", ix).localCheckpoint()
     val cents = Ann.ivfCentroids(withCell, "embedding", "cell").localCheckpoint()
-    val cb = Ann.pqCodebook(corpus, "vec_id", "embedding").localCheckpoint()
-    val codes = Ann.pqCodesIndexed(
-      Ann.pqCodes(corpus, "vec_id", "embedding", cb),
-      withCell, "vec_id", "cell").localCheckpoint()
+    val cb = Ann.ivfPqCodebook(withCell, "vec_id", "embedding", "cell", cents)
+      .localCheckpoint()
+    val codes = Ann.ivfPqCodes(withCell, "vec_id", "embedding", "cell",
+      cents, cb).localCheckpoint()
     (ix, withCell, cents, cb, codes)
   }
 
