@@ -557,9 +557,14 @@ object SparkEntry {
     // product-quantization ADC (FAISS IVFPQ pattern): vectors stored
     // as 8 one-byte codes, queries score candidates via a broadcast
     // distance table — integer micro-distances end to end, exact
-    // cosine of each hit reported alongside the ADC estimate
+    // cosine of each hit reported alongside the ADC estimate. The
+    // codebook + code table are corpus artifacts built once
+    // (CellIndexCache — index construction vs search, the FAISS
+    // split), like a3/a4/a9's cells and centroids.
     "a8_pq_adc" -> ((s, d) =>
-      Ann.pqAdc(Tables.embeddings(s, d), "vec_id", "embedding",
+      Ann.pqAdcFromIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        graft.ann.CellIndexCache.rawPqCodebook(s, d),
+        graft.ann.CellIndexCache.rawPqCodes(s, d),
         Seq(0L, 1L, 2L, 3L, 4L))),
 
     // true IVFPQ (a4 × a8): coarse-probe ⌈cells/5⌉ cells (the ≤0.2

@@ -283,7 +283,18 @@ object Ann {
             m: Int = 8, k: Int = 16, topK: Int = 10): DataFrame = {
     val codebook = broadcast(pqCodebook(emb, id, vec, m, k))
     // the code table: n·m narrow rows — the compressed index
-    val codes = pqCodes(emb, id, vec, codebook, m)
+    pqAdcFromIndex(emb, id, vec, codebook,
+      pqCodes(emb, id, vec, codebook, m), queryIds, m, topK)
+  }
+
+  /** [[pqAdc]] over a PREBUILT (codebook, code table) — the index is a
+    * corpus artifact built once ([[CellIndexCache.rawPqCodes]]), the
+    * way FAISS separates index construction from search; per-query
+    * work is then the q·m·k distance table + the integer ADC join. */
+  def pqAdcFromIndex(emb: DataFrame, id: String, vec: String,
+                     codebook: DataFrame, codes: DataFrame,
+                     queryIds: Seq[Long], m: Int = 8,
+                     topK: Int = 10): DataFrame = {
     // per-query distance table: q·m·k rows, broadcast
     val dt = broadcast(
       pqDistanceTable(emb.filter(col(id).isin(queryIds: _*)), id, vec,

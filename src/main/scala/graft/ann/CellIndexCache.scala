@@ -153,6 +153,44 @@ object CellIndexCache {
     } else df
   }
 
+  private val rawPqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+  private val rawPqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** a8's RAW-vector PQ codebook (no coarse cells — standalone PQ),
+    * memoized per (session, dir). */
+  def rawPqCodebook(spark: SparkSession, dir: String,
+                    id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.pqCodebook(Tables.embeddings(spark, dir), id, vec)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = rawPqCodebookCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      rawPqCodebookCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
+  /** a8's RAW-vector PQ code table (__vid, __m, __code) — the
+    * standalone-PQ compressed index, built ONCE per (session, dir)
+    * (index construction vs search, the FAISS split); per-query a8
+    * work is then the distance table + integer ADC join only. */
+  def rawPqCodes(spark: SparkSession, dir: String,
+                 id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.pqCodes(Tables.embeddings(spark, dir), id, vec,
+        rawPqCodebook(spark, dir, id, vec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = rawPqCodesCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      rawPqCodesCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** Unpersist and forget every cached index (test hygiene). */
   def clear(): Unit = {
     cache.values.foreach { ix =>
@@ -161,7 +199,8 @@ object CellIndexCache {
     }
     cache.clear()
     Seq(pairsCache, withCellCache, centroidCache,
-        pqCodebookCache, pqCodesCache).foreach { c =>
+        pqCodebookCache, pqCodesCache,
+        rawPqCodebookCache, rawPqCodesCache).foreach { c =>
       c.values.foreach { df =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
       }

@@ -201,7 +201,29 @@ object Pipeline {
     * (vocabulary ≪ token count; AQE handles hot stopword keys) and a
     * per-doc aggregation. No window, no collect, every sum an
     * integer until the final rounded ratio. */
+  /** The (id, term, tf) token aggregate x14/x17 start from,
+    * materialized ONCE per call. Each of those operators derives a
+    * vocabulary aggregate from this table AND joins back to it, and
+    * Catalyst cannot reuse the subtree across the two branches
+    * (column pruning drops tf on the vocabulary side, so the
+    * exchanges differ and ReuseExchange never fires) — left lazy, the
+    * token-level explode + aggregation runs TWICE, the dominant cost
+    * of all three plans (x17 at sf1 measured 4.2s lazy vs 1.5s
+    * materialized — X17Probe). This is the classic two-pass tf-idf
+    * shape: at scale the intermediate is the same volume the exchange
+    * writes anyway, and a production pipeline persists it as a table.
+    * (Eager job at DataFrame-construction time: the ts4 probe
+    * precedent.) */
+  private def docWordTf(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
   def unigramLmProfile(docs: DataFrame, id: String, text: String): DataFrame = {
+    // NOT [[docWordTf]]: x11 is the one consumer measured FASTER lazy
+    // than checkpointed (1.49s vs 1.70s at sf1, X11Probe) — its single
+    // downstream aggregation doesn't amortize the materialization the
+    // way x14's window join and x17's top-k do
     val docWord = docs
       .select(col(id), explode(Text.words(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
@@ -228,8 +250,9 @@ object Pipeline {
     * integer end to end and both engines rank the identical numbers —
     * where a float log(N/df) sum would be libm-dependent.
     *
-    * Shape: one scan → (doc, word) tf aggregate; df table derived from
-    * that same aggregate (exchange reuse, no second scan); N from a
+    * Shape: one scan → (doc, word) tf aggregate, MATERIALIZED once
+    * ([[docWordTf]] — Catalyst cannot share the differently-pruned
+    * branches); df table derived from that materialization; N from a
     * scalar count broadcast back; top-k via a BOUNDED CollectMinK
     * aggregate over an order-encoding key — never a per-doc
     * row_number window: the window form re-shuffles and SORTS the
@@ -257,9 +280,7 @@ object Pipeline {
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
                     topK: Int): DataFrame = {
     val Big = 1000000000000L // 10^12 > any tf·idf_bits
-    val docWord = docs
-      .select(col(id), explode(Text.words(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val docWord = docWordTf(docs, id, text)
     val dfT = docWord.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = docWord.join(dfT, Seq("w")).crossJoin(broadcast(n))
@@ -369,9 +390,7 @@ object Pipeline {
     * must agree bit-for-bit. */
   def ccnetBuckets(docs: DataFrame, id: String, text: String,
                    lang: String, nBuckets: Int): DataFrame = {
-    val docWord = docs
-      .select(col(id), explode(Text.words(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    val docWord = docWordTf(docs, id, text)
     val wordCnt = docWord.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val perDoc = docWord.join(wordCnt, Seq("w"))
       .groupBy(col(id)).agg(
