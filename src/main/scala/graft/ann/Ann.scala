@@ -344,16 +344,25 @@ object Ann {
              rounds: Int): DataFrame = {
     val corpus = emb.select(col(id).cast("long").as("v_id"),
       col(vec).cast("array<double>").as("v"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("v_id"))
-        .orderBy(col("cos").desc, col("c_cell").asc)
+    // argmax as a groupBy max_by, not a window: the per-row window
+    // form sorts corpus×k rows (each dragging the 64-double vector
+    // through the sort) and cannot partial-aggregate; max_by combines
+    // map-side — the exchange carries one row per vector, k× less, no
+    // sort (the x4 groupBy-over-window precedent). Ordering key
+    // (cos, −c_cell) reproduces the window's (cos DESC, c_cell ASC)
+    // argmax with its tie-break exactly, and is unique per candidate
+    // (c_cell is distinct within a vector's k rows), so max_by is
+    // deterministic and the DuckDB oracle's row_number form matches
+    // digit-for-digit.
+    def assign(cent: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(cent))
         .select(col("v_id"), col("v"), col("c_cell"),
           round(Vec.cosine(col("v"), col("c_vec")), 6).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("v_id"), col("v"), col("c_cell"), col("cos"))
-    }
+        .groupBy(col("v_id"))
+        .agg(max_by(struct(col("c_cell"), col("cos"), col("v")),
+          struct(col("cos"), (-col("c_cell")).as("nc"))).as("__b"))
+        .select(col("v_id"), col("__b.v").as("v"),
+          col("__b.c_cell").as("c_cell"), col("__b.cos").as("cos"))
     var cent = corpus.filter(col("v_id") < k)
       .select(col("v_id").as("c_cell"), col("v").as("c_vec"))
     for (_ <- 1 to rounds) {

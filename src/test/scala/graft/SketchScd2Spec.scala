@@ -220,6 +220,20 @@ class SketchScd2Spec extends SparkSpec {
     assert(a.count(_.getAs[Long]("query_id") == 0L) === 10)
   }
 
+  test("a8's cached PQ index path equals the direct pqAdc build") {
+    // SparkEntry wires a8 through CellIndexCache.rawPqCodes (index
+    // built once per corpus); the search result must be bit-identical
+    // to the self-contained build
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val direct = graft.ann.Ann.pqAdc(emb, "vec_id", "embedding",
+      Seq(0L, 1L, 2L)).collect().toSeq
+    val cached = graft.ann.Ann.pqAdcFromIndex(emb, "vec_id", "embedding",
+      graft.ann.CellIndexCache.rawPqCodebook(spark, sfDir),
+      graft.ann.CellIndexCache.rawPqCodes(spark, sfDir),
+      Seq(0L, 1L, 2L)).collect().toSeq
+    assert(cached === direct)
+  }
+
   // ---- perceptual hash ---------------------------------------------------
 
   test("perceptualHash: identical payloads collide, near payloads land within hamming 3") {
