@@ -683,16 +683,20 @@ object SparkEntry {
     // corpus-unigram-LM rarity profile (CCNet-style quality pass),
     // token information quantized to integer bit-buckets so both
     // engines agree bit-for-bit (no float log2 sums)
+    // x11/x14/x17 all hang off the ONE shared (doc_id, term, tf)
+    // token aggregate (ClusterCache.docWordTf) — the d4/x16/x8/s4
+    // shingle-postings sharing pattern applied to the token table
     "x11_unigram_lm" -> ((s, d) =>
-      graft.operators.Pipeline.unigramLmProfile(
-        Tables.documents(s, d), "doc_id", "text")),
+      graft.operators.Pipeline.unigramLmProfileFrom(
+        graft.dedup.ClusterCache.docWordTf(s, d), "doc_id")),
 
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =
     // tf * (bits(N) - bits(df) + 1), integer end to end
     "x17_tfidf_terms" -> ((s, d) =>
-      graft.operators.Pipeline.tfidfTopTerms(
-        Tables.documents(s, d), "doc_id", "text", 3)),
+      graft.operators.Pipeline.tfidfTopTermsFrom(
+        graft.dedup.ClusterCache.docWordTf(s, d),
+        Tables.documents(s, d), "doc_id", 3)),
 
     // dataset card: per-(source x lang) composition summary at every
     // CUBE granularity in one shuffle (grouping sets partial-aggregate
@@ -720,8 +724,9 @@ object SparkEntry {
     // CCNet head/middle/tail bucketing: per-language terciles on the
     // corpus-LM bits-per-token score (x11's integer quantization)
     "x14_ccnet_bucket" -> ((s, d) =>
-      graft.operators.Pipeline.ccnetBuckets(
-        Tables.documents(s, d), "doc_id", "text", "lang", 3)),
+      graft.operators.Pipeline.ccnetBucketsFrom(
+        graft.dedup.ClusterCache.docWordTf(s, d),
+        Tables.documents(s, d), "doc_id", "lang", 3)),
 
     // winnowing fingerprints (MOSS SIGMOD'03): min-hash of each
     // 4-window of word-3-gram hashes; pairs sharing >= 2 fingerprints

@@ -19,6 +19,28 @@ object ClusterCache {
   private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val postingsCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
 
+  private val docWordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** The shared (doc_id, term, tf) token aggregate over `dir`'s
+    * documents — the table x11 (unigram LM), x14 (CCNet buckets) and
+    * x17 (tf-idf top-k) all start from. One explode + aggregation per
+    * corpus, persisted; each consumer pays only its own downstream
+    * (Catalyst cannot share the differently-pruned branches between
+    * consumers OR within one — see Pipeline.docWordTf). */
+  def docWordTf(spark: SparkSession, dir: String): DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build(): DataFrame =
+      graft.operators.Pipeline.docWordTable(
+          Tables.documents(spark, dir), "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = docWordCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      docWordCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   /** The shared (doc_id, n_sh, shingle-hash) postings table over
     * `dir`'s documents — the input both exact-similarity measures
     * (d4 Jaccard, x16 containment) join on. One shingle + md5 build
@@ -78,11 +100,15 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache).foreach { c =>
+    Seq(cache, pairCache, postingsCache).foreach { c =>
       c.values.foreach { df =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
       }
       c.clear()
     }
+    docWordCache.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    docWordCache.clear()
   }
 }

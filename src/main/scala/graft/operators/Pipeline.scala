@@ -214,19 +214,26 @@ object Pipeline {
     * writes anyway, and a production pipeline persists it as a table.
     * (Eager job at DataFrame-construction time: the ts4 probe
     * precedent.) */
-  private def docWordTf(docs: DataFrame, id: String, text: String): DataFrame =
+  /** The LAZY (id, term, tf) plan — what [[docWordTf]] materializes
+    * and what [[graft.dedup.ClusterCache.docWordTf]] persists as the
+    * shared corpus artifact x11/x14/x17 all hang off. */
+  def docWordTable(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), explode(Text.words(col(text))).as("w"))
       .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
 
-  def unigramLmProfile(docs: DataFrame, id: String, text: String): DataFrame = {
+  private def docWordTf(docs: DataFrame, id: String, text: String): DataFrame =
+    docWordTable(docs, id, text).localCheckpoint()
+
+  def unigramLmProfile(docs: DataFrame, id: String, text: String): DataFrame =
     // NOT [[docWordTf]]: x11 is the one consumer measured FASTER lazy
     // than checkpointed (1.49s vs 1.70s at sf1, X11Probe) — its single
-    // downstream aggregation doesn't amortize the materialization the
-    // way x14's window join and x17's top-k do
-    val docWord = docs
-      .select(col(id), explode(Text.words(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+    // downstream aggregation doesn't amortize a PRIVATE
+    // materialization (a shared warm one — ClusterCache.docWordTf —
+    // is better still, and is what SparkEntry wires)
+    unigramLmProfileFrom(docWordTable(docs, id, text), id)
+
+  /** [[unigramLmProfile]] over a pre-built (id, term, tf) table. */
+  def unigramLmProfileFrom(docWord: DataFrame, id: String): DataFrame = {
     val wordCnt = docWord.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     docWord.join(wordCnt, Seq("w"))
       .groupBy(col(id)).agg(
@@ -278,9 +285,14 @@ object Pipeline {
     * difference would inject sorts above the digits and would float
     * the highest-scoring terms to the bottom). */
   def tfidfTopTerms(docs: DataFrame, id: String, text: String,
-                    topK: Int): DataFrame = {
+                    topK: Int): DataFrame =
+    tfidfTopTermsFrom(docWordTf(docs, id, text), docs, id, topK)
+
+  /** [[tfidfTopTerms]] over a pre-built (id, term, tf) table — the
+    * shared-artifact path ([[graft.dedup.ClusterCache.docWordTf]]). */
+  def tfidfTopTermsFrom(docWord: DataFrame, docs: DataFrame, id: String,
+                        topK: Int): DataFrame = {
     val Big = 1000000000000L // 10^12 > any tf·idf_bits
-    val docWord = docWordTf(docs, id, text)
     val dfT = docWord.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = docWord.join(dfT, Seq("w")).crossJoin(broadcast(n))
@@ -389,8 +401,12 @@ object Pipeline {
     * broadcast cutoff table; exact ntile is kept because the oracle
     * must agree bit-for-bit. */
   def ccnetBuckets(docs: DataFrame, id: String, text: String,
-                   lang: String, nBuckets: Int): DataFrame = {
-    val docWord = docWordTf(docs, id, text)
+                   lang: String, nBuckets: Int): DataFrame =
+    ccnetBucketsFrom(docWordTf(docs, id, text), docs, id, lang, nBuckets)
+
+  /** [[ccnetBuckets]] over a pre-built (id, term, tf) table. */
+  def ccnetBucketsFrom(docWord: DataFrame, docs: DataFrame, id: String,
+                       lang: String, nBuckets: Int): DataFrame = {
     val wordCnt = docWord.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val perDoc = docWord.join(wordCnt, Seq("w"))
       .groupBy(col(id)).agg(
