@@ -111,7 +111,11 @@ object Bench {
     // tracked, not averaged in: a rep that throws contributes no
     // timing, and a floor with zero successful reps is reported as an
     // error field instead of a bogus median of failure latencies.
-    val floorParts = 8
+    // the partition count actually measured: the same sizing rule the
+    // drains use (8 parts at the suite-typical state volume), INCLUDING
+    // the GRAFT_STREAM_PARTS env override — a hardcoded 8 here recorded
+    // a count the run didn't use whenever the override was set
+    val floorParts = graft.streaming.Streams.sizedParts(8 * 65536L)
     val streamQs = results.count(_._1.contains("_stream_"))
     val (floor, floorFails) =
       if (streamQs == 0) (-1.0, 0)
@@ -139,7 +143,11 @@ object Bench {
         s""","stream_drain_floor_error":"all $floorFails reps failed","stream_queries":$streamQs"""
       else {
         val failNote = if (floorFails > 0) s""","stream_drain_floor_failed_reps":$floorFails""" else ""
-        s""","stream_drain_floor_s":$floor,"stream_drain_floor_parts":$floorParts$failNote,"stream_queries":$streamQs"""
+        // total with the fixed per-drain machinery floor subtracted —
+        // the round-over-round comparable (the raw total moves with
+        // drain-floor drift: 8 drains × ~0.6s of non-query machinery)
+        val exFloor = total - floor * streamQs
+        s""","stream_drain_floor_s":$floor,"stream_drain_floor_parts":$floorParts$failNote,"stream_queries":$streamQs,"total_ex_drain_floor":$exFloor"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs$floorField,"sf":"$sfDir"}"""
@@ -154,8 +162,11 @@ object Bench {
     // BENCH_LAST_RUN.json is overwritten by the next run. Appending
     // each run here (committed with the round) makes every run's full
     // structured record recoverable from git history.
+    // outFile is user-controlled (GRAFT_BENCH_OUT): escape backslashes
+    // and quotes so a path containing either can't corrupt the JSONL
+    val outEsc = outFile.replace("\\", "\\\\").replace("\"", "\\\"")
     val histLine =
-      s"""{"at":"${java.time.Instant.now()}","out":"$outFile",${json.drop(1)}"""
+      s"""{"at":"${java.time.Instant.now()}","out":"$outEsc",${json.drop(1)}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), histLine + "\n",
       java.nio.file.StandardOpenOption.CREATE,

@@ -72,10 +72,17 @@ object X17Probe {
         (lit(Big) - col("__p").getItem(0).cast("long")).as("score"))
     t("full minus orderBy")(outStage.count())
     t("full with orderBy")(outStage.orderBy("doc_id", "rank").count())
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-    t("full, no sort-based fallback")(
+    // save/restore the previously EFFECTIVE value, not a hardcoded
+    // default — anything run after the probe keeps its session behavior
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.getOption(fbKey)
+    spark.conf.set(fbKey, "10000000")
+    try t("full, no sort-based fallback")(
       graft.operators.Pipeline.tfidfTopTerms(docs, "doc_id", "text", 5).count())
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    finally fbPrev match {
+      case Some(v) => spark.conf.set(fbKey, v)
+      case None => spark.conf.unset(fbKey)
+    }
 
     // v3: docWord materialized ONCE (localCheckpoint), df derived from it
     def v3(): Long = {

@@ -185,6 +185,29 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** The LAZY (id, term, tf) plan — what [[docWordTf]] materializes
+    * and what [[graft.dedup.ClusterCache.docWordTf]] persists as the
+    * shared corpus artifact x11/x14/x17 all hang off. */
+  def docWordTable(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
+
+  /** The (id, term, tf) token aggregate x14/x17 start from,
+    * materialized ONCE per call. Each of those operators derives a
+    * vocabulary aggregate from this table AND joins back to it, and
+    * Catalyst cannot reuse the subtree across the two branches
+    * (column pruning drops tf on the vocabulary side, so the
+    * exchanges differ and ReuseExchange never fires) — left lazy, the
+    * token-level explode + aggregation runs TWICE, the dominant cost
+    * of all three plans (x17 at sf1 measured 4.2s lazy vs 1.5s
+    * materialized — X17Probe). This is the classic two-pass tf-idf
+    * shape: at scale the intermediate is the same volume the exchange
+    * writes anyway, and a production pipeline persists it as a table.
+    * (Eager job at DataFrame-construction time: the ts4 probe
+    * precedent.) */
+  private def docWordTf(docs: DataFrame, id: String, text: String): DataFrame =
+    docWordTable(docs, id, text).localCheckpoint()
+
   /** Corpus-unigram-LM rarity profile — the CCNet-style "LM quality"
     * pass, with the token information content QUANTIZED to integer
     * bit-buckets so every aggregate is cross-engine exact: a token
@@ -201,29 +224,6 @@ object Pipeline {
     * (vocabulary ≪ token count; AQE handles hot stopword keys) and a
     * per-doc aggregation. No window, no collect, every sum an
     * integer until the final rounded ratio. */
-  /** The (id, term, tf) token aggregate x14/x17 start from,
-    * materialized ONCE per call. Each of those operators derives a
-    * vocabulary aggregate from this table AND joins back to it, and
-    * Catalyst cannot reuse the subtree across the two branches
-    * (column pruning drops tf on the vocabulary side, so the
-    * exchanges differ and ReuseExchange never fires) — left lazy, the
-    * token-level explode + aggregation runs TWICE, the dominant cost
-    * of all three plans (x17 at sf1 measured 4.2s lazy vs 1.5s
-    * materialized — X17Probe). This is the classic two-pass tf-idf
-    * shape: at scale the intermediate is the same volume the exchange
-    * writes anyway, and a production pipeline persists it as a table.
-    * (Eager job at DataFrame-construction time: the ts4 probe
-    * precedent.) */
-  /** The LAZY (id, term, tf) plan — what [[docWordTf]] materializes
-    * and what [[graft.dedup.ClusterCache.docWordTf]] persists as the
-    * shared corpus artifact x11/x14/x17 all hang off. */
-  def docWordTable(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id), explode(Text.words(col(text))).as("w"))
-      .groupBy(col(id), col("w")).agg(count(lit(1)).as("tf"))
-
-  private def docWordTf(docs: DataFrame, id: String, text: String): DataFrame =
-    docWordTable(docs, id, text).localCheckpoint()
-
   def unigramLmProfile(docs: DataFrame, id: String, text: String): DataFrame =
     // NOT [[docWordTf]]: x11 is the one consumer measured FASTER lazy
     // than checkpointed (1.49s vs 1.70s at sf1, X11Probe) — its single

@@ -52,7 +52,7 @@ object Streams {
     * 4 vs 7.2s at 32). GRAFT_STREAM_PARTS overrides everything; at
     * production scale the same rule sizes to state volume (keys ×
     * state row), never to scan width. */
-  private[streaming] def sizedParts(stateRows: Long): Int =
+  private[graft] def sizedParts(stateRows: Long): Int =
     sys.env.get("GRAFT_STREAM_PARTS").map(_.toInt).getOrElse(
       math.min(32L, math.max(4L, stateRows / 65536L)).toInt)
 

@@ -136,8 +136,12 @@ class ProductQuantizerSpec extends SparkSpec {
 
   test("knnIvfPq shortlist truly bounds the exact rerank (rerank=1 returns the ADC argmin)") {
     val (ix, withCell, cents, cb, codes) = ivfpqStructures
+    // k = rerank = n: the UNRERANKED full candidate set — the expected
+    // ADC argmin must come from ALL candidates, not the cosine top-10
+    // (the ADC argmin can fall outside the exact top-10 under PQ
+    // quantization error, which made the old form spuriously fail)
     val full = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
-        cents, codes, cb, Seq(0L), 10, nprobe = ix.k1 * ix.k2, rerank = n.toInt)
+        cents, codes, cb, Seq(0L), n.toInt, nprobe = ix.k1 * ix.k2, rerank = n.toInt)
       .select("query_id", "nn_id", "adc_dist")
       .as[(Long, Long, Double)].collect()
     val one = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
