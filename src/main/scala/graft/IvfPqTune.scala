@@ -48,7 +48,7 @@ object IvfPqTune {
         cents, cb).localCheckpoint()
       for (rerank <- Seq(50, 100, 200)) {
         val df = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
-          cents, codes, cb, queries, 10, np, rerank)
+          cents, codes, cb, queries, 10, np, rerank, kCb = kCode)
         val got = df.select("query_id", "nn_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (got & truth).size.toDouble / truth.size

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.ann.Ann
 import graft.sources.Tables
 
@@ -99,14 +100,39 @@ object NprobeSweep {
            |     "recall_at_$k": $recall%.3f, "model_pred": $pred%.3f,
            |     "median_s": $lat%.3f}""".stripMargin
       }
+      // r12: the production a4 path is the HIERARCHICAL probe — pin
+      // its probed set and recall against the flat scan at the rule's
+      // operating point, and record the centroid-scan row counts
+      val gp = Ann.recommendedGroupProbe(ix.k1)
+      val qdf = withCell.filter(col("vec_id").isin(queries: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint()
+      val flatSet = Ann.probedCellsFlat(qdf, cents, opPoint)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hierSet = Ann.probedCellsHier(qdf, cents, ix.k2, opPoint, gp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hierDf = Ann.knnIvfProbeHier(withCell, "vec_id", "embedding",
+        "cell", cents, ix.k2, queries, k, opPoint, gp)
+      val hierGot = hierDf.select("query_id", "nn_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hierRecall = (hierGot & truth).size.toDouble / truth.size
+      val hierLat = med3(hierDf.count())
       ix.asg.unpersist()
       println(f"[$sfDir] cells=$cells op nprobe=$opPoint recall=$opRecall%.2f " +
+        f"hier recall=$hierRecall%.2f probed-set equal=${hierSet == flatSet} " +
+        f"scan rows ${cells} -> ${ix.k1 + gp * ix.k2} " +
         f"max|measured-pred|=$maxAbsErr%.3f")
       s"""  {"sf_dir": "$sfDir", "n": $n, "cells": $cells,
          |   "recommended_nprobe": $opPoint,
          |   "recommended_frac": ${f"${opPoint.toDouble / cells}%.4f"},
          |   "recall_at_recommended": ${f"$opRecall%.3f"},
          |   "median_s_at_recommended": ${f"$opLat%.3f"},
+         |   "hier_group_probe": $gp,
+         |   "hier_recall_at_recommended": ${f"$hierRecall%.3f"},
+         |   "hier_median_s_at_recommended": ${f"$hierLat%.3f"},
+         |   "hier_probed_set_equals_flat": ${hierSet == flatSet},
+         |   "centroid_scan_rows_flat": $cells,
+         |   "centroid_scan_rows_hier": ${ix.k1 + gp * ix.k2},
          |   "max_abs_err_vs_model": ${f"$maxAbsErr%.3f"},
          |   "points": [
          |${rows.mkString(",\n")}
@@ -151,14 +177,18 @@ object NprobeSweep {
       var a9OpRecall = -1.0; var a9OpLat = -1.0
       var a4OpRecall = -1.0; var a4OpLat = -1.0
       val pointRows = nprobes.map { nprobe =>
+        val gp = Ann.hierGroupProbe(ix.k1, ix.k2, nprobe)
         val ivf = Ann.knnIvfProbeCentroids(withCell, "vec_id", "embedding",
           "cell", cents, queries, k, nprobe)
         val gotIvf = ivf.select("query_id", "nn_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val rIvf = (gotIvf & truth).size.toDouble / truth.size
         val lIvf = med3(ivf.count())
+        // the PQ leg runs the PRODUCTION a9 path: hierarchical probe
+        // (stage-1 groups per the 2x-budget rule) + packed-code ADC
         val pq = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
-          cents, codes, cb, queries, k, nprobe)
+          cents, codes, cb, queries, k, nprobe,
+          k2 = ix.k2, groupProbe = gp)
         val gotPq = pq.select("query_id", "nn_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val rPq = (gotPq & truth).size.toDouble / truth.size
@@ -168,23 +198,46 @@ object NprobeSweep {
           a9OpRecall = rPq; a9OpLat = lPq
           a4OpRecall = rIvf; a4OpLat = lIvf
         }
-        println(f"[clustered] nprobe=$nprobe%3d f=$f%.3f " +
+        println(f"[clustered] nprobe=$nprobe%3d f=$f%.3f gp=$gp%2d " +
           f"ivf_recall=$rIvf%.3f (${lIvf}%.2fs) ivfpq_recall=$rPq%.3f (${lPq}%.2fs)" +
           (if (nprobe == a9Op) "  <- ivfPqNprobe" else ""))
-        f"""    {"nprobe": $nprobe, "frac_cells": $f%.4f,
+        f"""    {"nprobe": $nprobe, "frac_cells": $f%.4f, "group_probe": $gp,
            |     "ivf_exact_recall_at_$k": $rIvf%.3f, "ivf_exact_median_s": $lIvf%.3f,
            |     "ivfpq_recall_at_$k": $rPq%.3f, "ivfpq_median_s": $lPq%.3f}""".stripMargin
       }
+      // flat-coarse twin at the operating point: the recall delta the
+      // hierarchical stage costs (claim: none), and the probed sets
+      val a9Gp = Ann.hierGroupProbe(ix.k1, ix.k2, a9Op)
+      val qdf = withCell.filter(col("vec_id").isin(queries: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+        .localCheckpoint()
+      val flatSet = Ann.probedCellsFlat(qdf, cents, a9Op)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hierSet = Ann.probedCellsHier(qdf, cents, ix.k2, a9Op, a9Gp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pqFlat = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb, queries, k, a9Op)
+      val gotFlat = pqFlat.select("query_id", "nn_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rFlat = (gotFlat & truth).size.toDouble / truth.size
       ix.asg.unpersist()
-      println(f"[clustered] cells=$cells a9 op nprobe=$a9Op " +
-        f"ivfpq recall=$a9OpRecall%.3f (claim: >=0.8 at frac<=0.2)")
+      println(f"[clustered] cells=$cells a9 op nprobe=$a9Op gp=$a9Gp " +
+        f"ivfpq recall=$a9OpRecall%.3f flat-coarse twin=$rFlat%.3f " +
+        f"probed-set equal=${hierSet == flatSet} " +
+        f"scan rows ${cells} -> ${ix.k1 + a9Gp * ix.k2} " +
+        f"(claim: >=0.85 at frac<=0.05)")
       s"""  {"corpus": "planted_gaussian_clusters",
          |   "n": $n, "clusters": $nClusters, "per_cluster": $perCluster,
          |   "noise_sigma": $noise, "seed": 1234567, "cells": $cells,
          |   "a9_nprobe": $a9Op,
          |   "a9_frac": ${f"${a9Op.toDouble / cells}%.4f"},
+         |   "a9_group_probe": $a9Gp,
          |   "a9_ivfpq_recall": ${f"$a9OpRecall%.3f"},
          |   "a9_ivfpq_median_s": ${f"$a9OpLat%.3f"},
+         |   "a9_flat_coarse_twin_recall": ${f"$rFlat%.3f"},
+         |   "a9_hier_probed_set_equals_flat": ${hierSet == flatSet},
+         |   "centroid_scan_rows_flat": $cells,
+         |   "centroid_scan_rows_hier": ${ix.k1 + a9Gp * ix.k2},
          |   "a4_exact_recall_at_same_frac": ${f"$a4OpRecall%.3f"},
          |   "a4_exact_median_s_at_same_frac": ${f"$a4OpLat%.3f"},
          |   "points": [
@@ -194,7 +247,7 @@ object NprobeSweep {
 
     val json =
       s"""{"sweep": "IVF recall@10 vs probed-cell fraction: a4 rule on uniform corpora + a9 IVFPQ on a clustered corpus",
-         |"model": "uniform: recall(f) = 1 - (1-f)^$Exp, operating point f = 449/1000; clustered: a9 operating point f = 1/5",
+         |"model": "uniform: recall(f) = 1 - (1-f)^$Exp, operating point f = 449/1000; clustered: a9 operating point max(${Ann.IvfPqProbeCells}, ceil(cells/${Ann.IvfPqFloorDen})) cells via the hierarchical probe",
          |"queries": ${queries.size}, "k": $k,
          |"sweeps": [
          |${sections.mkString(",\n")}

@@ -516,22 +516,29 @@ object SparkEntry {
 
     // IVF with the nprobe accuracy knob: probe the nearest coarse
     // cells by decimal-exact centroid cosine, exact rerank within
-    // them — the (id, vec, cell) table AND the centroids are shared
-    // corpus-level artifacts (CellIndexCache), not per-query jobs.
+    // them — the (id, vec, cell) table, the centroids, AND the
+    // level-0 group centroids are shared corpus-level artifacts
+    // (CellIndexCache), not per-query jobs.
     // nprobe is NOT a constant: it follows the recall-targeted rule
     // (⌈0.449·cells⌉ — Ann.recommendedNprobe), so recall@10 holds
     // FLAT (0.76/0.74 at sf0.01/sf0.1 over 25 query ids) as the cell
     // count grows with the corpus instead of decaying the way a fixed
     // probe count does (0.48 → 0.20 in ANN_SWEEP_r8; rule swept in
-    // ANN_SWEEP_r11)
+    // ANN_SWEEP_r11). The coarse stage is the 2-stage HIERARCHICAL
+    // probe (rank k1 groups, rank cells only within the top
+    // ⌈0.449·k1⌉+1): cell ranking becomes an equi-join on the group
+    // key instead of a per-query scan of all k1·k2 centroids
+    // (ANN_SWEEP_r12: recall at the rule unchanged vs the flat scan)
     "a4_ivf_nprobe" -> ((s, d) => {
       val ix = graft.ann.CellIndexCache.embeddings(s, d)
-      Ann.knnIvfProbeCentroids(
+      Ann.knnIvfProbeHier(
         graft.ann.CellIndexCache.embeddingsWithCell(s, d),
         "vec_id", "embedding", "cell",
-        graft.ann.CellIndexCache.centroids(s, d),
+        graft.ann.CellIndexCache.centroids(s, d), ix.k2,
         Seq(0L, 1L, 2L, 3L, 4L), 10,
-        Ann.recommendedNprobe(ix.k1.toLong * ix.k2))
+        Ann.recommendedNprobe(ix.k1.toLong * ix.k2),
+        Ann.recommendedGroupProbe(ix.k1),
+        Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
     }),
 
     // exact cosine RANGE search (radius query): one corpus pass for
@@ -567,25 +574,33 @@ object SparkEntry {
         graft.ann.CellIndexCache.rawPqCodes(s, d),
         Seq(0L, 1L, 2L, 3L, 4L))),
 
-    // true IVFPQ (a4 × a8): coarse-probe ⌈cells/5⌉ cells (the ≤0.2
-    // probed fraction the clustered-corpus sweep targets), score the
-    // probed cells' CODE rows via the broadcast ADC distance table
-    // (integer micro-distances, no vector reads), exact-cosine rerank
-    // only the top-200 shortlist (constant per query — the
-    // (codebook=64, rerank=200) knee measured by IvfPqTune on the
-    // planted-cluster corpus). All three structures — cells,
-    // centroids, PQ codes — are shared corpus artifacts
+    // true IVFPQ (a4 × a8): coarse-probe a CONSTANT
+    // max(12, ⌈cells/50⌉) cells through the 2-stage hierarchical
+    // probe (rank k1 level-0 groups, then only the top groups' leaf
+    // centroids — O(√cells) coarse cosines per query instead of the
+    // flat k1·k2 scan), score the probed cells' PACKED code words
+    // via m in-row lookups into the broadcast per-(query,cell) ADC
+    // table (one row per candidate — no per-subspace fan-out, no
+    // aggregation shuffle), exact-cosine rerank only the top-200
+    // shortlist (constant per query — the (codebook=64, rerank=200)
+    // knee measured by IvfPqTune on the planted-cluster corpus, where
+    // recall saturates by probed fraction ≈0.02 so a constant probe
+    // holds ≥0.85; ANN_SWEEP_r12). All structures — cells, centroids,
+    // group centroids, PQ codes — are shared corpus artifacts
     // (CellIndexCache), not per-query jobs.
     "a9_ivfpq" -> ((s, d) => {
       val ix = graft.ann.CellIndexCache.embeddings(s, d)
+      val np = Ann.ivfPqNprobe(ix.k1.toLong * ix.k2)
       Ann.knnIvfPq(
         graft.ann.CellIndexCache.embeddingsWithCell(s, d),
         "vec_id", "embedding", "cell",
         graft.ann.CellIndexCache.centroids(s, d),
         graft.ann.CellIndexCache.pqCodes(s, d),
         graft.ann.CellIndexCache.pqCodebook(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10,
-        Ann.ivfPqNprobe(ix.k1.toLong * ix.k2))
+        Seq(0L, 1L, 2L, 3L, 4L), 10, np,
+        k2 = ix.k2,
+        groupProbe = Ann.hierGroupProbe(ix.k1, ix.k2, np),
+        gvec = Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
     }),
 
     // ---- F. text analysis ------------------------------------------------
@@ -2121,10 +2136,14 @@ object SparkEntry {
 
       // centroid components are DECIMAL-exact means (order-independent,
       // so both engines get bit-identical centroids) over the SHARED
-      // corpus-proportional coarse cells; probe the recall-targeted
-      // ⌈0.449·cells⌉ nearest cells (Ann.recommendedNprobe — SAME
-      // IEEE literal product both engines) by rounded centroid cosine
-      // (ties by cell id), exact rerank within them
+      // corpus-proportional coarse cells; the coarse stage is the
+      // 2-stage HIERARCHICAL probe — rank the k1 level-0 GROUP
+      // centroids (decimal-exact means of each group's cell
+      // centroids), keep the top ⌈0.449·k1⌉+1 groups, rank ONLY those
+      // groups' cells, keep the recall-targeted ⌈0.449·cells⌉
+      // (Ann.recommendedNprobe / recommendedGroupProbe — SAME integer
+      // arithmetic both engines) by rounded cosine (ties by id at
+      // both stages), exact rerank within the probed cells
       "a4_ivf_nprobe" ->
         s"""WITH $cellCtes,
           |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
@@ -2132,21 +2151,32 @@ object SparkEntry {
           |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
           |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
           |    range(1, 65) t(j)),
-          |cvec AS (
-          |  SELECT cell, list(cv ORDER BY i) AS c_vec FROM (
-          |    SELECT cell, i,
-          |      CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
-          |    FROM comp GROUP BY cell, i) GROUP BY cell),
+          |cvc AS (SELECT cell, i,
+          |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+          |  FROM comp GROUP BY cell, i),
+          |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
+          |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
+          |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
+          |  FROM cvc GROUP BY 1, 2),
+          |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
           |q AS (SELECT vec_id AS query_id, embedding AS q_emb
           |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |tg AS (
+          |  SELECT query_id, grp FROM (
+          |    SELECT q.query_id, g.grp,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        ${cosSql("q.q_emb", "g.g_vec")} DESC, g.grp) AS gr
+          |    FROM q CROSS JOIN gvec g)
+          |  WHERE gr <= (SELECT least(k1, greatest(1,
+          |    (${graft.ann.Ann.RecallNprobeNum} * k1 + ${graft.ann.Ann.RecallNprobeDen - 1})
+          |      // ${graft.ann.Ann.RecallNprobeDen} + 1)) FROM par)),
           |probed AS (
           |  SELECT query_id, q_emb, cell FROM (
-          |    SELECT q.query_id, q.q_emb, c.cell,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
-          |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.cell) AS cr
-          |    FROM q CROSS JOIN cvec c)
+          |    SELECT t.query_id, q.q_emb, c.cell,
+          |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+          |        ${cosSql("q.q_emb", "c.c_vec")} DESC, c.cell) AS cr
+          |    FROM tg t JOIN q ON q.query_id = t.query_id
+          |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
           |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
           |    (${graft.ann.Ann.RecallNprobeNum} * k1 * k2 + ${graft.ann.Ann.RecallNprobeDen - 1})
           |      // ${graft.ann.Ann.RecallNprobeDen})) FROM par))
@@ -2233,37 +2263,53 @@ object SparkEntry {
            |JOIN embeddings c ON c.vec_id = rk.nn_id
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-      // true IVFPQ = a4's probe CTEs × a8's PQ CTEs: coarse-probe
-      // ⌈cells/5⌉ cells by decimal-exact rounded centroid cosine,
+      // true IVFPQ = a4's hierarchical probe CTEs × a8's PQ CTEs:
+      // coarse-probe a CONSTANT max(12, ⌈cells/50⌉) cells (rank k1
+      // level-0 group centroids, keep enough groups to seat 2× the
+      // cell budget, rank only their cells — Ann.ivfPqNprobe /
+      // hierGroupProbe, same integer arithmetic both engines),
       // ADC-score only the probed cells' candidates (integer
       // micro-distance sums, ties by nn_id), exact-cosine rerank of
       // the top-200 ADC shortlist — every ranking rule identical to the
       // Spark side digit-for-digit
       "a9_ivfpq" ->
         s"""WITH $cellCtes,
+          |a9np AS (SELECT k1, k2, least(k1 * k2, greatest(1,
+          |    greatest(${graft.ann.Ann.IvfPqProbeCells},
+          |      (k1 * k2 + ${graft.ann.Ann.IvfPqFloorDen - 1})
+          |        // ${graft.ann.Ann.IvfPqFloorDen}))) AS np FROM par),
+          |a9gp AS (SELECT least(k1, greatest(${graft.ann.Ann.HierGroupFloor},
+          |    (2 * np + k2 - 1) // k2)) AS gp FROM a9np),
           |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
           |comp AS (
           |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
           |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
           |    range(1, 65) t(j)),
-          |cvec AS (
-          |  SELECT cell, list(cv ORDER BY i) AS c_vec FROM (
-          |    SELECT cell, i,
-          |      CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
-          |    FROM comp GROUP BY cell, i) GROUP BY cell),
+          |cvc AS (SELECT cell, i,
+          |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+          |  FROM comp GROUP BY cell, i),
+          |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
+          |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
+          |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
+          |  FROM cvc GROUP BY 1, 2),
+          |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
           |q AS (SELECT vec_id AS query_id, embedding AS q_emb
           |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |tg AS (
+          |  SELECT query_id, grp FROM (
+          |    SELECT q.query_id, g.grp,
+          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |        ${cosSql("q.q_emb", "g.g_vec")} DESC, g.grp) AS gr
+          |    FROM q CROSS JOIN gvec g)
+          |  WHERE gr <= (SELECT gp FROM a9gp)),
           |probed AS (
           |  SELECT query_id, cell FROM (
-          |    SELECT q.query_id, c.cell,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        round(list_dot_product(CAST(q.q_emb AS DOUBLE[]), c.c_vec)
-          |          / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
-          |           * sqrt(list_dot_product(c.c_vec, c.c_vec))), 6) DESC, c.cell) AS cr
-          |    FROM q CROSS JOIN cvec c)
-          |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
-          |    (k1 * k2 + ${graft.ann.Ann.IvfPqNprobeDen - 1})
-          |      // ${graft.ann.Ann.IvfPqNprobeDen})) FROM par)),
+          |    SELECT t.query_id, c.cell,
+          |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+          |        ${cosSql("q.q_emb", "c.c_vec")} DESC, c.cell) AS cr
+          |    FROM tg t JOIN q ON q.query_id = t.query_id
+          |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
+          |  WHERE cr <= (SELECT np FROM a9np)),
           |mm AS (SELECT unnest(range(8)) AS m),
           |rv AS (SELECT e.vec_id, cl.cell,
           |    [CAST(e.embedding[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec

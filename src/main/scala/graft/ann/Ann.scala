@@ -193,12 +193,20 @@ object Ann {
       id, "__cid", "__rvec", m)
       .withColumnRenamed("__sub", "__csub")
 
-  /** The IVFPQ inverted-list code table (c_cell, __vid, __m, __code):
-    * residual-encoded, cell-indexed — probing a cell reads exactly
-    * that cell's code rows (a broadcast equi-join on the cell key; at
-    * scale the table is bucketed BY CELL, FAISS's inverted-list file
-    * layout). ONE corpus scan against the broadcast residual codebook;
-    * a corpus-level artifact ([[CellIndexCache.pqCodes]]). */
+  /** The IVFPQ inverted-list code table (c_cell, __vid, __codes):
+    * residual-encoded, cell-indexed, PACKED one row per vector —
+    * `__codes` is the m-element array of argmin sub-centroid ids in
+    * subspace order, i.e. the FAISS m-byte PQ code word as one value.
+    * Packed rather than one row per (vector, subspace): the r11
+    * per-subspace layout made the ADC join move m=8 rows per candidate
+    * and pay a (query, candidate) aggregation to sum them — 8× the
+    * join volume plus a shuffle for what is m integer lookups per
+    * candidate (the r11 verdict's named overhead). Probing a cell
+    * reads exactly that cell's code rows (a broadcast equi-join on the
+    * cell key; at scale the table is bucketed BY CELL, FAISS's
+    * inverted-list file layout). ONE corpus scan against the broadcast
+    * residual codebook; a corpus-level artifact
+    * ([[CellIndexCache.pqCodes]]). */
   def ivfPqCodes(embWithCell: DataFrame, id: String, vec: String,
                  cell: String, centroids: DataFrame, codebook: DataFrame,
                  m: Int = 8): DataFrame = {
@@ -213,8 +221,10 @@ object Ann {
       .groupBy(col("__vid"), col("c_cell"), col("__m"))
       .agg(min(struct(pqMicroDist(col("__sub"), col("__csub")).as("d"),
         col("__cid").as("c"))).as("__best"))
-      .select(col("c_cell"), col("__vid"), col("__m"),
-        col("__best.c").as("__code"))
+      .groupBy(col("c_cell"), col("__vid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__m"), col("__best.c").as("c")))),
+        s => s.getField("c")).as("__codes"))
   }
 
   /** Per-(query, probed cell) ADC distance table
@@ -242,6 +252,22 @@ object Ann {
         col("__cid").as("__code"),
         pqMicroDist(col("__sub"), col("__csub")).as("__d"))
   }
+
+  /** [[ivfPqDistanceTable]] PACKED one row per (query, probed cell):
+    * `__dtab` is the m·kCb-long flat lookup table indexed
+    * __m·kCb + __code — the layout that lets the ADC join carry ONE
+    * row per candidate and score it with m in-row array lookups
+    * instead of an 8-way join + aggregation. q·nprobe rows of m·kCb
+    * longs (8·64 = 512 per row at the defaults) — broadcast. */
+  def ivfPqDistanceTablePacked(queries: DataFrame, probed: DataFrame,
+                               centroids: DataFrame, codebook: DataFrame,
+                               m: Int, kCb: Int): DataFrame =
+    ivfPqDistanceTable(queries, probed, centroids, codebook, m)
+      .groupBy(col("query_id"), col("c_cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("__m") * kCb + col("__code")).as("pos"), col("__d")))),
+        s => s.getField("__d")).as("__dtab"))
 
   /** Per-query ADC distance table (query_id, __m, __cid, __d):
     * q·m·k rows of precomputed query↔sub-centroid micro-distances —
@@ -443,24 +469,154 @@ object Ann {
         s => s.getField("cv")).as("c_vec"))
   }
 
-  /** [[knnIvfProbe]] over pre-built centroids. */
-  def knnIvfProbeCentroids(emb: DataFrame, id: String, vec: String, cell: String,
-                           centroids: DataFrame,
-                           queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
-    val queries = emb.filter(col(id).isin(queryIds: _*))
-      .select(col(id).as("query_id"), col(vec).as("q_vec"),
-        Vec.normNative(col(vec)).as("q_nrm"))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("c_cell"),
+  /** Per-query probed cells (query_id, c_cell) by a FLAT scan of all
+    * leaf centroids: rounded centroid cosine desc, ties by cell id —
+    * the r11 coarse stage, kept as the reference the hierarchical
+    * probe is spec-pinned against. Per query it touches every one of
+    * the k1·k2 ≈ n/64 centroids — linear-in-n coarse cost, which is
+    * why the production probes route through [[probedCellsHier]]. */
+  def probedCellsFlat(queries: DataFrame, centroids: DataFrame,
+                      nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("c_cell"),
         Vec.cosine(col("q_vec"), col("c_vec")).as("c_cos"))
       .withColumn("c_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("c_cos").desc, col("c_cell").asc)))
       .filter(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("c_cell"))
+      .select(col("query_id"), col("c_cell"))
+
+  /** Level-0 GROUP centroids (g_grp, g_vec): the decimal-exact mean of
+    * the group's leaf-cell centroids, grouped by the level-0 anchor
+    * component g = cell div k2 of the 2-level product key (cell =
+    * idx0·k2 + idx1). A corpus-level artifact like [[ivfCentroids]]
+    * itself: k1 rows derived from the cells-sized centroid table (one
+    * narrow aggregation — never a corpus scan), cached next to the
+    * centroids ([[CellIndexCache.groupCentroids]]). Unweighted mean of
+    * cell centroids, not of rows: the group vector only RANKS groups
+    * (stage 1 of the hierarchical probe); candidate selection below it
+    * is still leaf-centroid-exact. */
+  def groupCentroids(centroids: DataFrame, k2: Int): DataFrame =
+    centroids
+      .select(expr(s"c_cell div $k2").as("g_grp"), posexplode(col("c_vec")))
+      .groupBy(col("g_grp"), col("pos"))
+      .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("gv"))
+      .groupBy(col("g_grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos").as("i"), col("gv")))),
+        s => s.getField("gv")).as("g_vec"))
+
+  /** Per-query probed cells via the 2-stage HIERARCHICAL coarse probe —
+    * the scale fix for the flat centroid scan (the one remaining
+    * linear-in-n query cost at the 10⁹-vector target: k1·k2 ≈ n/64
+    * centroids is a ~16M-row broadcast + per-query 16M-row crossJoin
+    * there). Stage 1 ranks the k1 level-0 GROUP centroids
+    * ([[groupCentroids]]) by rounded cosine (ties by group id) and
+    * keeps the top `groupProbe`; stage 2 ranks ONLY those groups' leaf
+    * centroids — an EQUI-join on the group key, so with the centroid
+    * table bucketed by group a query batch reads groupProbe groups'
+    * partitions, never the full table. Per-query coarse cost drops
+    * from k1·k2 to k1 + groupProbe·k2 ≈ O(√cells) when groupProbe is
+    * O(1) (a9's constant-count probe) — the two-level analog of the
+    * IMI/[[coarseCellParamsL]] construction, applied at query time.
+    *
+    * Same determinism treatment as the flat probe at both stages
+    * (6-dp rounded decimal-exact centroid cosines, integer
+    * tie-breaks), so the DuckDB oracle reproduces the probed set
+    * bit-for-bit. The probed SET can differ from the flat scan's when
+    * a top-nprobe cell hides in a group ranked below `groupProbe` —
+    * rare by construction (a cell near the query pulls its group mean
+    * toward the query); measured on the sweep corpora the recall at
+    * the operating points is unchanged (ANN_SWEEP_r12). */
+  def probedCellsHier(queries: DataFrame, centroids: DataFrame, k2: Int,
+                      nprobe: Int, groupProbe: Int,
+                      gvec: Option[DataFrame] = None): DataFrame = {
+    val topGroups = queries.crossJoin(
+        broadcast(gvec.getOrElse(groupCentroids(centroids, k2))))
+      .select(col("query_id"), col("g_grp"),
+        Vec.cosine(col("q_vec"), col("g_vec")).as("g_cos"))
+      .withColumn("g_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("g_cos").desc, col("g_grp").asc)))
+      .filter(col("g_rank") <= groupProbe)
+      .select(col("query_id"), col("g_grp"))
+    val qg = topGroups.join(queries, Seq("query_id"))
+    centroids.withColumn("g_grp", expr(s"c_cell div $k2"))
+      .join(broadcast(qg), Seq("g_grp"))
+      .select(col("query_id"), col("c_cell"),
+        Vec.cosine(col("q_vec"), col("c_vec")).as("c_cos"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_cos").desc, col("c_cell").asc)))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("c_cell"))
+  }
+
+  /** Stage-1 width for a9's hierarchical probe: enough groups to seat
+    * 2× the cell budget (a 2× margin against partially-occupied
+    * groups), never fewer than 4 groups, capped at k1. The floor is
+    * MEASURED, not a guess: on the planted-cluster sweep corpus the
+    * op-point recall reads 0.824 at 2 groups vs the 0.864 shortlist
+    * ceiling at 4 (a true cluster's cells straddle 3+ level-0 groups
+    * often enough to matter; more groups add nothing —
+    * ANN_SWEEP_r12). Pure integer arithmetic — mirrored
+    * digit-for-digit by the DuckDB oracle. */
+  val HierGroupFloor = 4L
+
+  def hierGroupProbe(k1: Int, k2: Int, nprobe: Int): Int = {
+    val need = (2L * nprobe + k2 - 1) / k2
+    math.min(k1.toLong, math.max(HierGroupFloor, need)).toInt
+  }
+
+  /** Stage-1 width for a4's hierarchical probe: the recall fraction
+    * applied at GROUP granularity plus one margin group — top
+    * ⌈449·k1/1000⌉+1 groups seat ≈ the ⌈449·cells/1000⌉ cell budget
+    * with one group of slack for boundary cells. */
+  def recommendedGroupProbe(k1: Int,
+                            fracNum: Long = RecallNprobeNum,
+                            fracDen: Long = RecallNprobeDen): Int = {
+    val frac = (fracNum * k1 + fracDen - 1) / fracDen
+    math.min(k1.toLong, math.max(1L, frac + 1L)).toInt
+  }
+
+  /** [[knnIvfProbe]] over pre-built centroids — flat coarse scan. */
+  def knnIvfProbeCentroids(emb: DataFrame, id: String, vec: String, cell: String,
+                           centroids: DataFrame,
+                           queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val queries = ivfQueries(emb, id, vec, queryIds)
+    knnIvfProbeFrom(emb, id, vec, cell, queries,
+      probedCellsFlat(queries, centroids, nprobe), k)
+  }
+
+  /** [[knnIvfProbeCentroids]] with the hierarchical coarse stage —
+    * the production a4 path (probed set ranked within the top
+    * [[recommendedGroupProbe]] groups only). */
+  def knnIvfProbeHier(emb: DataFrame, id: String, vec: String, cell: String,
+                      centroids: DataFrame, k2: Int,
+                      queryIds: Seq[Long], k: Int, nprobe: Int,
+                      groupProbe: Int,
+                      gvec: Option[DataFrame] = None): DataFrame = {
+    val queries = ivfQueries(emb, id, vec, queryIds)
+    knnIvfProbeFrom(emb, id, vec, cell, queries,
+      probedCellsHier(queries, centroids, k2, nprobe, groupProbe, gvec), k)
+  }
+
+  /** The broadcast (query_id, q_vec, q_nrm) probe side. */
+  private def ivfQueries(emb: DataFrame, id: String, vec: String,
+                         queryIds: Seq[Long]): DataFrame =
+    emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
+
+  /** Exact rerank within a (query_id, c_cell) probed-cell table —
+    * the stage downstream of either coarse probe. */
+  private def knnIvfProbeFrom(emb: DataFrame, id: String, vec: String,
+                              cell: String, queries: DataFrame,
+                              probed: DataFrame, k: Int): DataFrame = {
     val corpus = emb.select(col(id).as("nn_id"), col(vec).as("nn_vec"),
       col(cell).as("c_cell"), Vec.normNative(col(vec)).as("nn_nrm"))
-    val scored = corpus.join(broadcast(probed), Seq("c_cell"))
+    val scored = corpus
+      .join(broadcast(probed.join(queries, Seq("query_id"))), Seq("c_cell"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
@@ -472,11 +628,25 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** a9's probed-cell fraction: 1/5 of the cells — the ≤0.2 operating
-    * point the clustered-corpus sweep targets (recall ≥ 0.8 there;
-    * ANN_SWEEP_r11 clustered leg). Integer arithmetic (⌈cells/5⌉) so
-    * the JVM and the DuckDB oracle agree bit-for-bit. */
-  val IvfPqNprobeDen = 5L
+  /** a9's probed-cell COUNT target: a CONSTANT number of cells, not a
+    * corpus fraction. On clustered corpora — a9's use case — recall
+    * saturates by probed fraction ≈ 0.02 (ANN_SWEEP_r11 clustered leg:
+    * 0.856 at f=0.022, flat to f=1.0), so the r11 ⌈cells/5⌉ rule spent
+    * probed work LINEAR in corpus size buying nothing: a query's true
+    * neighbors live in its own cluster's handful of cells however big
+    * the corpus is. 12 cells ≈ 770 candidate rows at the 64-row cell
+    * target — measured ≥ 0.85 recall@10 on the planted-cluster corpus
+    * (ANN_SWEEP_r12) at f = 12/324 ≈ 0.037. */
+  val IvfPqProbeCells = 12L
+
+  /** The fraction FLOOR under the constant count: ⌈cells/50⌉ = the
+    * measured clustered-recall saturation fraction (f ≈ 0.02). It only
+    * engages above 600 cells (~38k vectors) and keeps the probe from
+    * shrinking to a vanishing fraction on corpora whose clusters are
+    * weak — on a truly UNIFORM corpus no sublinear probe holds recall
+    * (corpus physics; a4's ⌈0.449·cells⌉ exact-rerank rule is the
+    * uniform-corpus answer, documented there). */
+  val IvfPqFloorDen = 50L
 
   /** ADC shortlist width per query before the exact-cosine rerank,
     * and the residual codebook size per subspace. Jointly measured on
@@ -492,15 +662,15 @@ object Ann {
   /** Residual sub-centroids per subspace (see [[IvfPqRerank]]). */
   val IvfPqCodebookK = 64
 
-  /** ⌈cells/[[IvfPqNprobeDen]]⌉ clamped to [1, cells] (and to Int
-    * before narrowing — same overflow guard as [[recommendedNprobe]]).
-    * Ceil-div written overflow-free: `cells + den - 1` wraps negative
-    * near Long.MaxValue. */
+  /** max([[IvfPqProbeCells]], ⌈cells/[[IvfPqFloorDen]]⌉) clamped to
+    * [1, cells] (and to Int before narrowing — same overflow guard as
+    * [[recommendedNprobe]]). Ceil-div written overflow-free:
+    * `cells + den - 1` wraps negative near Long.MaxValue. */
   def ivfPqNprobe(cells: Long): Int = {
-    val ceilDiv =
-      cells / IvfPqNprobeDen + (if (cells % IvfPqNprobeDen == 0L) 0L else 1L)
+    val floorDiv =
+      cells / IvfPqFloorDen + (if (cells % IvfPqFloorDen == 0L) 0L else 1L)
     math.min(Int.MaxValue.toLong,
-      math.max(1L, math.min(cells, ceilDiv))).toInt
+      math.max(1L, math.min(cells, math.max(IvfPqProbeCells, floorDiv)))).toInt
   }
 
   /** True IVFPQ: IVF coarse probe + PQ/ADC candidate scoring + exact
@@ -508,22 +678,27 @@ object Ann {
     * [[knnIvfProbeCentroids]] (which reranks EVERY row of every probed
     * cell with exact cosine) and [[pqAdc]] (which ADC-scores the whole
     * corpus). This is the scale shape FAISS ships as IndexIVFPQ +
-    * refine: the probe touches nprobe cells' CODE rows (m small ints
-    * per vector — no embedding is read for candidates), ADC scoring is
-    * an integer equi-join against the broadcast distance table, and
+    * refine: the probe touches nprobe cells' CODE rows (one packed
+    * m-int code word per vector — no embedding is read for
+    * candidates), ADC scoring is one broadcast equi-join on the cell
+    * key with m in-row lookups into the packed distance table, and
     * only the top-[[IvfPqRerank]] shortlist per query ever touches
     * real vectors again. Per query the exact-vector work drops from
     * O(probed rows · dims) to O(rerank · dims) + O(probed rows · m)
-    * integer adds — the difference that makes a 0.2 probed fraction
+    * integer adds — the difference that makes a bounded probe
     * affordable at 10⁹ vectors.
     *
     * Why this closes a4's scale concern: a4's recall-targeted rule
     * must probe ~45% of a UNIFORM corpus (corpus physics — recall is
     * bought with probed fraction when true neighbors are unclustered),
     * and exact-reranking 45% of the corpus per query is a near-scan.
-    * On clustered corpora (the real case) a 1/5-fraction probe holds
-    * recall ≥ 0.8 (ANN_SWEEP_r11 planted-Gaussian leg) and the ADC
-    * integer path prices the probed rows at m byte-codes each.
+    * On clustered corpora (the real case) a CONSTANT
+    * [[IvfPqProbeCells]]-cell probe holds recall ≥ 0.85
+    * (ANN_SWEEP_r12 planted-Gaussian leg; recall saturates by
+    * f ≈ 0.02 there) and the ADC integer path prices the probed rows
+    * at m byte-codes each — with the hierarchical coarse stage, total
+    * per-query cost is O(√cells) centroid cosines + O(1) candidate
+    * rows.
     *
     * Determinism/oracle: probed-cell choice by 6-dp-rounded
     * decimal-exact centroid cosine (ties by cell id) — a4's rule;
@@ -539,37 +714,45 @@ object Ann {
   def knnIvfPq(emb: DataFrame, id: String, vec: String, cell: String,
                centroids: DataFrame, codes: DataFrame, codebook: DataFrame,
                queryIds: Seq[Long], k: Int, nprobe: Int,
-               rerank: Int = IvfPqRerank, m: Int = 8): DataFrame = {
-    require(codes.columns.contains("c_cell"),
-      "codes must be the cell-indexed residual table (Ann.ivfPqCodes)")
+               rerank: Int = IvfPqRerank, m: Int = 8,
+               kCb: Int = IvfPqCodebookK,
+               k2: Int = 0, groupProbe: Int = 0,
+               gvec: Option[DataFrame] = None): DataFrame = {
+    require(codes.columns.contains("__codes"),
+      "codes must be the PACKED cell-indexed residual table (Ann.ivfPqCodes)")
     val queries = emb.filter(col(id).isin(queryIds: _*))
       .select(col(id).as("query_id"), col(vec).as("q_vec"),
         Vec.normNative(col(vec)).as("q_nrm"))
-    // 1. coarse probe: nprobe nearest cells by rounded centroid cosine
-    val probed = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("c_cell"),
-        Vec.cosine(col("q_vec"), col("c_vec")).as("c_cos"))
-      .withColumn("c_rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("c_cos").desc, col("c_cell").asc)))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("query_id"), col("c_cell"))
-    // 2. ADC: the per-(query, probed cell) residual distance table is
-    //    broadcast; joining the inverted-list code table on
-    //    (c_cell, __m, __code) BOTH restricts candidates to probed
-    //    cells and attaches their per-subspace distances — one
-    //    broadcast equi-join, no corpus-wide id join (at scale the
-    //    code table is partitioned by cell so only probed partitions
-    //    are read); scoring is m integer adds per candidate
+    // 1. coarse probe: nprobe nearest cells by rounded centroid
+    //    cosine — through the 2-stage hierarchical probe when the
+    //    caller passes the product radix (the production a9 path:
+    //    coarse cost k1 + groupProbe·k2 ≈ O(√cells) instead of the
+    //    flat k1·k2 scan)
+    val probed =
+      if (groupProbe > 0) {
+        require(k2 > 0, "hierarchical probe needs the product radix k2")
+        probedCellsHier(queries, centroids, k2, nprobe, groupProbe, gvec)
+      } else probedCellsFlat(queries, centroids, nprobe)
+    // 2. ADC: the per-(query, probed cell) PACKED distance table is
+    //    broadcast; joining the inverted-list code table on c_cell
+    //    restricts candidates to probed cells, and each candidate is
+    //    scored IN-ROW — m integer lookups into the 512-long __dtab
+    //    via its packed m-code array — one broadcast equi-join
+    //    carrying ONE row per candidate, no per-subspace row fan-out,
+    //    no (query, candidate) aggregation shuffle (at scale the code
+    //    table is partitioned by cell so only probed partitions are
+    //    read)
     val dt = broadcast(
-      ivfPqDistanceTable(queries.select(col("query_id"), col("q_vec")),
-        probed, centroids, codebook, m))
+      ivfPqDistanceTablePacked(queries.select(col("query_id"), col("q_vec")),
+        probed, centroids, codebook, m, kCb))
     val adc = codes
-      .join(dt, Seq("c_cell", "__m", "__code"))
+      .join(dt, Seq("c_cell"))
       .filter(col("__vid") =!= col("query_id"))
-      .groupBy(col("query_id"), col("__vid"))
-      .agg(sum(col("__d")).as("__admicro"))
-      .withColumnRenamed("__vid", "nn_id")
+      .select(col("query_id"), col("__vid").as("nn_id"),
+        aggregate(
+          zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("__dtab"), (i * kCb + c + 1).cast("int"))),
+          lit(0L), (acc, d) => acc + d).as("__admicro"))
     val short = adc.withColumn("arn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("__admicro").asc, col("nn_id").asc)))

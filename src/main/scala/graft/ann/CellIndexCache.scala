@@ -110,6 +110,27 @@ object CellIndexCache {
     } else df
   }
 
+  private val groupCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
+
+  /** Level-0 GROUP centroids over [[centroids]] (k1 tiny rows) — stage
+    * 1 of the hierarchical coarse probe a4/a9 share. Derived from the
+    * persisted cell-centroid table (one cells-row aggregation, never a
+    * corpus scan) and persisted itself so a query batch pays neither. */
+  def groupCentroids(spark: SparkSession, dir: String,
+                     id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build() = Ann.groupCentroids(centroids(spark, dir, id, vec),
+        embeddings(spark, dir, id, vec).k2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = groupCentroidCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      groupCentroidCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
   private val pqCodebookCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), org.apache.spark.sql.DataFrame]
   private val pqCodesCache =
@@ -198,7 +219,7 @@ object CellIndexCache {
         ix.asg.unpersist()
     }
     cache.clear()
-    Seq(pairsCache, withCellCache, centroidCache,
+    Seq(pairsCache, withCellCache, centroidCache, groupCentroidCache,
         pqCodebookCache, pqCodesCache,
         rawPqCodebookCache, rawPqCodesCache).foreach { c =>
       c.values.foreach { df =>

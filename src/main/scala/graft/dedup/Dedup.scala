@@ -147,14 +147,87 @@ object Dedup {
     containmentPairsFrom(shinglePostings(docs, id, text, n), tau)
 
   /** [[containmentPairs]] over a prebuilt postings table (see
-    * [[ngramJaccardPairsFrom]]). */
-  def containmentPairsFrom(sh: DataFrame, tau: Double): DataFrame = {
+    * [[ngramJaccardPairsFrom]]), ADAPTIVE between the direct postings
+    * join and the asymmetric PREFIX-FILTERED plan (identical output):
+    * the same df-skew router as [[ngramJaccardPairsFrom]] (one
+    * vocabulary-sized aggregation), because the tradeoff is the same —
+    * the prefix arm pays extra passes (df join + per-doc rank window +
+    * verify join) that only repay when hot shingles dominate the
+    * direct join's Σdf² volume. Exactness does not depend on the
+    * routing decision (both arms spec-pinned equal). */
+  def containmentPairsFrom(sh: DataFrame, tau: Double,
+                           skewThreshold: Double = 0.5): DataFrame = {
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val df2 = (col("__df") * col("__df")).cast("double")
+    val q = dfc.agg(
+        expr("approx_percentile(__df, 0.999)").as("q999"),
+        sum(df2).as("tot"))
+      .head()
+    if (q.isNullAt(0)) return containmentDirect(sh, tau)
+    val q999 = q.getLong(0)
+    val tot = q.getDouble(1)
+    val hot = dfc.filter(col("__df") > q999)
+      .agg(coalesce(sum(df2), lit(0.0))).head().getDouble(0)
+    if (tot == 0.0 || hot / tot < skewThreshold)
+      containmentDirect(sh, tau)
+    else containmentPrefix(sh, dfc, tau)
+  }
+
+  /** The direct containment plan: full postings self-join with the
+    * one-sided size bound (shared ≤ n_b, so C ≥ tau needs
+    * n_b ≥ tau·n_a) — optimal on flat-df corpora, where the prefix
+    * arm's extra passes outweigh its candidate cut (measured at sf1:
+    * direct 22.4s vs prefix 40.6s on the flat-df documents corpus —
+    * the d4 2.4× result's containment analog; NOTES_r12). */
+  private[graft] def containmentDirect(sh: DataFrame, tau: Double): DataFrame = {
     val id = sh.columns.head
     val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") >= lit(tau) * col("n_a"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_a"), 6))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "shared", "n_a", "containment")
+  }
+
+  /** The asymmetric prefix-filtered containment plan — the
+    * [[jaccardPrefix]] analog for C(A→B) ≥ tau. The prefix lemma
+    * applies on the PROBE side only: C ≥ tau forces overlap
+    * o ≥ tau·n_a, so A must share one of its ⌊(1−tau)·n_a⌋+1
+    * globally-RAREST shingles (same (df, shingle) total order, same
+    * +1e-6 round-6 slack) with B — hot boilerplate shingles never
+    * enter the candidate join from the probe side. The BUILD side
+    * has no usable prefix: o depends on n_a, not n_b, and the only
+    * per-pair-independent bound (o ≥ 1) is vacuous — so B joins with
+    * its full postings and the candidate volume is
+    * Σ_s df_prefix(s)·df(s) instead of Σ_s df(s)². df=1 probe-prefix
+    * entries only ever meet A itself and are dropped (lossless: if
+    * ALL of A's prefix is corpus-unique, no B shares the required
+    * overlap). Candidates are verified with the exact overlap count,
+    * as in [[jaccardPrefix]]. */
+  private[graft] def containmentPrefix(sh: DataFrame, dfc: DataFrame,
+                                       tau: Double): DataFrame = {
+    val id = sh.columns.head
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("shingle"))
+    val prefixLen = floor(lit(1.0 - tau + 1e-6) * col("n_sh")) + 1
+    val pa = sh.join(dfc, "shingle")
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen && col("__df") >= 2)
+      .select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    val cand = pa.join(b, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= lit(tau) * col("n_a"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("n_a")).as("n_a"))
+    val ea = sh.select(col(id).as("id_a"), col("shingle"))
+    val eb = sh.select(col(id).as("id_b"), col("shingle"))
+    cand.join(ea, "id_a")
+      .join(eb, Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("containment",

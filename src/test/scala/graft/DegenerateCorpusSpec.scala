@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.Pipeline
+
+/** Adversarial text inputs through the shingle/winnow/tfidf/span
+  * paths (r11 verdict item 7): empty docs, one-char docs,
+  * punctuation-only docs, and NULL text. These paths assume ≥n tokens
+  * in places that are normally guarded only by data shape — the specs
+  * pin that each operator completes AND that degenerate rows behave
+  * deterministically (dropped or zeroed, never a crash or a phantom
+  * pair), alongside a planted twin that must still surface.
+  *
+  * One corpus serves every test:
+  *   0 empty, 1 NULL, 2 one char, 3 punctuation-only, 4 two words,
+  *   5/6 identical 8-word twins, 7 whitespace-only, 8 one repeated
+  *   word (degenerate n-gram multiplicity).
+  */
+class DegenerateCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val rows = Seq(
+      Row(0L, ""),
+      Row(1L, null),
+      Row(2L, "a"),
+      Row(3L, "!!! ??? ... ;;;"),
+      Row(4L, "one two"),
+      Row(5L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(6L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(7L, "   "),
+      Row(8L, "spam spam spam spam spam spam"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+      .localCheckpoint()
+  }
+
+  test("d4 ngram Jaccard survives degenerate docs and still finds the twin") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 6L && p._3 == 1.0))
+    // no pair may involve the NULL-text doc (it has no shingles)
+    assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L))
+    // both exact arms agree on this corpus too
+    val sh = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12)
+    assert(sh.count() == pairs.length)
+  }
+
+  test("x16 containment: both arms complete and agree on the degenerate corpus") {
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // identical twins contain each other: both ordered directions
+    assert(got.contains((5L, 6L, 1.0)) && got.contains((6L, 5L, 1.0)))
+    assert(!got.exists(p => p._1 == 1L || p._2 == 1L))
+    // prefix arm produces the identical pair set
+    val posts = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.Text.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("__s"))
+      .select(col("doc_id"), col("n_sh"),
+        graft.functions.Text.md5Prefix60(col("__s")).as("shingle"))
+    val dfc = posts.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val viaPrefix = Dedup.containmentPrefix(posts, dfc, 0.6)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == got)
+  }
+
+  test("x15 winnowing completes; sub-window docs fingerprint nothing; twins pair") {
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+    val perDoc = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // docs with < k+w-1 = 6 words have no full window: 0,1,2,3,4,7
+    for (d <- Seq(0L, 1L, 2L, 3L, 4L, 7L)) assert(!perDoc.contains(d), s"doc $d")
+    // the twins fingerprint identically -> they pair
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 6L))
+  }
+
+  test("d9 span dedup completes; empty/NULL docs report zero spans") {
+    val byId = Dedup.spanDedup(docs, "doc_id", "text", 5)
+      .select("doc_id", "dup_tokens", "n_spans")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc row survives to the report (left join semantics)
+    assert(byId.keySet == (0L to 8L).toSet)
+    // the 8-word twins share their full text: whole doc covered
+    assert(byId(5L) == ((8L, 1L)) && byId(6L) == ((8L, 1L)))
+    // degenerate docs: no duplicated 5-gram spans
+    for (d <- Seq(0L, 1L, 2L, 3L, 4L, 7L))
+      assert(byId(d) == ((0L, 0L)), s"doc $d -> ${byId(d)}")
+  }
+
+  test("x17 tf-idf completes; NULL text yields no terms, twins rank identically") {
+    val out = Pipeline.tfidfTopTerms(docs, "doc_id", "text", 5)
+    val rows = out.select("doc_id", "term", "rank")
+      .as[(Long, String, Int)].collect()
+    assert(!rows.exists(_._1 == 1L)) // NULL text tokenizes to nothing
+    val t5 = rows.filter(_._1 == 5L).map(r => (r._2, r._3)).toSet
+    val t6 = rows.filter(_._1 == 6L).map(r => (r._2, r._3)).toSet
+    assert(t5 == t6 && t5.nonEmpty)
+  }
+}

@@ -175,12 +175,45 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(found >= 7, s"only $found/10 planted twins recovered at nprobe=$np")
   }
 
-  test("ivfPqNprobe: ceil(cells/5), clamped, Int-safe at huge cell counts") {
+  test("ivfPqNprobe: max(const, ceil(cells/50)), clamped, Int-safe at huge cell counts") {
+    // small corpora: the constant target, capped at the cell count
     assert(Ann.ivfPqNprobe(1L) == 1)
-    assert(Ann.ivfPqNprobe(5L) == 1)
-    assert(Ann.ivfPqNprobe(6L) == 2)
-    assert(Ann.ivfPqNprobe(9L) == 2)
-    assert(Ann.ivfPqNprobe(36L) == 8)
+    assert(Ann.ivfPqNprobe(9L) == 9)
+    assert(Ann.ivfPqNprobe(12L) == 12)
+    assert(Ann.ivfPqNprobe(36L) == 12)
+    assert(Ann.ivfPqNprobe(324L) == 12)
+    // the ceil(cells/50) saturation-fraction floor takes over at 600+
+    assert(Ann.ivfPqNprobe(600L) == 12)
+    assert(Ann.ivfPqNprobe(601L) == 13)
+    assert(Ann.ivfPqNprobe(5000L) == 100)
     assert(Ann.ivfPqNprobe(Long.MaxValue) == Int.MaxValue) // no wrap
+  }
+
+  test("hierGroupProbe seats 2x the cell budget, floored at 4 groups, capped at k1") {
+    assert(Ann.hierGroupProbe(18, 18, 12) == 4)  // measured recall floor
+    assert(Ann.hierGroupProbe(18, 18, 54) == 6)  // ceil(108/18) = 6
+    assert(Ann.hierGroupProbe(3, 3, 1) == 3)     // floor capped at k1
+    assert(Ann.hierGroupProbe(3, 3, 9) == 3)     // capped at k1
+  }
+
+  test("hierarchical probe == flat probe on the probed-cell set at the a4/a9 operating points") {
+    val (ix, withCell, cents, _, _) = ivfpqStructures
+    val cells = ix.k1.toLong * ix.k2
+    val queries = withCell.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .localCheckpoint()
+    for ((np, gp) <- Seq(
+        (Ann.recommendedNprobe(cells), Ann.recommendedGroupProbe(ix.k1)),
+        (Ann.ivfPqNprobe(cells), Ann.hierGroupProbe(ix.k1, ix.k2, Ann.ivfPqNprobe(cells))))) {
+      val flat = Ann.probedCellsFlat(queries, cents, np)
+        .as[(Long, Long)].collect().toSet
+      val hier = Ann.probedCellsHier(queries, cents, ix.k2, np, gp)
+        .as[(Long, Long)].collect().toSet
+      // the sets can differ when a top cell hides in a low-ranked
+      // group; on this corpus (and the sweep corpora) they don't —
+      // if this ever fails, measure the recall delta (ANN_SWEEP)
+      // before deciding whether the divergence matters
+      assert(hier == flat, s"np=$np gp=$gp")
+    }
   }
 }
