@@ -47,8 +47,10 @@ object IvfPqTune {
       val codes = Ann.ivfPqCodes(withCell, "vec_id", "embedding", "cell",
         cents, cb).localCheckpoint()
       for (rerank <- Seq(50, 100, 200)) {
+        // the production a9 path: hierarchical probe + packed ADC
         val df = Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
-          cents, codes, cb, queries, 10, np, rerank, kCb = kCode)
+          cents, codes, cb, queries, 10, np, rerank, kCb = kCode,
+          k2 = ix.k2, groupProbe = Ann.hierGroupProbe(ix.k1, ix.k2, np))
         val got = df.select("query_id", "nn_id")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (got & truth).size.toDouble / truth.size

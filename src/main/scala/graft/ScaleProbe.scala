@@ -399,6 +399,23 @@ object ScaleProbe {
       f"ratio ${jacD / jacP}%5.1fx pairs=$pairsD " +
       f"verify_cand=$candNoPos->$candPos (positional)")
 
+    // x16's asymmetric containment on the SAME boilerplate corpus, at
+    // its production tau = 0.6 — the prefix arm's win zone (its
+    // flat-df behavior is the X16Probe sf1 DNF: >60 GB spill in the
+    // verify fan-out). Here the boilerplate shingles carry Σdf² and
+    // the probe prefix excises them, so candidates collapse to docs
+    // sharing doc-SPECIFIC content and the verify join stays bounded.
+    // The router's skew statistic (same dfc) sends this corpus to the
+    // prefix arm and the flat sf corpora to direct.
+    val cntD = med3(graft.dedup.Dedup.containmentDirect(shJ, 0.6).count())
+    val cntP = med3(graft.dedup.Dedup.containmentPrefix(shJ, dfcJ, 0.6).count())
+    val cPairsD = graft.dedup.Dedup.containmentDirect(shJ, 0.6).count()
+    val cPairsP = graft.dedup.Dedup.containmentPrefix(shJ, dfcJ, 0.6).count()
+    require(cPairsD == cPairsP,
+      s"containment plans disagree: direct=$cPairsD prefix=$cPairsP")
+    println(f"${"hot-shingle containment"}%-20s direct $cntD%8.2f prefix $cntP%8.2f " +
+      f"ratio ${cntD / cntP}%5.1fx pairs=$cPairsD")
+
     // skew: the same 8x volume but EVERY row on one key. The bucketized
     // interval join keeps its parallelism (the hot key shards across
     // time buckets); pure per-key windows (sessionize) collapse to one
@@ -676,6 +693,12 @@ object ScaleProbe {
          |  "verify_candidates_unfiltered": $candNoPos,
          |  "verify_candidates_positional": $candPos,
          |  "positional_cut_pct": ${f"${100.0 * (candNoPos - candPos) / math.max(1L, candNoPos)}%.1f"}
+         |},
+         |"hot_shingle_containment_boilerplate_heavy_tau06": {
+         |  "direct_s": ${f"$cntD%.3f"}, "prefix_s": ${f"$cntP%.3f"},
+         |  "direct_over_prefix": ${f"${cntD / cntP}%.2f"},
+         |  "pairs": $cPairsD,
+         |  "note": "x16 prefix arm win zone; on flat-df sf1 the same arm DNF'd (>60GB verify-join spill, X16Probe) — the router's skew gate is what separates the regimes"
          |},
          |"hot_bucket": {
          |  "neardup_one_cell_unsharded_vs_subblocks8":

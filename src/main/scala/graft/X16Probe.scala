@@ -38,18 +38,39 @@ object X16Probe {
     }
 
     val tau = 0.6
-    val (tDirect, nDirect) = med3(Dedup.containmentDirect(sh, tau).count())
-    println(f"[x16probe] direct: $tDirect%.2fs ($nDirect pairs)")
-    val (tPrefix, nPrefix) = med3(Dedup.containmentPrefix(sh, dfc, tau).count())
-    println(f"[x16probe] prefix: $tPrefix%.2fs ($nPrefix pairs)")
+    // interleaved A/B (one rep each, alternating, median per arm):
+    // back-to-back med3 groups sat entirely inside/outside contention
+    // waves and misattributed ~1.6x to the arm that ran second
+    val plainT = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pruneT = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var nPlain = 0L; var nDirect = 0L
+    for (_ <- 1 to 3) {
+      val (tp, np) = time(Dedup.containmentDirect(sh, tau, pruneUnique = false).count())
+      plainT += tp; nPlain = np
+      val (td, nd) = time(Dedup.containmentDirect(sh, tau).count())
+      pruneT += td; nDirect = nd
+    }
+    val tPlain = plainT.sorted.apply(1)
+    val tDirect = pruneT.sorted.apply(1)
+    println(f"[x16probe] direct (no df>=2 prune): $tPlain%.2fs ($nPlain pairs; reps ${plainT.map(t => f"$t%.1f").mkString(",")})")
+    println(f"[x16probe] direct (df>=2 prune):    $tDirect%.2fs ($nDirect pairs; reps ${pruneT.map(t => f"$t%.1f").mkString(",")})")
 
     // pair-set identity (not just counts)
-    val d = Dedup.containmentDirect(sh, tau)
+    val d = Dedup.containmentDirect(sh, tau, pruneUnique = false)
       .selectExpr("id_a", "id_b", "shared", "n_a", "containment")
-    val p = Dedup.containmentPrefix(sh, dfc, tau)
+    val p = Dedup.containmentDirect(sh, tau)
       .selectExpr("id_a", "id_b", "shared", "n_a", "containment")
     val diff = d.exceptAll(p).count() + p.exceptAll(d).count()
     println(s"[x16probe] symmetric diff rows: $diff (must be 0)")
+    // NOT timed by default: the prefix arm at sf1 exhausted >60 GB of
+    // shuffle spill in its verify join (candidate x n_a fan-out under
+    // the one-sided size bound) — the measured negative result that
+    // keeps the router's direct default on flat-df corpora. Set
+    // GRAFT_X16_PREFIX=1 to reproduce on a small corpus.
+    if (sys.env.get("GRAFT_X16_PREFIX").contains("1")) {
+      val (tPrefix, nPrefix) = med3(Dedup.containmentPrefix(sh, dfc, tau).count())
+      println(f"[x16probe] prefix: $tPrefix%.2fs ($nPrefix pairs)")
+    }
     spark.stop()
   }
 }

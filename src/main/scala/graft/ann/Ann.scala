@@ -650,13 +650,14 @@ object Ann {
 
   /** ADC shortlist width per query before the exact-cosine rerank,
     * and the residual codebook size per subspace. Jointly measured on
-    * the planted-cluster corpus (IvfPqTune, nprobe=⌈cells/5⌉):
-    * (k=16, rerank=50) 0.38, (16,200) 0.70, (64,50) 0.50,
-    * (64,200) **0.86**, (256,200) 0.90 at 4–5× the latency — the
-    * (64,200) knee is the pinned operating point. Both are CONSTANTS
-    * per query (the point of the design): rerank does not grow with
-    * cell size, and the codebook stays k·m tiny rows however large
-    * the corpus. */
+    * the planted-cluster corpus at the PRODUCTION operating point
+    * (IvfPqTune r12: hierarchical probe, packed ADC,
+    * nprobe=[[ivfPqNprobe]]): (k=16, rerank=50) 0.38, (16,200) 0.70,
+    * (64,50) 0.50, (64,200) **0.864** at 1.0s, (256,200) 0.90 at 2.7×
+    * the latency — the (64,200) knee is the pinned operating point.
+    * Both are CONSTANTS per query (the point of the design): rerank
+    * does not grow with cell size, and the codebook stays k·m tiny
+    * rows however large the corpus. */
   val IvfPqRerank = 200
 
   /** Residual sub-centroids per subspace (see [[IvfPqRerank]]). */

@@ -150,11 +150,17 @@ object Dedup {
     * [[ngramJaccardPairsFrom]]), ADAPTIVE between the direct postings
     * join and the asymmetric PREFIX-FILTERED plan (identical output):
     * the same df-skew router as [[ngramJaccardPairsFrom]] (one
-    * vocabulary-sized aggregation), because the tradeoff is the same —
-    * the prefix arm pays extra passes (df join + per-doc rank window +
-    * verify join) that only repay when hot shingles dominate the
-    * direct join's Σdf² volume. Exactness does not depend on the
-    * routing decision (both arms spec-pinned equal). */
+    * vocabulary-sized aggregation), and the routing margin is WIDER
+    * here than for Jaccard — the prefix arm's verify join fans each
+    * candidate × n_a, and the one-sided size bound keeps every
+    * (small a, larger b) candidate the two-sided Jaccard bound would
+    * drop, so on a flat-df corpus the arm is not merely slower but
+    * explosive (X16Probe at sf1: >60 GB of shuffle spill, DNF — see
+    * [[containmentDirect]]). It repays only when hot shingles
+    * dominate Σdf² AND their excision collapses the candidate set,
+    * which is the regime the router gates on. Exactness does not
+    * depend on the routing decision (both arms spec-pinned equal on
+    * the degenerate corpus). */
   def containmentPairsFrom(sh: DataFrame, tau: Double,
                            skewThreshold: Double = 0.5): DataFrame = {
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
@@ -175,14 +181,36 @@ object Dedup {
 
   /** The direct containment plan: full postings self-join with the
     * one-sided size bound (shared ≤ n_b, so C ≥ tau needs
-    * n_b ≥ tau·n_a) — optimal on flat-df corpora, where the prefix
-    * arm's extra passes outweigh its candidate cut (measured at sf1:
-    * direct 22.4s vs prefix 40.6s on the flat-df documents corpus —
-    * the d4 2.4× result's containment analog; NOTES_r12). */
-  private[graft] def containmentDirect(sh: DataFrame, tau: Double): DataFrame = {
+    * n_b ≥ tau·n_a) — the measured-optimal arm on flat-df corpora,
+    * where the prefix arm LOSES CATASTROPHICALLY (X16Probe at sf1:
+    * the prefix verify join fans candidates × n_a under the one-sided
+    * bound and exhausted >60 GB of shuffle spill before finishing —
+    * vs ~35s direct; the asymmetric bound keeps every (small a,
+    * larger b) candidate the two-sided Jaccard bound would drop, so
+    * PPJoin's candidate cut cannot pay for the verify fan-out here).
+    * Direct at sf1 is already 0.79× DuckDB (PARITY_SF1_r11) — the
+    * Σdf² join (234M rows at sf1) is the exact tier's intrinsic
+    * price; d2 MinHash / s3 KMV intersection remain the designated
+    * 100 TB siblings (SURVEY §6). */
+  private[graft] def containmentDirect(sh: DataFrame, tau: Double,
+                                       pruneUnique: Boolean = true): DataFrame = {
     val id = sh.columns.head
-    val a = sh.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
-    val b = sh.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    // corpus-UNIQUE shingles (df=1) can never meet a second document:
+    // semi-join both legs down to df>=2 shingles before the self-join.
+    // Lossless (every shared shingle has df>=2; n_sh was computed
+    // before the prune); on natural text df=1 dominates postings so
+    // the prune cuts most of the join input, while on the synthetic
+    // bench corpus it is measured NEUTRAL (zero df=1 shingles exist —
+    // 29.8k-shingle vocabulary, mean df 88; interleaved X16Probe A/B
+    // 52.6s vs 56.7s, within the box's noise band)
+    val pruned =
+      if (!pruneUnique) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") >= 2).select("shingle"),
+        Seq("shingle"), "left_semi")
+    val a = pruned.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = pruned.select(col(id).as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") >= lit(tau) * col("n_a"))
