@@ -528,7 +528,8 @@ object SparkEntry {
     // probe (rank k1 groups, rank cells only within the top
     // ⌈0.449·k1⌉+1): cell ranking becomes an equi-join on the group
     // key instead of a per-query scan of all k1·k2 centroids
-    // (ANN_SWEEP_r12: recall at the rule unchanged vs the flat scan)
+    // (ANN_SWEEP_r12: 0.76 with a bit-equal probed set at sf0.01;
+    // 0.736 vs flat 0.740 at sf0.1 — one truth pair of 250)
     "a4_ivf_nprobe" -> ((s, d) => {
       val ix = graft.ann.CellIndexCache.embeddings(s, d)
       Ann.knnIvfProbeHier(

@@ -526,8 +526,10 @@ object Ann {
     * bit-for-bit. The probed SET can differ from the flat scan's when
     * a top-nprobe cell hides in a group ranked below `groupProbe` —
     * rare by construction (a cell near the query pulls its group mean
-    * toward the query); measured on the sweep corpora the recall at
-    * the operating points is unchanged (ANN_SWEEP_r12). */
+    * toward the query); measured (ANN_SWEEP_r12): set bit-equal at
+    * sf0.01, one truth pair of 250 at sf0.1 (0.736 vs 0.740), and the
+    * clustered op point reads 0.864 == the flat twin == the shortlist
+    * ceiling. */
   def probedCellsHier(queries: DataFrame, centroids: DataFrame, k2: Int,
                       nprobe: Int, groupProbe: Int,
                       gvec: Option[DataFrame] = None): DataFrame = {
