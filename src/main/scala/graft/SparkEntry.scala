@@ -428,7 +428,9 @@ object SparkEntry {
 
     "d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairsFrom(
-        graft.dedup.ClusterCache.postings(s, d, 3), 0.12)
+        graft.dedup.ClusterCache.postings(s, d, 3), 0.12,
+        dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
+        statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3)))
         .orderBy("id_a", "id_b")),
 
     // cosine ≥ τ pairs over CORPUS-PROPORTIONAL coarse cells (k ≈ n/64
@@ -755,7 +757,9 @@ object SparkEntry {
     // host is much larger than the contained doc
     "x16_containment" -> ((s, d) =>
       Dedup.containmentPairsFrom(
-          graft.dedup.ClusterCache.postings(s, d, 3), 0.6)
+          graft.dedup.ClusterCache.postings(s, d, 3), 0.6,
+          dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
+          statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3)))
         .orderBy("id_a", "id_b")),
 
     // ---- H. sketches -----------------------------------------------------

@@ -18,6 +18,8 @@ object ClusterCache {
   private val pairCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
   private val postingsCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+  private val dfCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
+  private val statsCache = scala.collection.concurrent.TrieMap.empty[Key, Dedup.DfSkewStats]
 
   private val docWordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
@@ -56,6 +58,41 @@ object ClusterCache {
       postingsCache.put(key, fresh)
       fresh
     } else df
+  }
+
+  /** The shared per-shingle document-frequency table (shingle, __df)
+    * over [[postings]] — vocabulary-sized (tiny next to the postings
+    * themselves), persisted. One postings-wide aggregation serves
+    * every df consumer per corpus: both adaptive routers' skew
+    * statistics (d4 Jaccard, x16 containment), the prefix arms'
+    * global (df, shingle) rank order, and the df>=2 unique-shingle
+    * prune — without it each of those recomputes the same groupBy
+    * from the postings (three full-width aggregations inside one x16
+    * call; measured +1.3s on a 0.3s sf0.1 query). */
+  def shingleDf(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
+    def build(): DataFrame =
+      Dedup.shingleDf(postings(spark, dir, n))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = dfCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      dfCache.put(key, fresh)
+      fresh
+    } else df
+  }
+
+  /** The df-distribution routing statistics over [[shingleDf]] —
+    * tau-independent, so ONE two-action computation per corpus serves
+    * every adaptive-router consumer (d4 Jaccard, x16 containment):
+    * re-running the stats per query costs ~0.3s of pure
+    * job-scheduling latency at local[32] even against the persisted
+    * df table. Memoized as a plain value (a few longs), not a
+    * DataFrame. */
+  def dfSkewStats(spark: SparkSession, dir: String,
+                  n: Int = 3): Dedup.DfSkewStats = {
+    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
+    statsCache.getOrElseUpdate(key, Dedup.dfSkewStats(shingleDf(spark, dir, n)))
   }
 
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
@@ -100,7 +137,7 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, postingsCache).foreach { c =>
+    Seq(cache, pairCache, postingsCache, dfCache).foreach { c =>
       c.values.foreach { df =>
         if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
       }
@@ -110,5 +147,6 @@ object ClusterCache {
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
     }
     docWordCache.clear()
+    statsCache.clear()
   }
 }

@@ -108,24 +108,51 @@ object Dedup {
     * postings table — the one-postings-table-many-consumers shape:
     * d4 and x16 share one shingle+hash build per corpus
     * ([[ClusterCache.postings]]). */
-  def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
-                            skewThreshold: Double = 0.5): DataFrame = {
-    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+  /** Per-shingle document frequency over a postings table — the
+    * vocabulary-sized table every df consumer (router statistics,
+    * prefix ranks, the df>=2 prune) derives from. Build it ONCE per
+    * corpus and share ([[ClusterCache.shingleDf]]): recomputing it is
+    * a full postings-wide aggregation each time. */
+  def shingleDf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+
+  /** The df-distribution statistics both adaptive routers decide on —
+    * tau-INDEPENDENT, so one computation serves d4 Jaccard and x16
+    * containment (and any future postings consumer) per corpus:
+    * memoized next to the df table itself
+    * ([[ClusterCache.dfSkewStats]]; the two driver actions here cost
+    * ~0.3s of pure job-scheduling latency at local[32] when re-run
+    * per query). `empty` marks a corpus with no shingles at all. */
+  final case class DfSkewStats(empty: Boolean, q999: Long, totDf2: Double,
+                               hotDf2: Double, postings: Long, df1: Long)
+
+  def dfSkewStats(dfc: DataFrame): DfSkewStats = {
     // df² in double: at corpus scale df can reach 1e9+ and Σdf² would
     // overflow a long; the routing decision only needs a ratio
     val df2 = (col("__df") * col("__df")).cast("double")
     val q = dfc.agg(
         expr("approx_percentile(__df, 0.999)").as("q999"),
-        sum(df2).as("tot"))
+        sum(df2).as("tot"),
+        sum(col("__df")).as("postings"),
+        count(when(col("__df") === 1, 1)).as("df1"))
       .head()
-    // empty corpus: no shingles at all → both aggregates are NULL;
-    // either plan returns the empty pair set — take the direct one
-    if (q.isNullAt(0)) return jaccardDirect(sh, tau)
+    if (q.isNullAt(0)) return DfSkewStats(empty = true, 0L, 0.0, 0.0, 0L, 0L)
     val q999 = q.getLong(0)
-    val tot = q.getDouble(1)
     val hot = dfc.filter(col("__df") > q999)
       .agg(coalesce(sum(df2), lit(0.0))).head().getDouble(0)
-    if (tot == 0.0 || hot / tot < skewThreshold)
+    DfSkewStats(empty = false, q999, q.getDouble(1), hot,
+      q.getLong(2), q.getLong(3))
+  }
+
+  def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
+                            skewThreshold: Double = 0.5,
+                            dfcPre: Option[DataFrame] = None,
+                            statsPre: Option[DfSkewStats] = None): DataFrame = {
+    val dfc = dfcPre.getOrElse(shingleDf(sh))
+    val st = statsPre.getOrElse(dfSkewStats(dfc))
+    // empty corpus: no shingles at all → either plan returns the
+    // empty pair set — take the direct one
+    if (st.empty || st.totDf2 == 0.0 || st.hotDf2 / st.totDf2 < skewThreshold)
       jaccardDirect(sh, tau)
     else jaccardPrefix(sh, dfc, tau)
   }
@@ -161,21 +188,34 @@ object Dedup {
     * which is the regime the router gates on. Exactness does not
     * depend on the routing decision (both arms spec-pinned equal on
     * the degenerate corpus). */
+  /** Minimum fraction of postings rows that must be corpus-unique
+    * (df=1) before the direct arm's unique-shingle prune engages: the
+    * prune costs one extra semi-join pass over the postings PER
+    * self-join leg and repays by shrinking both shuffle legs by
+    * exactly the df=1 row fraction (join OUTPUT is untouched — df=1
+    * rows never meet a partner). On natural text df=1 dominates
+    * postings (typically 60–90% of rows) and the prune is a large
+    * win; on the zero-df=1 synthetic bench corpus it removed nothing
+    * and its two passes measured +0.9s on a 0.34s sf0.1 query — so
+    * it is gated on the measured df=1 mass, piggybacked on the
+    * router's existing one-row statistics aggregation (no extra
+    * driver action). */
+  val PruneDf1Fraction = 0.25
+
   def containmentPairsFrom(sh: DataFrame, tau: Double,
-                           skewThreshold: Double = 0.5): DataFrame = {
-    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val df2 = (col("__df") * col("__df")).cast("double")
-    val q = dfc.agg(
-        expr("approx_percentile(__df, 0.999)").as("q999"),
-        sum(df2).as("tot"))
-      .head()
-    if (q.isNullAt(0)) return containmentDirect(sh, tau)
-    val q999 = q.getLong(0)
-    val tot = q.getDouble(1)
-    val hot = dfc.filter(col("__df") > q999)
-      .agg(coalesce(sum(df2), lit(0.0))).head().getDouble(0)
-    if (tot == 0.0 || hot / tot < skewThreshold)
-      containmentDirect(sh, tau)
+                           skewThreshold: Double = 0.5,
+                           dfcPre: Option[DataFrame] = None,
+                           statsPre: Option[DfSkewStats] = None): DataFrame = {
+    val dfc = dfcPre.getOrElse(shingleDf(sh))
+    val st = statsPre.getOrElse(dfSkewStats(dfc))
+    if (st.empty)
+      return containmentDirect(sh, tau, pruneUnique = false, dfc = Some(dfc))
+    // each df=1 shingle contributes exactly one postings row, so the
+    // df=1 SHINGLE count is also the df=1 postings-row mass
+    val doPrune =
+      st.df1.toDouble / math.max(1L, st.postings) >= PruneDf1Fraction
+    if (st.totDf2 == 0.0 || st.hotDf2 / st.totDf2 < skewThreshold)
+      containmentDirect(sh, tau, pruneUnique = doPrune, dfc = Some(dfc))
     else containmentPrefix(sh, dfc, tau)
   }
 
@@ -193,20 +233,25 @@ object Dedup {
     * price; d2 MinHash / s3 KMV intersection remain the designated
     * 100 TB siblings (SURVEY §6). */
   private[graft] def containmentDirect(sh: DataFrame, tau: Double,
-                                       pruneUnique: Boolean = true): DataFrame = {
+                                       pruneUnique: Boolean = true,
+                                       dfc: Option[DataFrame] = None): DataFrame = {
     val id = sh.columns.head
     // corpus-UNIQUE shingles (df=1) can never meet a second document:
     // semi-join both legs down to df>=2 shingles before the self-join.
     // Lossless (every shared shingle has df>=2; n_sh was computed
     // before the prune); on natural text df=1 dominates postings so
-    // the prune cuts most of the join input, while on the synthetic
-    // bench corpus it is measured NEUTRAL (zero df=1 shingles exist —
-    // 29.8k-shingle vocabulary, mean df 88; interleaved X16Probe A/B
-    // 52.6s vs 56.7s, within the box's noise band)
+    // the prune cuts most of the join input. The ROUTER decides
+    // pruneUnique from the measured df=1 postings mass
+    // ([[PruneDf1Fraction]]): on the zero-df=1 synthetic bench corpus
+    // (29.8k-shingle vocabulary, mean df 88) the two semi-join passes
+    // removed nothing and cost +0.9s on a 0.34s sf0.1 query. The df
+    // table comes prebuilt from the router / ClusterCache when
+    // available — recomputing it here is another postings-wide
+    // aggregation.
     val pruned =
       if (!pruneUnique) sh
       else sh.join(
-        sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        dfc.getOrElse(shingleDf(sh))
           .filter(col("__df") >= 2).select("shingle"),
         Seq("shingle"), "left_semi")
     val a = pruned.select(col(id).as("id_a"), col("n_sh").as("n_a"), col("shingle"))
