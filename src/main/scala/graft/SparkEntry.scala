@@ -499,6 +499,15 @@ object SparkEntry {
     "d9_span_dedup" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 5)),
 
+    // cross-source duplication matrix: near-dup clusters spanning each
+    // unordered source pair — derived from d6's SHARED cluster table
+    // (one more consumer of the one LSH+CC job), cluster⋈source
+    // attach + an output-bounded per-cluster pair fan-out
+    "d10_source_overlap" -> ((s, d) =>
+      graft.operators.Pipeline.sourceOverlapFrom(
+        graft.dedup.ClusterCache.documents(s, d),
+        Tables.documents(s, d), "doc_id", "source")),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -722,6 +731,16 @@ object SparkEntry {
     "x18_corpus_card" -> ((s, d) =>
       graft.operators.Pipeline.corpusCard(
         Tables.documents(s, d), "source", "lang", "text", "n_chars")),
+
+    // first-seen n-gram novelty: fraction of each doc's shingles whose
+    // corpus-wide first occurrence is an EARLIER doc (Lee et al. 2022
+    // cross-shard copying signal) — n_copied counted from the
+    // vocabulary-sized shared df table's __first column alone, no
+    // postings-level join (see Pipeline.noveltyProfileFrom)
+    "x19_novelty" -> ((s, d) =>
+      graft.operators.Pipeline.noveltyProfileFrom(
+        graft.dedup.ClusterCache.postings(s, d, 3),
+        graft.dedup.ClusterCache.shingleDf(s, d, 3))),
 
     // training-mixture construction: uniform target shares over the
     // 20 sources at a 30% global sample rate, deterministic
@@ -2078,6 +2097,39 @@ object SparkEntry {
         s"""WITH $cellCtes
            |SELECT cell, id_a, id_b, cos FROM cpr
            |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+      // cross-source dup matrix over the d6 cluster labels: distinct
+      // (cluster, source) then the unordered source-pair count
+      "d10_source_overlap" ->
+        s"""WITH RECURSIVE $ccCtes,
+           |cs AS (SELECT DISTINCT cl.cluster_id, d.source
+           |  FROM cl JOIN documents d USING (doc_id))
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  count(*) AS n_clusters
+           |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
+           |  AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // first-seen novelty: n_copied = n_sh - (shingles first owned),
+      // first ownership from the per-shingle min(doc_id) — mirrors
+      // Pipeline.noveltyProfileFrom's vocabulary-only derivation
+      "x19_novelty" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, len(shingles) AS n_sh,
+          |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh),
+          |f AS (SELECT shingle, min(doc_id) AS first_doc FROM e GROUP BY 1),
+          |fo AS (SELECT first_doc AS doc_id, count(*) AS n_first FROM f GROUP BY 1),
+          |ns AS (SELECT doc_id, max(n_sh) AS n_sh FROM e GROUP BY 1)
+          |SELECT ns.doc_id, ns.n_sh,
+          |  ns.n_sh - coalesce(fo.n_first, 0) AS n_copied,
+          |  round((ns.n_sh - coalesce(fo.n_first, 0))::DOUBLE / ns.n_sh, 6)
+          |    AS copied_frac
+          |FROM ns LEFT JOIN fo USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       // word-5-gram duplicated-span coverage; DuckDB positions are
       // 1-based vs Spark's 0-based array index — span LENGTHS and the

@@ -108,13 +108,16 @@ object Dedup {
     * postings table — the one-postings-table-many-consumers shape:
     * d4 and x16 share one shingle+hash build per corpus
     * ([[ClusterCache.postings]]). */
-  /** Per-shingle document frequency over a postings table — the
-    * vocabulary-sized table every df consumer (router statistics,
-    * prefix ranks, the df>=2 prune) derives from. Build it ONCE per
-    * corpus and share ([[ClusterCache.shingleDf]]): recomputing it is
-    * a full postings-wide aggregation each time. */
+  /** Per-shingle document frequency AND first-occurrence doc over a
+    * postings table — the vocabulary-sized table every df consumer
+    * (router statistics, prefix ranks, the df>=2 prune, x19's
+    * first-seen novelty) derives from. `__first` rides in the same
+    * shuffle as the count for free. Build it ONCE per corpus and
+    * share ([[ClusterCache.shingleDf]]): recomputing it is a full
+    * postings-wide aggregation each time. */
   def shingleDf(sh: DataFrame): DataFrame =
-    sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"),
+      min(col(sh.columns.head)).as("__first"))
 
   /** The df-distribution statistics both adaptive routers decide on —
     * tau-INDEPENDENT, so one computation serves d4 Jaccard and x16

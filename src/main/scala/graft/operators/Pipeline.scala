@@ -110,6 +110,59 @@ object Pipeline {
       .orderBy("cluster_id")
   }
 
+  /** First-seen n-gram NOVELTY profile (x19): for each document, the
+    * fraction of its distinct n-gram shingles whose corpus-wide FIRST
+    * occurrence (minimum doc id) lies in an EARLIER document — the
+    * per-doc cross-shard copying signal behind the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * analyses: a high copied fraction marks near-verbatim reuse of
+    * earlier corpus content even when no single pair crosses a d4/d2
+    * dedup threshold.
+    *
+    * Scale shape: NO postings×postings and NO postings×vocabulary
+    * join — n_copied = n_sh − (shingles this doc FIRST owns), and
+    * first-ownership counts come from the vocabulary-sized df table
+    * alone ([[Dedup.shingleDf]]'s __first column rides the same
+    * shuffle as the df count), one vocab groupBy + one postings
+    * aggregation, both over the shared corpus artifacts
+    * (ClusterCache.postings / shingleDf). */
+  def noveltyProfileFrom(sh: DataFrame, dfc: DataFrame): DataFrame = {
+    val id = sh.columns.head
+    val perDoc = sh.groupBy(col(id)).agg(max(col("n_sh")).as("n_sh"))
+    val firstOwned = dfc.groupBy(col("__first").as(id))
+      .agg(count(lit(1)).as("__n_first"))
+    perDoc.join(firstOwned, Seq(id), "left")
+      .select(col(id), col("n_sh"),
+        (col("n_sh") - coalesce(col("__n_first"), lit(0L))).as("n_copied"),
+        round((col("n_sh") - coalesce(col("__n_first"), lit(0L)))
+          .cast("double") / col("n_sh"), 6).as("copied_frac"))
+      .orderBy(id)
+  }
+
+  /** Cross-source duplication matrix (d10): for each unordered pair
+    * of sources, how many near-dup clusters (d6's shared MinHash+CC
+    * table) contain documents from BOTH — the "which sources copy
+    * which" report a curator reads before setting mixture weights or
+    * deciding which source to drop a duplicate from.
+    *
+    * Derived entirely from the shared cluster table: distinct
+    * (cluster, source) is at most clusters × |sources| rows, and the
+    * per-cluster fan-out is C(sources-in-cluster, 2) ≤
+    * C(|sources|, 2) — output-bounded, never a document-level join
+    * beyond the one cluster⋈source attach. */
+  def sourceOverlapFrom(clusters: DataFrame, docs: DataFrame, id: String,
+                        source: String): DataFrame = {
+    val cs = clusters.join(docs.select(col(id), col(source)), Seq(id))
+      .select(col("cluster_id"), col(source)).distinct()
+    val a = cs.select(col("cluster_id"), col(source).as("source_a"))
+    val b = cs.select(col("cluster_id"), col(source).as("source_b"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with any document of
     * the (small) benchmark/eval set, each reported against its

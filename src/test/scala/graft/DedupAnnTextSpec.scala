@@ -300,4 +300,42 @@ class DedupAnnTextSpec extends SparkSpec {
     assert(tight.subsetOf(loose))
     assert(tight == loose.filter(_._3 >= 0.4))
   }
+
+  test("novelty profile counts shingles first seen in earlier docs") {
+    // doc 1 owns all its shingles; doc 2 clones doc 1 (everything
+    // copied); doc 3 is half-new: shares the "c d e" tail region with
+    // doc 1, contributes fresh shingles of its own
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "c d e x y")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shinglePostings(docs, "doc_id", "text", 3)
+    val got = graft.operators.Pipeline
+      .noveltyProfileFrom(sh, Dedup.shingleDf(sh))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // doc 1: shingles {abc, bcd, cde} all first-owned -> 0 copied
+    // doc 2: same 3 shingles, all first seen in doc 1 -> 3 copied
+    // doc 3: {cde, dex, exy} -> cde copied, 2 fresh
+    assert(got == Seq(
+      (1L, 3, 0L, 0.0),
+      (2L, 3, 3L, 1.0),
+      (3L, 3, 1L, 0.333333)))
+  }
+
+  test("source overlap counts clusters spanning each source pair once") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1 spans s1, s2
+      (4L, 4L), (5L, 4L),             // cluster 4 spans s1, s3
+      (6L, 6L)                        // singleton -> no pair
+    ).toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "s1"), (2L, "s2"), (3L, "s2"),  // two s2 docs, ONE pair row
+      (4L, "s1"), (5L, "s3"), (6L, "s9")
+    ).toDF("doc_id", "source")
+    val got = graft.operators.Pipeline
+      .sourceOverlapFrom(clusters, docs, "doc_id", "source")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
 }
