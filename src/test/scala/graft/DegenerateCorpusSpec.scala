@@ -106,4 +106,31 @@ class DegenerateCorpusSpec extends SparkSpec {
     val t6 = rows.filter(_._1 == 6L).map(r => (r._2, r._3)).toSet
     assert(t5 == t6 && t5.nonEmpty)
   }
+
+  test("x19 novelty handles degenerate docs; twins split first-owner/copier") {
+    val sh = Dedup.shinglePostings(docs, "doc_id", "text", 3)
+    val got = Pipeline.noveltyProfileFrom(sh, Dedup.shingleDf(sh))
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // NULL text has no shingles -> absent from the profile entirely
+    assert(!got.contains(1L))
+    // every present doc satisfies 0 <= n_copied <= n_sh
+    got.values.foreach { case (_, nSh, nCopied, frac) =>
+      assert(nCopied >= 0L && nCopied <= nSh)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // the twins: doc 5 first-owns every shingle, doc 6 copies all
+    assert(got(5L)._3 == 0L && got(5L)._4 == 0.0)
+    assert(got(6L)._3.toInt == got(6L)._2 && got(6L)._4 == 1.0)
+    // one repeated word: distinct-shingle set collapses to one entry,
+    // wholly first-owned by doc 8
+    assert(got(8L)._2 == 1 && got(8L)._3 == 0L)
+  }
+
+  test("d10 source overlap is empty when clusters never span sources") {
+    val clusters = Seq((5L, 5L), (6L, 5L)).toDF("doc_id", "cluster_id")
+    val same = Seq((5L, "s1"), (6L, "s1")).toDF("doc_id", "source")
+    assert(Pipeline.sourceOverlapFrom(clusters, same, "doc_id", "source")
+      .isEmpty)
+  }
 }
