@@ -615,6 +615,18 @@ object SparkEntry {
         gvec = Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
     }),
 
+    // IVF index-health card (FAISS imbalance_factor analog): occupancy
+    // balance over the SAME shared cell table a3/a4/a9/d5/d8 search —
+    // the diagnostic that says whether probe-cost estimates hold or
+    // hot cells concentrate the work (what d5's adaptive sub-block
+    // sharding then absorbs)
+    "a10_index_stats" -> ((s, d) => {
+      val ix = graft.ann.CellIndexCache.embeddings(s, d)
+      Ann.indexStats(
+        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+        "cell", ix.k1.toLong * ix.k2)
+    }),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -2328,6 +2340,22 @@ object SparkEntry {
       // ADC-score only the probed cells' candidates (integer
       // micro-distance sums, ties by nn_id), exact-cosine rerank of
       // the top-200 ADC shortlist — every ranking rule identical to the
+      // index-health card over the same primary cell assignment:
+      // integer occupancy stats, double division of exact ints, same
+      // operand order as the Spark expressions
+      "a10_index_stats" ->
+        s"""WITH $cellCtes,
+          |occ AS (SELECT cell, count(*) AS n FROM pcell
+          |  WHERE is_primary GROUP BY 1)
+          |SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+          |  count(*) AS n_cells_occupied,
+          |  (SELECT k1 * k2 FROM par) AS n_cells_total,
+          |  (SELECT k1 * k2 FROM par) - count(*) AS n_cells_empty,
+          |  min(n) AS min_occ, max(n) AS max_occ,
+          |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_occ,
+          |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS imbalance
+          |FROM occ""".stripMargin,
+
       // Spark side digit-for-digit
       "a9_ivfpq" ->
         s"""WITH $cellCtes,

@@ -430,6 +430,33 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF index-health report (a10): the occupancy-balance card an
+    * ANN operator reads before trusting probe-cost estimates — a
+    * balanced index probes nprobe·(n/cells) rows per query, a skewed
+    * one concentrates probe cost in hot cells (the exact pathology
+    * d5's adaptive hot-cell sharding handles at pair time, surfaced
+    * here as a first-class diagnostic the way FAISS's
+    * imbalance_factor is). ONE row: corpus size, occupied/empty cell
+    * counts, min/max/avg occupancy, and imbalance = max/avg (1.0 =
+    * perfectly balanced). One groupBy over the shared (id, vec,
+    * cell) table + one single-row aggregate — cells-sized exchange,
+    * never a vector-level join; integer inputs keep every derived
+    * value engine-exact (double division of exact ints, round 6). */
+  def indexStats(embCell: DataFrame, cell: String,
+                 cellsTotal: Long): DataFrame = {
+    val occ = embCell.groupBy(col(cell)).agg(count(lit(1)).as("n"))
+    occ.agg(
+      sum(col("n")).cast("long").as("n_vectors"),
+      count(lit(1)).as("n_cells_occupied"),
+      lit(cellsTotal).as("n_cells_total"),
+      (lit(cellsTotal) - count(lit(1))).as("n_cells_empty"),
+      min(col("n")).as("min_occ"),
+      max(col("n")).as("max_occ"),
+      round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_occ"),
+      round(max(col("n")).cast("double") * count(lit(1)) / sum(col("n")), 6)
+        .as("imbalance"))
+  }
+
   /** IVF multi-probe top-k: compute each cell's centroid, probe the
     * `nprobe` cells whose centroids are nearest the query (cosine),
     * then rank exactly within the probed cells' rows. This is the

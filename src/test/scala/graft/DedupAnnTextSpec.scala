@@ -338,4 +338,17 @@ class DedupAnnTextSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(got == Seq(("s1", "s2", 1L), ("s1", "s3", 1L)))
   }
+
+  test("index stats report occupancy balance and empty cells exactly") {
+    // cells: 0 -> 3 rows, 1 -> 1 row, 7 -> 4 rows; 8 cells total
+    val embCell = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 1L),
+      (4L, 7L), (5L, 7L), (6L, 7L), (7L, 7L)
+    ).toDF("vec_id", "cell")
+    val got = Ann.indexStats(embCell, "cell", 8L)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].head()
+    // (n_vectors, occupied, total, empty, min, max, avg, imbalance)
+    assert(got == ((8L, 3L, 8L, 5L, 1L, 4L, 2.666667, 1.5)))
+  }
 }
