@@ -2332,14 +2332,6 @@ object SparkEntry {
            |JOIN embeddings c ON c.vec_id = rk.nn_id
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-      // true IVFPQ = a4's hierarchical probe CTEs × a8's PQ CTEs:
-      // coarse-probe a CONSTANT max(12, ⌈cells/50⌉) cells (rank k1
-      // level-0 group centroids, keep enough groups to seat 2× the
-      // cell budget, rank only their cells — Ann.ivfPqNprobe /
-      // hierGroupProbe, same integer arithmetic both engines),
-      // ADC-score only the probed cells' candidates (integer
-      // micro-distance sums, ties by nn_id), exact-cosine rerank of
-      // the top-200 ADC shortlist — every ranking rule identical to the
       // index-health card over the same primary cell assignment:
       // integer occupancy stats, double division of exact ints, same
       // operand order as the Spark expressions
@@ -2356,7 +2348,15 @@ object SparkEntry {
           |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS imbalance
           |FROM occ""".stripMargin,
 
-      // Spark side digit-for-digit
+      // true IVFPQ = a4's hierarchical probe CTEs × a8's PQ CTEs:
+      // coarse-probe a CONSTANT max(12, ⌈cells/50⌉) cells (rank k1
+      // level-0 group centroids, keep enough groups to seat 2× the
+      // cell budget, rank only their cells — Ann.ivfPqNprobe /
+      // hierGroupProbe, same integer arithmetic both engines),
+      // ADC-score only the probed cells' candidates (integer
+      // micro-distance sums, ties by nn_id), exact-cosine rerank of
+      // the top-200 ADC shortlist — every ranking rule identical to
+      // the Spark side digit-for-digit
       "a9_ivfpq" ->
         s"""WITH $cellCtes,
           |a9np AS (SELECT k1, k2, least(k1 * k2, greatest(1,

@@ -104,10 +104,6 @@ object Dedup {
                         skewThreshold: Double = 0.5): DataFrame =
     ngramJaccardPairsFrom(shinglePostings(docs, id, text, n), tau, skewThreshold)
 
-  /** [[ngramJaccardPairs]] over a PREBUILT (possibly cached/persisted)
-    * postings table — the one-postings-table-many-consumers shape:
-    * d4 and x16 share one shingle+hash build per corpus
-    * ([[ClusterCache.postings]]). */
   /** Per-shingle document frequency AND first-occurrence doc over a
     * postings table — the vocabulary-sized table every df consumer
     * (router statistics, prefix ranks, the df>=2 prune, x19's
@@ -147,6 +143,14 @@ object Dedup {
       q.getLong(2), q.getLong(3))
   }
 
+  /** [[ngramJaccardPairs]] over a PREBUILT (possibly cached/persisted)
+    * postings table — the one-postings-table-many-consumers shape:
+    * d4 and x16 share one shingle+hash build per corpus
+    * ([[ClusterCache.postings]]). `dfcPre`/`statsPre` accept the
+    * corpus-shared df table and routing statistics
+    * ([[ClusterCache.shingleDf]]/[[ClusterCache.dfSkewStats]]);
+    * omitted, both derive from `sh` here (one extra postings-wide
+    * aggregation + two driver actions per call). */
   def ngramJaccardPairsFrom(sh: DataFrame, tau: Double,
                             skewThreshold: Double = 0.5,
                             dfcPre: Option[DataFrame] = None,

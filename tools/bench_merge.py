@@ -28,23 +28,43 @@ for p in prefixes:
         sys.exit(f"at-prefix {p!r} matches {len(matches)} records, need exactly 1")
     sess.append(matches[0])
 
+# comparability guard: refuse to merge sessions that measured different
+# corpora/metrics, or subset (GRAFT_BENCH_ONLY) probes — a min across
+# those is a plausible-looking but corrupted artifact
+for key in ("sf", "metric", "unit"):
+    vals = {s.get(key) for s in sess}
+    if len(vals) != 1:
+        sys.exit(f"sessions disagree on {key}: {sorted(map(str, vals))}")
+allq = sorted(set().union(*[set(s["queries"]) for s in sess]))
+for s in sess:
+    if len(s["queries"]) < 0.95 * len(allq):
+        sys.exit(f"session {s['at']} covers only {len(s['queries'])} of "
+                 f"{len(allq)} queries — looks like a subset run, refusing")
+
 base = dict(sess[-1])
 base.pop("at", None)
 base.pop("out", None)
-allq = sorted(set().union(*[set(s["queries"]) for s in sess]))
 merged = {q: min(s["queries"][q] for s in sess if q in s["queries"]) for q in allq}
 total = sum(merged.values())
 base["queries"] = merged
 base["value"] = total
 base["runs"] = sum(s.get("runs", 1) for s in sess)
-if base.get("stream_drain_floor_s", -1) >= 0:
-    base["total_ex_drain_floor"] = (
-        total - base["stream_drain_floor_s"] * base["stream_queries"])
+# the min statistic pairs with the smallest measured drain floor: the
+# streaming-query minima predominantly come from the least-contended
+# session, so subtracting the last session's (possibly inflated) floor
+# would understate the ex-floor total
+floors = [s["stream_drain_floor_s"] for s in sess
+          if s.get("stream_drain_floor_s", -1) >= 0]
+if floors and base.get("stream_queries", 0) > 0:
+    base["stream_drain_floor_s"] = min(floors)
+    base["total_ex_drain_floor"] = total - min(floors) * base["stream_queries"]
 passes = "+".join(str(s.get("runs", 1)) for s in sess)
 partial = [q for q in allq if any(q not in s["queries"] for s in sess)]
+base["merged_sessions"] = [s["at"] for s in sess]
 note = (f"per-query min of run-medians across {len(sess)} same-code bench "
-        f"sessions ({passes} full suite passes; sessions picked by `at` from "
-        f"BENCH_HISTORY.jsonl, reproducible via tools/bench_merge.py)")
+        f"sessions ({passes} full suite passes; `merged_sessions` lists the "
+        f"BENCH_HISTORY.jsonl records; regenerate via tools/bench_merge.py; "
+        f"drain floor = min across sessions, matching the min statistic)")
 if partial:
     note += f"; queries absent from some sessions (min over fewer passes): {','.join(partial)}"
 base["protocol_note"] = note
