@@ -351,4 +351,20 @@ class DedupAnnTextSpec extends SparkSpec {
     // (n_vectors, occupied, total, empty, min, max, avg, imbalance)
     assert(got == ((8L, 3L, 8L, 5L, 1L, 4L, 2.666667, 1.5)))
   }
+
+  test("x16 prune gate decision follows the measured df=1 postings mass") {
+    val sh = graft.dedup.ClusterCache.postings(spark, sfDir, 3)
+    val dfc = graft.dedup.ClusterCache.shingleDf(spark, sfDir, 3)
+    val st = graft.dedup.ClusterCache.dfSkewStats(spark, sfDir, 3)
+    // memoized stats must equal a fresh computation over the df table
+    assert(st == Dedup.dfSkewStats(dfc))
+    val df1Frac = st.df1.toDouble / math.max(1L, st.postings)
+    val plan = Dedup.containmentPairsFrom(sh, 0.6,
+        dfcPre = Some(dfc), statsPre = Some(st))
+      .queryExecution.optimizedPlan.toString
+    // the routed plan contains the df>=2 semi-join prune exactly when
+    // the measured df=1 mass clears the gate (pins the gate wiring,
+    // not just the constant)
+    assert(plan.contains("LeftSemi") == (df1Frac >= Dedup.PruneDf1Fraction))
+  }
 }
