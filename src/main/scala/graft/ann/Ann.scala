@@ -258,16 +258,35 @@ object Ann {
     * __m·kCb + __code — the layout that lets the ADC join carry ONE
     * row per candidate and score it with m in-row array lookups
     * instead of an 8-way join + aggregation. q·nprobe rows of m·kCb
-    * longs (8·64 = 512 per row at the defaults) — broadcast. */
+    * longs (8·64 = 512 per row at the defaults) — broadcast.
+    *
+    * FAILS LOUDLY on a codebook that does not carry exactly `kCb`
+    * codes 0..kCb−1 per subspace: positional element_at indexing
+    * assumes a dense table, and a sparse one would silently SHIFT
+    * positions — every downstream lookup lands on the wrong
+    * micro-distance (or NULL past the end, which sorts NULLS FIRST in
+    * the ascending shortlist: plausible-looking wrong top-k). The
+    * guard runs on q·nprobe broadcast-sized rows, never the corpus. */
   def ivfPqDistanceTablePacked(queries: DataFrame, probed: DataFrame,
                                centroids: DataFrame, codebook: DataFrame,
-                               m: Int, kCb: Int): DataFrame =
-    ivfPqDistanceTable(queries, probed, centroids, codebook, m)
+                               m: Int, kCb: Int): DataFrame = {
+    val packed = ivfPqDistanceTable(queries, probed, centroids, codebook, m)
       .groupBy(col("query_id"), col("c_cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(
-          (col("__m") * kCb + col("__code")).as("pos"), col("__d")))),
-        s => s.getField("__d")).as("__dtab"))
+      .agg(array_sort(collect_list(struct(
+        (col("__m") * kCb + col("__code")).as("pos"), col("__d")))).as("__p"))
+    packed.select(col("query_id"), col("c_cell"),
+      when(size(col("__p")) === m * kCb &&
+          element_at(col("__p"), 1).getField("pos") === 0 &&
+          element_at(col("__p"), m * kCb).getField("pos") === m * kCb - 1,
+        transform(col("__p"), s => s.getField("__d")))
+        .otherwise(raise_error(concat(
+          lit(s"IVFPQ codebook/kCb mismatch: packed distance table needs " +
+            s"exactly ${m * kCb} dense entries (m=$m x kCb=$kCb, codes " +
+            s"0..${kCb - 1} per subspace), got "),
+          size(col("__p")).cast("string"),
+          lit(" — rebuild the codebook with k=kCb or pass the codebook's " +
+            "actual k")))).as("__dtab"))
+  }
 
   /** Per-query ADC distance table (query_id, __m, __cid, __d):
     * q·m·k rows of precomputed query↔sub-centroid micro-distances —

@@ -110,7 +110,18 @@ object Dedup {
     * first-seen novelty) derives from. `__first` rides in the same
     * shuffle as the count for free. Build it ONCE per corpus and
     * share ([[ClusterCache.shingleDf]]): recomputing it is a full
-    * postings-wide aggregation each time. */
+    * postings-wide aggregation each time.
+    *
+    * ID-ORDERING ASSUMPTION: `__first` = min(doc id) under the id
+    * column's NATIVE ordering, and "first" is only chronological when
+    * doc ids are assigned in ingestion order (true for the synthetic
+    * corpus's monotone longs). The id column is generic
+    * (`sh.columns.head`), so with STRING ids "first" degrades to
+    * lexicographic, and with non-chronological ids
+    * [[graft.operators.Pipeline.noveltyProfileFrom]]'s copied_frac
+    * direction is meaningless — callers with such ids must remap to
+    * an ingestion-ordered key first (the df/prune/router consumers
+    * only use `__df` and are ordering-agnostic). */
   def shingleDf(sh: DataFrame): DataFrame =
     sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"),
       min(col(sh.columns.head)).as("__first"))

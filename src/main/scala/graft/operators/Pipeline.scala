@@ -125,7 +125,14 @@ object Pipeline {
     * alone ([[Dedup.shingleDf]]'s __first column rides the same
     * shuffle as the df count), one vocab groupBy + one postings
     * aggregation, both over the shared corpus artifacts
-    * (ClusterCache.postings / shingleDf). */
+    * (ClusterCache.postings / shingleDf).
+    *
+    * "EARLIER" means smaller doc id under the id column's native
+    * ordering (see [[Dedup.shingleDf]]'s id-ordering note): the
+    * copied_frac direction is only meaningful when ids are assigned
+    * in ingestion/chronological order — remap non-chronological or
+    * string ids to an ingestion-ordered key before reading this as a
+    * copying signal. */
   def noveltyProfileFrom(sh: DataFrame, dfc: DataFrame): DataFrame = {
     val id = sh.columns.head
     val perDoc = sh.groupBy(col(id)).agg(max(col("n_sh")).as("n_sh"))

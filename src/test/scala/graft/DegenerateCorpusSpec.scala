@@ -47,9 +47,23 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 5L && p._2 == 6L && p._3 == 1.0))
     // no pair may involve the NULL-text doc (it has no shingles)
     assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L))
-    // both exact arms agree on this corpus too
-    val sh = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.12)
-    assert(sh.count() == pairs.length)
+    // both exact arms agree on this corpus: invoke each arm DIRECTLY
+    // (the routed entry point always takes the same arm here, so
+    // calling it twice would pin nothing — mirror the x16 test)
+    val posts = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.Text.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("__s"))
+      .select(col("doc_id"), col("n_sh"),
+        graft.functions.Text.md5Prefix60(col("__s")).as("shingle"))
+    val dfc = Dedup.shingleDf(posts)
+    val direct = Dedup.jaccardDirect(posts, 0.12)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPrefix(posts, dfc, 0.12)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct == prefix)
+    assert(direct == pairs.toSet)
   }
 
   test("x16 containment: both arms complete and agree on the degenerate corpus") {

@@ -216,4 +216,28 @@ class ProductQuantizerSpec extends SparkSpec {
       assert(hier == flat, s"np=$np gp=$gp")
     }
   }
+
+  test("packed ADC fails loudly on a codebook whose k differs from kCb") {
+    val (ix, withCell, cents, _, codes) = ivfpqStructures
+    // codebook trained with k=32 while the scorer assumes the default
+    // kCb=64: positional __dtab indexing would silently shift every
+    // lookup (or read NULL past the end, which sorts NULLS FIRST in
+    // the ascending shortlist) — the guard must throw instead
+    val cb32 = Ann.ivfPqCodebook(withCell, "vec_id", "embedding", "cell",
+      cents, k = 32).localCheckpoint()
+    val e = intercept[Exception] {
+      Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+        cents, codes, cb32, Seq(0L), 10, nprobe = 4).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("codebook/kCb mismatch")),
+      s"unexpected error: $e")
+    // and the CONSISTENT pairing (codes re-encoded against the k=32
+    // codebook, kCb=32 declared) still works at the same call site
+    val codes32 = Ann.ivfPqCodes(withCell, "vec_id", "embedding", "cell",
+      cents, cb32).localCheckpoint()
+    assert(Ann.knnIvfPq(withCell, "vec_id", "embedding", "cell",
+      cents, codes32, cb32, Seq(0L), 10, nprobe = 4, kCb = 32).count() > 0)
+  }
 }
