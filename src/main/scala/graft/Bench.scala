@@ -101,6 +101,14 @@ object Bench {
     val results = qlist.map { case (name, _) =>
       name -> allRuns.map(_(name)).min
     }
+    // carry BOTH statistics when several suite passes ran: the min is
+    // the contention-immune round-over-round comparable, the median
+    // shows drift — readers shouldn't have to re-derive one from
+    // BENCH_HISTORY (r12 verdict item 6/5)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val resultsMed = qlist.map { case (name, _) =>
+      name -> median(allRuns.map(_(name)))
+    }
     // decomposition aid: each stream drain pays a fixed micro-batch
     // machinery cost (source listing, planning, state-store setup,
     // sink/checkpoint commits) that is NOT query work; measure it once
@@ -149,8 +157,15 @@ object Bench {
         val exFloor = total - floor * streamQs
         s""","stream_drain_floor_s":$floor,"stream_drain_floor_parts":$floorParts$failNote,"stream_queries":$streamQs,"total_ex_drain_floor":$exFloor"""
       }
+    val medianField =
+      if (runs <= 1) ""
+      else {
+        val mqs = resultsMed.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        s""","value_median_of_runs":${resultsMed.map(_._2).sum},"queries_median_of_runs":$mqs"""
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs$floorField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"runs":$runs,"queries":$qs$floorField$medianField,"sf":"$sfDir"}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Exception =>
@@ -174,6 +189,29 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not append BENCH_HISTORY.jsonl: ${e.getMessage}")
     }
+    // The driver's BENCH_r{N}.json stores only a 2000-char stdout TAIL,
+    // and sbt appends its own "[success] ..." trailer after our output,
+    // so the full-name 120-query JSON line (~5 KB) never parses from
+    // that artifact (parsed: null in r11+r12). Emit a COMPACT
+    // self-contained line LAST: query keys shortened to their unique
+    // leading token ("ts23_rank_suite" -> "ts23"), seconds at 3 dp —
+    // ~1.7 KB, fits the tail with the trailer. The full-name map stays
+    // above, in the out file, and in BENCH_HISTORY.jsonl.
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would corrupt the JSON
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    val compactNames =
+      if (prefixes.distinct.length == results.length) prefixes
+      else results.map(_._1) // prefix collision (shouldn't happen): full names
+    val compactQs = results.zip(compactNames)
+      .map { case ((_, v), p) => "\"" + p + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val compactFloor =
+      if (streamQs == 0 || floor < 0) ""
+      else s""","stream_drain_floor_s":${r3(floor)},"total_ex_drain_floor":${r3(total - floor * streamQs)}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"runs":$runs,"n_queries":${results.length},"keys":"query-name prefixes; full map in BENCH_HISTORY.jsonl","queries":$compactQs$compactFloor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,15 @@ total = sum(merged.values())
 base["queries"] = merged
 base["value"] = total
 base["runs"] = sum(s.get("runs", 1) for s in sess)
+# carry the MEDIAN across sessions alongside the min (r12 verdict
+# item 5): min is the contention-immune round-over-round comparable,
+# median shows drift without re-deriving from BENCH_HISTORY. Each
+# session value is already that session's min-of-run-medians.
+import statistics
+med = {q: statistics.median([s["queries"][q] for s in sess if q in s["queries"]])
+       for q in allq}
+base["queries_median_of_sessions"] = med
+base["value_median_of_sessions"] = sum(med.values())
 # the min statistic pairs with the smallest measured drain floor: the
 # streaming-query minima predominantly come from the least-contended
 # session, so subtracting the last session's (possibly inflated) floor
