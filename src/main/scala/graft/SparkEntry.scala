@@ -313,24 +313,22 @@ object SparkEntry {
         .orderBy("day")
     }),
 
-    // the ranking-function suite over per-user totals: tie-safe window
-    // (rank/dense_rank/percent_rank/cume_dist on a coarse key) + a
-    // totally-ordered window (row_number/ntile)
+    // the ranking-function suite over per-user totals: rank/dense_rank/
+    // percent_rank/cume_dist on the coarse bucket key + row_number/
+    // ntile on the total order — through the DISTRIBUTED rank suite
+    // (TimeSeries.rankSuite: approx-cutoff range buckets + exact
+    // per-bucket offsets + partitioned windows), never a corpus-wide
+    // single-task `Window.orderBy` sort (the r12 scale-killer). The
+    // DuckDB oracle computes the same columns as plain exact windows —
+    // cross-derivation proof (RankSuiteSpec pins the window twin equal
+    // on a skewed corpus). `bucket` monotone in total_value is what
+    // lets the tie-family stats derive from per-bucket aggregates.
     "ts23_rank_suite" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val totals = ev(s, d).groupBy(col("user_id"))
         .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .withColumn("bucket", floor(col("total_value") / 50))
-      val wTie = Window.orderBy(col("bucket").desc)
-      val wUnique = Window.orderBy(col("total_value").desc, col("user_id").asc)
-      totals.select(col("user_id"), col("total_value"), col("bucket"),
-          rank().over(wTie).as("rnk"),
-          dense_rank().over(wTie).as("drnk"),
-          round(percent_rank().over(wTie), 6).as("pct"),
-          round(cume_dist().over(wTie), 6).as("cd"),
-          row_number().over(wUnique).as("rn"),
-          ntile(4).over(wUnique).as("quartile"))
-        .orderBy("user_id")
+      graft.operators.TimeSeries.rankSuite(
+        totals, "user_id", "total_value", "bucket", 4)
     }),
 
     "ts16_interval_join" -> ((s, d) => {

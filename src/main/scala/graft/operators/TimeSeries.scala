@@ -447,4 +447,117 @@ object TimeSeries {
         round(sum((col(value) * col("__w")).cast("decimal(28,6)")).cast("double") /
           sum(col("__w")), 6).as("twa"))
   }
+
+  /** EXACT global row_number over `order` (whose FIRST key must be the
+    * numeric `rangeCol`, `desc`-ordered accordingly) WITHOUT a
+    * single-task total sort — the x14-documented cutoff pattern,
+    * realized: approx_percentile cutoffs split the value range into
+    * ~`parts` contiguous buckets map-side (ties NEVER straddle a
+    * boundary: assignment counts cutoffs STRICTLY beyond the value, so
+    * equal values share a bucket), per-bucket EXACT counts become
+    * row-number offsets, and each bucket sorts only its own rows under
+    * a partitioned window. Exactness does not depend on the cutoffs —
+    * they only balance the buckets (skew in a single tied value still
+    * concentrates that tie class in one bucket; at 100 TB the tie
+    * class of a CONTINUOUS ranking key is small by construction).
+    *
+    * Driver-side state is bounded and constant-sized: one
+    * approx_percentile row (parts−1 doubles) + ≤parts count rows —
+    * the same bounded-probe budget as ts4's hot-key router, never
+    * O(distinct keys). */
+  private[graft] def globalRowNumber(df: DataFrame, desc: Boolean,
+                                     order: Seq[Column],
+                                     parts: Int, out: String): DataFrame = {
+    require(df.columns.contains("__grn_range"),
+      "caller must attach the numeric __grn_range ordering column")
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val cutRow = df
+      .agg(expr(s"approx_percentile(__grn_range, array(${probs.mkString(",")}))")
+        .as("c"))
+      .head()
+    val cuts: Seq[Double] =
+      if (cutRow.isNullAt(0)) Nil
+      else cutRow.getSeq[Double](0).distinct
+    val rb =
+      if (cuts.isEmpty) lit(0)
+      else if (desc) size(filter(lit(cuts.toArray), c => c > col("__grn_range")))
+      else size(filter(lit(cuts.toArray), c => c < col("__grn_range")))
+    val tagged = df.withColumn("__grn_rb", rb)
+    val counts = tagged.groupBy(col("__grn_rb")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("__grn_rb"))
+    tagged
+      .withColumn(out,
+        row_number().over(Window.partitionBy(col("__grn_rb")).orderBy(order: _*))
+          .cast("long") + offCol)
+      .drop("__grn_rb", "__grn_range")
+  }
+
+  /** The ts23 ranking-function suite — rank/dense_rank/percent_rank/
+    * cume_dist on a coarse tie key plus row_number/ntile on a total
+    * order — WITHOUT any corpus-wide single-task window sort (the r12
+    * verdict's one scale-killer: `Window.orderBy` with no partition
+    * key puts the whole per-user totals table in ONE task at 10⁸+
+    * users). Everything derives from ONE distributed global
+    * row_number ([[globalRowNumber]]) plus aggregate-sized artifacts:
+    *
+    *  - `rn` — the distributed row_number itself (cutoff buckets +
+    *    exact offsets).
+    *  - `rnk`/`pct`/`cd` — because `bucket` is MONOTONE in the
+    *    ordering value, each tie class occupies a contiguous rn range:
+    *    rank = min(rn), cume_dist = max(rn)/N over the tie class —
+    *    per-bucket min/max/count come from a map-side-combined groupBy
+    *    (skew-safe: no tie-class window sort), joined back on bucket.
+    *  - `drnk` — a SECOND distributed row_number over the
+    *    histogram-sized distinct-bucket table (dense_rank of a tie
+    *    class = its index among distinct keys).
+    *  - `quartile` — pure arithmetic on (rn, N): ANSI ntile tiles are
+    *    ⌈N/t⌉-sized for the first N mod t, ⌊N/t⌋ after.
+    *
+    * The exact-window twin (RankSuiteSpec.rankSuiteWindow, test tree)
+    * is the DuckDB-oracle shape and is spec-pinned equal on a skewed
+    * corpus — the same cross-derivation proof pattern as t15. */
+  def rankSuite(totals: DataFrame, user: String, value: String,
+                bucket: String, tiles: Int, parts: Int = 32): DataFrame = {
+    val withRn = globalRowNumber(
+      totals.withColumn("__grn_range", col(value).cast("double")),
+      desc = true,
+      Seq(col("__grn_range").desc, col(user).asc), parts, "rn")
+    val hist = withRn.groupBy(col(bucket)).agg(
+      min(col("rn")).as("__rnk"),
+      max(col("rn")).as("__maxrn"),
+      count(lit(1)).as("__bn"))
+    val n = hist.agg(coalesce(sum(col("__bn")), lit(0L))).head().getLong(0)
+    val drnks = globalRowNumber(
+      hist.select(col(bucket)).withColumn("__grn_range", col(bucket).cast("double")),
+      desc = true,
+      Seq(col("__grn_range").desc), parts, "__drnk")
+    val big = n / tiles + (if (n % tiles == 0) 0L else 1L)
+    val small = n / tiles
+    val cut = (n % tiles) * big
+    withRn
+      .join(hist.select(col(bucket), col("__rnk"), col("__maxrn")), Seq(bucket))
+      .join(drnks, Seq(bucket))
+      .select(col(user), col(value), col(bucket),
+        col("__rnk").cast("int").as("rnk"),
+        col("__drnk").cast("int").as("drnk"),
+        (if (n <= 1L) round(lit(0.0), 6)
+         else round((col("__rnk") - 1L).cast("double") / (n - 1L).toDouble, 6))
+          .as("pct"),
+        round(col("__maxrn").cast("double") / math.max(n, 1L).toDouble, 6).as("cd"),
+        col("rn").cast("int").as("rn"),
+        (when(col("rn") <= cut, (col("rn") - 1L) / big)
+          .otherwise(lit(n % tiles) +
+            (col("rn") - 1L - cut) / math.max(small, 1L)) + 1L)
+          .cast("int").as("quartile"))
+      .orderBy(user)
+  }
+
 }
