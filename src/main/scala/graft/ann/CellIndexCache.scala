@@ -59,9 +59,11 @@ object CellIndexCache {
   def scaledPairs(spark: SparkSession, dir: String,
                   id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.nearDupPairsScaledIndexed(
-        Tables.embeddings(spark, dir), id, vec, BaseTau, embeddings(spark, dir))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "pairs") {
+      Ann.nearDupPairsScaledIndexed(
+          Tables.embeddings(spark, dir), id, vec, BaseTau, embeddings(spark, dir))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = pairsCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -80,9 +82,11 @@ object CellIndexCache {
   def embeddingsWithCell(spark: SparkSession, dir: String,
                          id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.withCoarseCellIndexed(
-        Tables.embeddings(spark, dir), id, embeddings(spark, dir, id, vec))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "cells") {
+      Ann.withCoarseCellIndexed(
+          Tables.embeddings(spark, dir), id, embeddings(spark, dir, id, vec))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = withCellCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -100,8 +104,19 @@ object CellIndexCache {
   def centroids(spark: SparkSession, dir: String,
                 id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.ivfCentroids(embeddingsWithCell(spark, dir, id, vec), vec, "cell")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the persisted table carries the extra g_grp bucketing column —
+    // project it away so the loaded shape matches the built (c_cell,
+    // c_vec) contract (and only in the load arm: a projection wrapper
+    // around the built-and-persisted df would make clear()'s
+    // unpersist a no-op)
+    def build() =
+      if (graft.sources.IndexStore.enabled &&
+          graft.sources.IndexStore.exists(spark, dir, "centroids"))
+        graft.sources.IndexStore.load(spark, dir, "centroids")
+          .select(org.apache.spark.sql.functions.col("c_cell"),
+            org.apache.spark.sql.functions.col("c_vec"))
+      else Ann.ivfCentroids(embeddingsWithCell(spark, dir, id, vec), vec, "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val df = centroidCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -120,9 +135,11 @@ object CellIndexCache {
   def groupCentroids(spark: SparkSession, dir: String,
                      id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.groupCentroids(centroids(spark, dir, id, vec),
-        embeddings(spark, dir, id, vec).k2)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "gcents") {
+      Ann.groupCentroids(centroids(spark, dir, id, vec),
+          embeddings(spark, dir, id, vec).k2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = groupCentroidCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -141,10 +158,12 @@ object CellIndexCache {
   def pqCodebook(spark: SparkSession, dir: String,
                  id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.ivfPqCodebook(
-        embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
-        centroids(spark, dir, id, vec))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "pqcodebook") {
+      Ann.ivfPqCodebook(
+          embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
+          centroids(spark, dir, id, vec))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = pqCodebookCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -161,11 +180,13 @@ object CellIndexCache {
   def pqCodes(spark: SparkSession, dir: String,
               id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.ivfPqCodes(
-        embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
-        centroids(spark, dir, id, vec),
-        pqCodebook(spark, dir, id, vec))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "pqcodes") {
+      Ann.ivfPqCodes(
+          embeddingsWithCell(spark, dir, id, vec), id, vec, "cell",
+          centroids(spark, dir, id, vec),
+          pqCodebook(spark, dir, id, vec))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = pqCodesCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -184,8 +205,10 @@ object CellIndexCache {
   def rawPqCodebook(spark: SparkSession, dir: String,
                     id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.pqCodebook(Tables.embeddings(spark, dir), id, vec)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "rawpqcodebook") {
+      Ann.pqCodebook(Tables.embeddings(spark, dir), id, vec)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = rawPqCodebookCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -201,9 +224,11 @@ object CellIndexCache {
   def rawPqCodes(spark: SparkSession, dir: String,
                  id: String = "vec_id", vec: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val key = (System.identityHashCode(spark), dir)
-    def build() = Ann.pqCodes(Tables.embeddings(spark, dir), id, vec,
-        rawPqCodebook(spark, dir, id, vec))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def build() = graft.sources.IndexStore.loadOr(spark, dir, "rawpqcodes") {
+      Ann.pqCodes(Tables.embeddings(spark, dir), id, vec,
+          rawPqCodebook(spark, dir, id, vec))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = rawPqCodesCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()

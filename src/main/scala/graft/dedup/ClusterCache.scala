@@ -32,9 +32,11 @@ object ClusterCache {
   def docWordTf(spark: SparkSession, dir: String): DataFrame = {
     val key = (System.identityHashCode(spark), dir)
     def build(): DataFrame =
-      graft.operators.Pipeline.docWordTable(
-          Tables.documents(spark, dir), "doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, "docwordtf") {
+        graft.operators.Pipeline.docWordTable(
+            Tables.documents(spark, dir), "doc_id", "text")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val df = docWordCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -50,8 +52,10 @@ object ClusterCache {
   def postings(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
     def build(): DataFrame =
-      Dedup.shinglePostings(Tables.documents(spark, dir), "doc_id", "text", n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, s"postings_n$n") {
+        Dedup.shinglePostings(Tables.documents(spark, dir), "doc_id", "text", n)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val df = postingsCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -72,8 +76,10 @@ object ClusterCache {
   def shingleDf(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
     def build(): DataFrame =
-      Dedup.shingleDf(postings(spark, dir, n))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, s"shingledf_n$n") {
+        Dedup.shingleDf(postings(spark, dir, n))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val df = dfCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -103,9 +109,11 @@ object ClusterCache {
                    n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
     val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
     def build(): DataFrame =
-      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
-          n, perms, bands, ordered = false)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, s"minhash_n${n}_p${perms}_b$bands") {
+        Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+            n, perms, bands, ordered = false)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val df = pairCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()
@@ -122,10 +130,12 @@ object ClusterCache {
                 n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
     val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
     def build(): DataFrame =
-      Dedup.connectedComponents(
-          Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
-          minhashPairs(spark, dir, n, perms, bands), "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, s"clusters_n${n}_p${perms}_b$bands") {
+        Dedup.connectedComponents(
+            Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
+            minhashPairs(spark, dir, n, perms, bands), "doc_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val df = cache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       // a test stopped the owning session; rebuild against the live one

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, CellIndexCache}
+import graft.dedup.ClusterCache
+import graft.sources.IndexStore
+
+/** The durable bucketed index (IndexStore) must be a TRANSPARENT
+  * replacement for the session-built artifacts: every loaded table
+  * bit-equal to its built twin, the hierarchical probe's probed set
+  * bit-equal through loaded centroids/group-centroids, the production
+  * a4/a9/d5-family queries row-identical in load mode (so oracle-green
+  * transfers), and — the at-scale point of bucketing — a probe's
+  * cell/group filter must PRUNE to the probed buckets at the scan
+  * (SelectedBucketsCount in the executed plan). */
+class IndexStoreSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def freshCaches(): Unit = { CellIndexCache.clear(); ClusterCache.clear() }
+
+  test("loaded == built, queries transfer, probes bucket-prune") {
+    sys.props.remove(IndexStore.EnvFlag)
+    freshCaches()
+
+    // ---- built (session) artifacts + reference query outputs ----
+    val bCells = rows(CellIndexCache.embeddingsWithCell(spark, sfDir))
+    val bCents = rows(CellIndexCache.centroids(spark, sfDir))
+    val bGc = rows(CellIndexCache.groupCentroids(spark, sfDir))
+    val bCodes = rows(CellIndexCache.pqCodes(spark, sfDir))
+    val bPairs = rows(CellIndexCache.scaledPairs(spark, sfDir))
+    val bClus = rows(ClusterCache.documents(spark, sfDir))
+    val bDf = rows(ClusterCache.shingleDf(spark, sfDir))
+    val ix = CellIndexCache.embeddings(spark, sfDir)
+    val queries = CellIndexCache.embeddingsWithCell(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      .localCheckpoint()
+    val np = Ann.ivfPqNprobe(ix.k1.toLong * ix.k2)
+    val gp = Ann.hierGroupProbe(ix.k1, ix.k2, np)
+    val bProbed = rows(Ann.probedCellsHier(queries,
+      CellIndexCache.centroids(spark, sfDir), ix.k2, np, gp,
+      Some(CellIndexCache.groupCentroids(spark, sfDir))))
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sfDir))
+    val bQ = Seq("a3_ivf_coarse", "a4_ivf_nprobe", "a9_ivfpq", "a10_index_stats",
+      "d5_embedding_neardup", "d6_dup_clusters", "d7_dedup_survivors",
+      "d8_semantic_dedup", "x19_novelty").map(n => n -> q(n)).toMap
+
+    // ---- persist, flip to load mode, drop every session cache ----
+    val names = IndexStore.writeAll(spark, sfDir)
+    assert(names.length == 13 && names.forall(spark.catalog.tableExists))
+    sys.props(IndexStore.EnvFlag) = "1"
+    freshCaches()
+    try {
+      // the cache getters now return the persisted tables
+      assert(rows(CellIndexCache.embeddingsWithCell(spark, sfDir)) == bCells)
+      assert(rows(CellIndexCache.centroids(spark, sfDir)) == bCents)
+      assert(rows(CellIndexCache.groupCentroids(spark, sfDir)) == bGc)
+      assert(rows(CellIndexCache.pqCodes(spark, sfDir)) == bCodes)
+      assert(rows(CellIndexCache.scaledPairs(spark, sfDir)) == bPairs)
+      assert(rows(ClusterCache.documents(spark, sfDir)) == bClus)
+      assert(rows(ClusterCache.shingleDf(spark, sfDir)) == bDf)
+      // probed set bit-equal through the loaded coarse structures
+      val lProbed = rows(Ann.probedCellsHier(queries,
+        CellIndexCache.centroids(spark, sfDir), ix.k2, np, gp,
+        Some(CellIndexCache.groupCentroids(spark, sfDir))))
+      assert(lProbed == bProbed)
+      // production queries row-identical in load mode → the committed
+      // oracle-green verdict transfers to the persisted index
+      bQ.foreach { case (n, expect) => assert(q(n) == expect, n) }
+
+      // ---- the bucketing claim: a probe prunes to its buckets ----
+      // a bare filter with no downstream join/agg makes the planner
+      // fall back to a non-bucketed scan (autoBucketedScan) and skip
+      // pruning — pin the bucketed scan the way a probe session would
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probedCells = bProbed.map(_(1).asInstanceOf[Long]).toSeq.sorted
+      def selected(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        val plan = df.queryExecution.executedPlan.toString
+        val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstMatchIn(plan)
+        assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+        (m.get.group(1).toInt, m.get.group(2).toInt)
+      }
+      val (selC, totC) = selected(
+        IndexStore.load(spark, sfDir, "cells")
+          .filter(col("cell").isin(probedCells: _*)))
+      assert(selC < totC, s"cells scan read all $totC buckets")
+      val (selP, totP) = selected(
+        IndexStore.load(spark, sfDir, "pqcodes")
+          .filter(col("c_cell").isin(probedCells: _*)))
+      assert(selP < totP, s"pqcodes scan read all $totP buckets")
+      val probedGroups = probedCells.map(_ / ix.k2).distinct
+      val (selG, totG) = selected(
+        IndexStore.load(spark, sfDir, "centroids")
+          .filter(col("g_grp").isin(probedGroups: _*)))
+      assert(selG < totG, s"centroids scan read all $totG buckets")
+
+      // ---- cross-SESSION durability: a fresh JVM's in-memory
+      // catalog has no table entries; only the files + manifest
+      // survive. Simulate by dropping every catalog entry (external
+      // tables — data stays) and let registerIfNeeded re-attach.
+      names.foreach(n => spark.sql(s"DROP TABLE $n"))
+      assert(names.forall(n => !spark.catalog.tableExists(n)))
+      freshCaches()
+      assert(rows(CellIndexCache.embeddingsWithCell(spark, sfDir)) == bCells)
+      assert(rows(CellIndexCache.scaledPairs(spark, sfDir)) == bPairs)
+      assert(rows(ClusterCache.documents(spark, sfDir)) == bClus)
+      // the re-registered table is bucketed again (pruning still on)
+      val (selC2, totC2) = selected(
+        IndexStore.load(spark, sfDir, "cells")
+          .filter(col("cell").isin(probedCells: _*)))
+      assert(selC2 == selC && totC2 == totC)
+    } finally {
+      sys.props.remove(IndexStore.EnvFlag)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      freshCaches()
+    }
+  }
+}
