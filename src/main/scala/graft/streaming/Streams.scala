@@ -71,6 +71,22 @@ object Streams {
   private def drainSession(spark: SparkSession, stateRows: Long): SparkSession = {
     val s = sharedDrain.computeIfAbsent(spark, p => p.newSession())
     s.conf.set("spark.sql.shuffle.partitions", sizedParts(stateRows).toString)
+    // state-store backend: GRAFT_STATE_STORE=rocksdb swaps the
+    // default in-heap HDFSBackedStateStoreProvider for RocksDB — the
+    // right backend for the O(keys) state families (sessionization,
+    // dedup) whose state outgrows executor memory at scale; the
+    // default stays in-heap because the harness's states are small
+    // and RocksDB pays a per-batch native-store open/commit cost.
+    // Set EXPLICITLY both ways (the drain session is shared): a test
+    // flipping the property must not leak into later drains.
+    val provider = sys.props.get("GRAFT_STATE_STORE")
+      .orElse(sys.env.get("GRAFT_STATE_STORE")) match {
+      case Some(v) if v.equalsIgnoreCase("rocksdb") =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     // a drain has nothing to do in a no-data cycle: none of the drained
     // operators gate EMISSION on the watermark (complete-mode aggs and
     // the inner interval join emit in the data batch; the watermark
@@ -87,18 +103,38 @@ object Streams {
   private def sourceRows(spark: SparkSession, sfDir: String): Long =
     spark.read.parquet(s"$sfDir/events.parquet").count()
 
+  /** Checkpoint policy: GRAFT_CHECKPOINT_DIR (env, or system property
+    * for in-process tests) makes checkpoints DURABLE — a stable
+    * per-query path under the given dir (object store/NFS in a
+    * deployment), never deleted, so a restarted drain RESUMES from
+    * its offsets + state instead of reprocessing
+    * (CheckpointResumeSpec pins this). Unset, the harness default: a
+    * RAM-backed throwaway path — the drain's offset/commit/state
+    * fsyncs are a measurable slice of each micro-batch and the
+    * bench's state is rebuilt per drain anyway. Note the memory-sink
+    * caveat under durable resume: a resumed AvailableNow drain with
+    * NO new source data runs zero batches, so the fresh in-memory
+    * sink table stays empty — durable checkpoints pair with durable
+    * sinks in production. */
+  private[graft] def checkpointConf: (String, Boolean) =
+    sys.props.get("GRAFT_CHECKPOINT_DIR")
+      .orElse(sys.env.get("GRAFT_CHECKPOINT_DIR")) match {
+      case Some(d) if d.nonEmpty => (d, true)
+      case _ =>
+        (Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
+          .find(p => new java.io.File(p).canWrite).get + "/graft_ckpt", false)
+    }
+
   private def drainToTable(spark: SparkSession, agg: DataFrame, name: String,
                            mode: String = "complete"): DataFrame = {
     // the drain session owns the started query — guard there, not on
     // the parent session's StreamingQueryManager
     agg.sparkSession.streams.active.filter(_.name == name).foreach(_.stop())
-    // checkpoint on a RAM-backed path when one exists: the drain's
-    // offset/commit/state files are throwaway, and their fsyncs are a
-    // measurable slice of each micro-batch. A durable deployment sets a
-    // real (object-store) checkpoint dir instead.
-    val ckptBase = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
-      .find(p => new java.io.File(p).canWrite).get
-    val ckpt = s"$ckptBase/graft_ckpt/$name-${System.nanoTime()}"
+    val (base, durable) = checkpointConf
+    // durable: STABLE path (resume requires the restarted query to
+    // find its old checkpoint); throwaway: unique path per drain
+    val ckpt =
+      if (durable) s"$base/$name" else s"$base/$name-${System.nanoTime()}"
     // AvailableNow: plan all current data, run it, terminate — the
     // query stops itself, so the drain pays no explicit stop() joining
     // a trigger thread that would otherwise idle out a poll interval
@@ -109,7 +145,8 @@ object Streams {
     try {
       q.awaitTermination()
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      if (!durable)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     agg.sparkSession.table(name)
   }
@@ -383,9 +420,10 @@ object Streams {
         unix_micros(min(col("ts"))).as("start_us"),
         unix_micros(max(col("ts"))).as("end_us"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
-    val ckptBase = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
-      .find(p => new java.io.File(p).canWrite).get
-    val ckpt = s"$ckptBase/graft_ckpt/ts12_foreach-${System.nanoTime()}"
+    val (base, durable) = checkpointConf
+    val ckpt =
+      if (durable) s"$base/ts12_foreach"
+      else s"$base/ts12_foreach-${System.nanoTime()}"
     @volatile var n = 0L
     val q = agg.writeStream
       .outputMode("complete")
@@ -395,7 +433,8 @@ object Streams {
                      _: Long) => { n = df.count(); () })
       .start()
     try q.awaitTermination()
-    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    finally if (!durable)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     n
   }
 }
