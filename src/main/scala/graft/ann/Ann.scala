@@ -118,7 +118,7 @@ object Ann {
 
   /** Embedding width of the synthetic corpus (documents/embeddings
     * tables); PQ subspace width = EmbDims / m. */
-  val EmbDims = 64
+  val EmbDims: Int = graft.sources.Tables.EmbDims
 
   /** (idAs, __m, __sub) rows: each vector split into `m` contiguous
     * subvectors — the shared decomposition under the PQ codebook, the

@@ -52,5 +52,29 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Embedding dimensionality of the synthetic corpus (TESTDATA.md);
+    * [[graft.ann.Ann.EmbDims]] aliases this. */
+  val EmbDims = 64
+
+  /** The embeddings corpus behind a DEGENERATE-ROW gate: NULL,
+    * wrong-dimension (ragged), and zero-norm embeddings are DROPPED at
+    * the scan — the vector twin of the text tier's "NULL text
+    * tokenizes to nothing" semantics (DegenerateCorpusSpec). Without
+    * it a zero-norm vector's cosine is 0/0 = NaN, which sorts ABOVE
+    * every real similarity in a descending rank window (NaN is
+    * greatest in Spark's double ordering) — silently wrong top-k, not
+    * a crash — and a ragged vector fails CosineSim's loud
+    * length check mid-query. One fused codegen predicate riding the
+    * scan (null/size checks + a self-dot), O(rows·dims) once — noise
+    * next to any pairwise consumer. DegenerateVectorSpec pins the
+    * drop semantics through the ANN + embedding-dedup production
+    * queries. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, size}
+    load(s, d, "embeddings").filter(
+      col("embedding").isNotNull &&
+        size(col("embedding")) === EmbDims &&
+        graft.functions.Vec.dotNative(col("embedding"), col("embedding")) > 0)
+  }
 }
