@@ -506,6 +506,21 @@ object SparkEntry {
         graft.dedup.ClusterCache.documents(s, d),
         Tables.documents(s, d), "doc_id", "source")),
 
+    // ---- P. composed end-to-end pipeline ---------------------------------
+    // the whole-corpus curation chain (exact dedup -> near-dup
+    // survivorship -> quality+blocklist -> decontamination -> mixture
+    // -> pack), every stage a consumer of the SHARED corpus artifacts
+    // (d6's cluster table, the d4/x16/x8 shingle postings) — per-source
+    // funnel counts + final kept tokens/pack bins. The "does it
+    // compose without recomputation" headline query.
+    "p1_curation_pipeline" -> ((s, d) =>
+      graft.operators.Pipeline.curationPipelineFrom(
+        Tables.documents(s, d),
+        graft.dedup.ClusterCache.documents(s, d),
+        graft.dedup.ClusterCache.postings(s, d),
+        "doc_id", "text", "source", "n_chars",
+        Stopwords, BlockWords)),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2119,6 +2134,90 @@ object SparkEntry {
            |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
            |  AND a.source < b.source
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // the composed curation pipeline: the full chain replayed —
+      // exact-dedup canon, CC survivors (ccCtes), x2 quality + x13
+      // blocklist density, x8 contamination vs the %20 bench set,
+      // x12 mixture quotas over the CLEANED pool, x7 packing of the
+      // final kept set — reduced to the per-source funnel
+      "p1_curation_pipeline" ->
+        s"""WITH RECURSIVE $ccCtes,
+           |d0 AS (SELECT doc_id, source, text, n_chars FROM documents),
+           |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM d0),
+           |surv AS (SELECT doc_id FROM (
+           |    SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.cluster_id
+           |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+           |    FROM cl JOIN d0 d USING (doc_id)) WHERE rn = 1),
+           |q3 AS (SELECT doc_id,
+           |    round(0.4 * least(n_distinct::DOUBLE / n_words * 2.0, 1.0)
+           |        + 0.3 * least(stop_hits::DOUBLE / n_words * 5.0, 1.0)
+           |        + 0.3 * least((n_chars::DOUBLE / n_words) / 8.0, 1.0), 6) >= 0.5
+           |      AS f_qual,
+           |    block_hits * 20 <= n_words AS f_block
+           |  FROM (SELECT doc_id, n_chars, len(words) AS n_words,
+           |      len(list_distinct(words)) AS n_distinct,
+           |      len(list_filter(words, w -> w IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS stop_hits,
+           |      len(list_filter(words, w -> w IN (${BlockWords.map("'" + _ + "'").mkString(", ")}))) AS block_hits
+           |    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM d0))),
+           |wsh AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM d0),
+           |shl AS (SELECT doc_id, list_distinct(
+           |    CASE WHEN len(words) < 3 THEN [text]
+           |         ELSE [array_to_string(words[i:i+2], ' ')
+           |               for i in range(1, len(words) - 1)] END) AS shingles FROM wsh),
+           |shp AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM shl),
+           |cont AS (SELECT DISTINCT doc_id FROM (
+           |    SELECT c.doc_id FROM
+           |      (SELECT doc_id, shingle FROM shp WHERE doc_id % 20 <> 0) c
+           |    JOIN (SELECT doc_id AS bench_id, shingle FROM shp WHERE doc_id % 20 = 0) b
+           |      USING (shingle)
+           |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 3)),
+           |flags AS (SELECT d0.doc_id, d0.source,
+           |    coalesce(d0.doc_id = ex.canon, FALSE) AS f_exact,
+           |    s.doc_id IS NOT NULL AS f_surv,
+           |    q3.f_qual AND q3.f_block AS f_qb,
+           |    (d0.doc_id % 20 <> 0 AND ct.doc_id IS NULL) AS f_decon
+           |  FROM d0 JOIN ex USING (doc_id)
+           |  LEFT JOIN surv s ON s.doc_id = d0.doc_id
+           |  JOIN q3 USING (doc_id)
+           |  LEFT JOIN cont ct ON ct.doc_id = d0.doc_id),
+           |k4 AS (SELECT f.doc_id, f.source, d0.text FROM flags f
+           |  JOIN d0 USING (doc_id) WHERE f_surv AND f_qb AND f_decon),
+           |db AS (SELECT source, doc_id,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+           |  FROM k4),
+           |ps AS (SELECT source, count(*) AS available FROM db GROUP BY source),
+           |tot AS (SELECT CAST(sum(available) AS BIGINT) AS corpus_total FROM ps),
+           |qs AS (SELECT source,
+           |    CAST(floor(least(available, CAST(floor(corpus_total * 3 / 200.0) AS BIGINT))
+           |      * 10000 / CAST(available AS DOUBLE)) AS BIGINT) AS bucket_threshold
+           |  FROM ps CROSS JOIN tot),
+           |k5 AS (SELECT k4.doc_id, k4.text FROM k4
+           |  JOIN db USING (doc_id)
+           |  JOIN qs ON qs.source = k4.source
+           |  WHERE db.bucket < qs.bucket_threshold),
+           |pt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+           |  FROM k5),
+           |pk AS (SELECT doc_id, toks,
+           |    shard * 1000000 + CAST(floor(CAST(coalesce(sum(toks) OVER (
+           |      PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      / 512.0) AS BIGINT) AS binkey
+           |  FROM pt)
+           |SELECT f.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN f_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           |  CAST(sum(CASE WHEN f_surv THEN 1 ELSE 0 END) AS BIGINT) AS n_surv,
+           |  CAST(sum(CASE WHEN f_surv AND f_qb THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           |  CAST(sum(CASE WHEN f_surv AND f_qb AND f_decon THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_decontam,
+           |  CAST(sum(CASE WHEN pk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_sampled,
+           |  CAST(sum(CASE WHEN pk.doc_id IS NOT NULL THEN pk.toks ELSE 0 END) AS BIGINT)
+           |    AS kept_tokens,
+           |  count(DISTINCT pk.binkey) AS n_bins,
+           |  min(CASE WHEN pk.doc_id IS NOT NULL THEN f.doc_id END) AS first_kept
+           |FROM flags f LEFT JOIN pk ON pk.doc_id = f.doc_id
+           |GROUP BY f.source ORDER BY f.source""".stripMargin,
 
       // first-seen novelty: n_copied = n_sh - (shingles first owned),
       // first ownership from the per-shingle min(doc_id) — mirrors

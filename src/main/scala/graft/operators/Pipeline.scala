@@ -29,18 +29,27 @@ object Pipeline {
     * instead of capping at a constant. Pass an explicit count when the
     * output must be reproducible across cluster sizes (the shard id is
     * part of the output). */
+  /** Per-DOC pack assignment (id, toks, shard, bin) — the
+    * [[packSequences]] cumsum decomposition exposed so composed
+    * pipelines (p1) can attach each kept doc's bin without a second
+    * token pass. */
+  private[graft] def packAssignments(docs: DataFrame, id: String, text: String,
+                                     budgetTokens: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(id), Text.wsTokenCount(col(text)).cast("long").as("toks"),
+        Text.hashBucket(col(id), shards).as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("cum_before") / lit(budgetTokens.toDouble)).cast("long"))
+  }
+
   def packSequences(docs: DataFrame, id: String, text: String,
                     budgetTokens: Int, shards: Int = 0): DataFrame = {
     val nShards =
       if (shards > 0) shards
       else docs.sparkSession.sparkContext.defaultParallelism
-    val w = Window.partitionBy(col("shard")).orderBy(col(id))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(id), Text.wsTokenCount(col(text)).cast("long").as("toks"),
-        Text.hashBucket(col(id), nShards).as("shard"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
-      .withColumn("bin",
-        floor(col("cum_before") / lit(budgetTokens.toDouble)).cast("long"))
+    packAssignments(docs, id, text, budgetTokens, nShards)
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).cast("long").as("total_tokens"),
@@ -485,5 +494,116 @@ object Pipeline {
         round(col("bits") / col("tokens"), 6).as("bucket_avg_bits"),
         col("first_id"))
       .orderBy(lang, "bucket")
+  }
+
+  /** The end-to-end CURATION PIPELINE (p1): the whole-corpus chain a
+    * training-data build runs, composed from the suite's own stages —
+    * every stage a consumer of the SHARED corpus artifacts (cluster
+    * table, shingle postings), nothing recomputed:
+    *
+    *  1. exact dedup (d1's rule)      — keep the min-id doc per
+    *     identical-text group;
+    *  2. near-dup survivorship (d6/d7) — keep each MinHash+CC
+    *     cluster's survivor (longest text, ties min id; implies 1:
+    *     exact dups always share a cluster and tie on length);
+    *  3. quality + blocklist (x2/x13) — quality ≥ `qualityMin`,
+    *     blocklist density ≤ 1/`denomPer`;
+    *  4. decontamination (x8/s4)      — drop the benchmark docs
+    *     (id % benchMod = 0) and anything sharing ≥ `minShared`
+    *     distinct shingles with one;
+    *  5. mixture (x12's rule)         — per-source hash-bucket quota
+    *     computed over the CLEANED pool (stage-4 survivors), the
+    *     order a real mixture uses;
+    *  6. pack (x7)                    — the kept docs' global
+    *     (shard, bin) assignment.
+    *
+    * Output: one row per source — the funnel (docs surviving each
+    * stage, SEQUENTIALLY: each count is the previous stage's
+    * survivors passing the next gate), final kept whitespace tokens,
+    * distinct pack bins touched, first kept id. Engine-exact
+    * throughout (counts, integer cross-multiplications, min ids; the
+    * quality threshold compares the same rounded IEEE double x2
+    * verifies bit-equal), so the DuckDB oracle replays the entire
+    * chain.
+    *
+    * Scale shape: inherits each stage's own scale story — the
+    * cluster/postings artifacts are built once per corpus
+    * (ClusterCache), stage flags are scan-shaped per-doc columns
+    * joined on the id, the mixture reduction is a (source, bucket)
+    * aggregate, and packing is x7's bounded-shard cumsum. No new
+    * corpus-level join beyond the stages themselves. */
+  def curationPipelineFrom(docs: DataFrame, clusters: DataFrame,
+                           postings: DataFrame, id: String, text: String,
+                           source: String, nChars: String,
+                           stopwords: Seq[String], blockWords: Seq[String],
+                           qualityMin: Double = 0.5, denomPer: Int = 20,
+                           benchMod: Int = 20, minShared: Int = 3,
+                           buckets: Int = 10000, pctNum: Int = 3,
+                           pctDen: Int = 10, nStrata: Int = 20,
+                           packBudget: Int = 512, packShards: Int = 8): DataFrame = {
+    val d0 = docs.select(col(id), col(source), col(text), col(nChars))
+    // stage 1: exact canonical (d1's min-id-per-hash rule)
+    val canon = d0.groupBy(md5(col(text)).as("__h"))
+      .agg(min(col(id)).as("__canon"))
+    // stage 2: the shared cluster table's survivors (d7's rule)
+    val survivors = dedupSurvivorsFrom(clusters, docs, id, nChars)
+      .select(col("survivor_id").as(id), lit(true).as("__surv"))
+    // stage 3 flags: x2 quality + x13 blocklist density, one scan
+    val ws = Text.words(col(text))
+    val flags3 = d0.select(col(id), col(nChars),
+        size(ws).as("__nw"), size(array_distinct(ws)).as("__nd"),
+        Text.stopwordHits(ws, stopwords).as("__sh"),
+        Text.stopwordHits(ws, blockWords).as("__bh"))
+      .select(col(id),
+        (Text.qualityScore(col("__nw"), col("__nd"), col("__sh"), col(nChars))
+          >= qualityMin).as("__qual"),
+        (col("__bh") * denomPer <= col("__nw")).as("__block"))
+    // stage 4: contaminated ids off the shared postings (x8's rule)
+    val contaminated = decontaminate(docs, id, text, 3,
+        pmod(col(id), lit(benchMod)) === 0, minShared, Some(postings))
+      .select(col(id), lit(true).as("__cont"))
+    val flagged = d0.select(col(id), col(source), col(text))
+      .withColumn("__h", md5(col(text)))
+      .join(canon, Seq("__h"), "left") // left: a NULL text must stay in n_docs
+      .withColumn("__exact", coalesce(col(id) === col("__canon"), lit(false)))
+      .join(survivors, Seq(id), "left")
+      .join(flags3, Seq(id))
+      .join(contaminated, Seq(id), "left")
+      .select(col(id), col(source), col(text),
+        col("__exact"),
+        coalesce(col("__surv"), lit(false)).as("__surv"),
+        col("__qual"), col("__block"),
+        (pmod(col(id), lit(benchMod)) =!= 0 &&
+          coalesce(col("__cont"), lit(false)) === false).as("__decon"))
+    val clean = col("__surv") && col("__qual") && col("__block")
+    val kept4 = flagged.filter(clean && col("__decon"))
+    // stage 5: mixture thresholds over the CLEANED pool (x12's math)
+    val thresholds = domainMixture(kept4, source, id, buckets, pctNum,
+        pctDen, nStrata)
+      .select(col(source), col("bucket_threshold"))
+    val kept5 = kept4
+      .join(broadcast(thresholds), Seq(source))
+      .filter(Text.hashBucket(col(id), buckets) < col("bucket_threshold"))
+      .select(col(id))
+    // stage 6: global pack assignment of the final kept set
+    val packed = packAssignments(
+        kept5.join(docs.select(col(id), col(text)), Seq(id)),
+        id, text, packBudget, packShards)
+      .select(col(id), lit(true).as("__kept"), col("toks"),
+        (col("shard") * 1000000L + col("bin")).as("__binkey"))
+    flagged
+      .join(packed, Seq(id), "left")
+      .groupBy(col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__exact").cast("long")).as("n_exact"),
+        sum(col("__surv").cast("long")).as("n_surv"),
+        sum(clean.cast("long")).as("n_clean"),
+        sum((clean && col("__decon")).cast("long")).as("n_decontam"),
+        sum(coalesce(col("__kept"), lit(false)).cast("long")).as("n_sampled"),
+        sum(when(col("__kept"), col("toks")).otherwise(0L)).as("kept_tokens"),
+        countDistinct(when(col("__kept"), col("__binkey"))).as("n_bins"),
+        min(when(col("__kept"), col(id))).as("first_kept"))
+      .orderBy(source)
   }
 }

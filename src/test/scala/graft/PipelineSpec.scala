@@ -167,4 +167,31 @@ class PipelineSpec extends SparkSpec {
       .map { case (s, rs) => s -> rs.count(_.getLong(1) < thrs(s)).toLong }
     rows.foreach { case (s, _, _, _, sampled, _) => assert(byPredicate(s) == sampled) }
   }
+
+  test("p1 curation pipeline: funnel is sequential, stages agree with their standalone operators") {
+    val docs = Tables.documents(spark, sfDir)
+    val funnel = SparkEntry.queries("p1_curation_pipeline")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+    assert(funnel.nonEmpty)
+    // every source of the corpus appears exactly once
+    assert(funnel.map(_._1).toSeq.sorted ==
+      docs.select($"source").distinct().as[String].collect().toSeq.sorted)
+    // the funnel only narrows: docs >= exact >= surv >= clean >= decontam >= sampled
+    funnel.foreach { case (s, n, ex, sv, cl, dc, sm, toks, bins, first) =>
+      assert(n >= ex && ex >= sv && sv >= cl && cl >= dc && dc >= sm, s)
+      assert(sm == 0 || (toks > 0 && bins > 0 && first.nonEmpty), s)
+      assert(sm > 0 || (toks == 0 && bins == 0 && first.isEmpty), s)
+    }
+    // stage cross-checks against the standalone operators:
+    // exact survivors == d1's canonical count
+    val d1Canon = graft.dedup.Dedup.exact(docs, "doc_id", "text").count()
+    assert(funnel.map(_._3).sum == d1Canon)
+    // near-dup survivors == d7's cluster count (one survivor per cluster)
+    val d7Clusters = graft.dedup.ClusterCache.documents(spark, sfDir)
+      .select($"cluster_id").distinct().count()
+    assert(funnel.map(_._4).sum == d7Clusters)
+    // something must actually survive the whole chain on this corpus
+    assert(funnel.map(_._7).sum > 0)
+  }
 }
