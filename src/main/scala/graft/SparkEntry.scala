@@ -51,6 +51,27 @@ object SparkEntry {
   private val BloomM = 1 << 20
   private val BloomHashes = 4
   private val HistBuckets = 256
+  // x20/x21's benchmark probe set (BM25 query terms). 'dup' is the one
+  // genuinely rare vocabulary item at every SF (~5% df vs ~78% for the
+  // rest), so idf_bits exercises both the rare and the saturated branch.
+  // Shared by the query wiring and the oracle SQL builder below.
+  private val BenchProbes: Seq[(Long, String)] = Seq(
+    0L -> "dup", 0L -> "merge",
+    1L -> "spark", 1L -> "window", 1L -> "agg",
+    2L -> "customer", 2L -> "order", 2L -> "line")
+  private def benchProbeDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    BenchProbes.toDF("query_id", "term")
+  }
+  private def benchProbeValuesSql: String =
+    BenchProbes.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+  // x21's contamination threshold as a fraction of each probe's
+  // maximum attainable BM25 mass (Retrieval.bm25QueryMax): θ = 7/10.
+  // Relative, because absolute BM25 grows with bits(N) — measured
+  // flag rate 8.8% at BOTH sf0.01 and sf0.1 under this rule, where a
+  // fixed absolute cut drifted 5% -> 91% across the same two scales.
+  private val X21ThetaNum = 7
+  private val X21ThetaDen = 10
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -640,6 +661,30 @@ object SparkEntry {
         "cell", ix.k1.toLong * ix.k2)
     }),
 
+    // hybrid lexical+vector retrieval via reciprocal-rank fusion
+    // (Cormack et al. 2009): query docs 0..4 retrieve top-20 by BM25
+    // over their own terms AND top-20 by exact cosine (vec_id aligns
+    // with doc_id in the corpus), fused as sum(1/(60+rank)) over the
+    // legs that retrieved each candidate — the standard sparse+dense
+    // ensembling a retrieval-based curation pass runs. The fused
+    // window is bounded at 2x20 candidates per query at any corpus
+    // size; both legs are existing scale paths.
+    "a11_hybrid_rrf" -> ((s, d) => {
+      val qdocs = Seq(0L, 1L, 2L, 3L, 4L)
+      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
+      val queries = dw.filter(col("doc_id").isin(qdocs: _*))
+        .select(col("doc_id").as("query_id"), col("w").as("term"))
+      val lex = graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.bm25Scored(
+            dw, Tables.documents(s, d), "doc_id", queries)
+          .filter(col("doc_id") =!= col("query_id")),
+        "doc_id", 20)
+      val vec = Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          qdocs, 20)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
+    }),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -805,6 +850,33 @@ object SparkEntry {
           dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
           statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3)))
         .orderBy("id_a", "id_b")),
+
+    // BM25 top-10 retrieval for the benchmark probe set over the SHARED
+    // doc-word table — integer-exact scoring (bit-length idf, one IEEE
+    // division floor-quantized to a BIGINT micro-score before the sum),
+    // bounded CollectMinK top-k (map-side partial — never a per-query
+    // window sort over every matching doc)
+    "x20_bm25_search" -> ((s, d) =>
+      graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.bm25Scored(
+          graft.dedup.ClusterCache.docWordTf(s, d),
+          Tables.documents(s, d), "doc_id", benchProbeDf(s)),
+        "doc_id", 10)),
+
+    // retrieval-based decontamination (the fuzzy complement of x8's
+    // exact 13-gram rule): per-source rate of docs reaching >= 7/10 of
+    // any benchmark probe's maximum attainable BM25 mass — catches
+    // paraphrased leaks exact n-grams miss; the relative threshold
+    // keeps the flag rate corpus-size-stable
+    "x21_retrieval_decontam" -> ((s, d) => {
+      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
+      graft.operators.Retrieval.retrievalContamination(
+        graft.operators.Retrieval.bm25Scored(
+          dw, Tables.documents(s, d), "doc_id", benchProbeDf(s)),
+        graft.operators.Retrieval.bm25QueryMax(
+          dw, Tables.documents(s, d), benchProbeDf(s)),
+        Tables.documents(s, d), "doc_id", "source", X21ThetaNum, X21ThetaDen)
+    }),
 
     // ---- H. sketches -----------------------------------------------------
     // HyperLogLog daily uniques: per-group state is 16 registers, not a
@@ -1019,6 +1091,36 @@ object SparkEntry {
       s"""round(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
          |          / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
          |           * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 6)""".stripMargin
+    // BM25 CTE chain shared by x20/x21/a11 — the same integer-exact
+    // arithmetic Retrieval.bm25Scored runs, digit-for-digit: bit-length
+    // idf over N docs, tf saturation as ONE IEEE division of int64
+    // products (k1=1.2, b=0.75 multiplied through by 10·L), floored to
+    // a BIGINT micro-score per term, integer-summed per (query, doc).
+    // `qSrc` supplies the (query_id, w) query-term table.
+    def bm25Ctes(qSrc: String): String =
+      s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |dw AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |q AS ($qSrc),
+         |filt AS (SELECT dw.* FROM dw
+         |  JOIN (SELECT DISTINCT w FROM q) qt USING (w)),
+         |dfq AS (SELECT w, count(*) AS df FROM filt GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dw GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |l AS (SELECT CAST(sum(tf) AS BIGINT) AS l_total FROM dw),
+         |bterms AS (SELECT q.query_id, f.doc_id,
+         |    CAST(floor(1000000.0
+         |      * CAST(length(bin(n.n_docs)) - length(bin(dfq.df)) + 1 AS DOUBLE)
+         |      * (CAST(22 * f.tf * l.l_total AS DOUBLE)
+         |       / CAST(10 * f.tf * l.l_total + 3 * l.l_total
+         |              + 9 * dl.dl * n.n_docs AS DOUBLE))) AS BIGINT) AS t6
+         |  FROM filt f JOIN q USING (w) JOIN dfq USING (w)
+         |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN l),
+         |bsc AS (SELECT query_id, doc_id, CAST(sum(t6) AS BIGINT) AS score_q6
+         |  FROM bterms GROUP BY 1, 2)""".stripMargin
+    val benchProbeSrc =
+      s"""SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS w
+         |  FROM (VALUES $benchProbeValuesSql) v(q, t)""".stripMargin
     // a7 k-means CTE builders: one assignment (argmax 6-dp cosine vs
     // the `cent` centroid CTE, ties -> smaller cluster id) and one
     // decimal-exact centroid update — the same formulas the Spark side
@@ -2445,6 +2547,42 @@ object SparkEntry {
           |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 6) AS imbalance
           |FROM occ""".stripMargin,
 
+      // hybrid RRF: the bm25 CTEs with query terms = the query docs'
+      // own words (self excluded), the a1 cosine leg, both top-20,
+      // fused as 1/(60+rank) sums — integer ranks in, one double add,
+      // 6-dp display round; rank 0 = leg didn't retrieve the doc
+      "a11_hybrid_rrf" ->
+        s"""WITH ${bm25Ctes(
+             "SELECT doc_id AS query_id, w FROM dw WHERE doc_id IN (0, 1, 2, 3, 4)")},
+           |lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank
+           |    FROM bsc WHERE doc_id <> query_id)
+           |  WHERE rank <= 20),
+           |vsc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |    ${cosSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+           |vec AS (SELECT query_id, doc_id, rank AS vec_rank FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+           |    FROM vsc)
+           |  WHERE rank <= 20),
+           |fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+           |        + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf,
+           |    coalesce(l.lex_rank, 0) AS lex_rank,
+           |    coalesce(v.vec_rank, 0) AS vec_rank
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+           |SELECT query_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
+           |  SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+           |    row_number() OVER (
+           |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           |  FROM fus)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       // true IVFPQ = a4's hierarchical probe CTEs × a8's PQ CTEs:
       // coarse-probe a CONSTANT max(12, ⌈cells/50⌉) cells (rank k1
       // level-0 group centroids, keep enough groups to seat 2× the
@@ -2973,6 +3111,35 @@ object SparkEntry {
           |  WHERE a.doc_id <> b.doc_id AND b.n_sh >= 0.6 * a.n_sh
           |  GROUP BY a.doc_id, b.doc_id, a.n_sh)
           |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+      "x20_bm25_search" ->
+        s"""WITH ${bm25Ctes(benchProbeSrc)}
+           |SELECT query_id, rank, doc_id, score_q6 FROM (
+           |  SELECT query_id, doc_id, score_q6, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank
+           |  FROM bsc)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // relative threshold: score >= θ·qmax compared by integer
+      // cross-multiplication; qmax = Σ 2200000·idf_bits per probe
+      "x21_retrieval_decontam" ->
+        s"""WITH ${bm25Ctes(benchProbeSrc)},
+           |qmax AS (SELECT query_id, CAST(sum(2200000 * idfb) AS BIGINT) AS qmax_q6
+           |  FROM (SELECT DISTINCT q.query_id, q.w,
+           |          CAST(length(bin(n.n_docs)) - length(bin(dfq.df)) + 1
+           |            AS BIGINT) AS idfb
+           |        FROM q JOIN dfq USING (w) CROSS JOIN n) GROUP BY 1),
+           |flg AS (SELECT DISTINCT doc_id FROM bsc JOIN qmax USING (query_id)
+           |  WHERE score_q6 * $X21ThetaDen >= qmax_q6 * $X21ThetaNum)
+           |SELECT source, n_docs, n_flagged,
+           |  round(n_flagged / CAST(n_docs AS DOUBLE), 6) AS flag_rate
+           |FROM (
+           |  SELECT d.source, count(*) AS n_docs,
+           |    CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_flagged
+           |  FROM documents d LEFT JOIN flg f USING (doc_id)
+           |  GROUP BY d.source)
+           |ORDER BY source""".stripMargin,
 
       // aHash mirrored exactly: pixel i = ord of byte 1 + floor(i*len/64)
       // (len/64 division by a power of two is EXACT in doubles), bit via
