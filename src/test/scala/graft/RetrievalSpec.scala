@@ -127,4 +127,25 @@ class RetrievalSpec extends SparkSpec {
     assert(report.map(_._1).sum == docs.count())
     assert(report.map(_._2).sum == expFlagged.size)
   }
+
+  test("x20 plan shape: query/df/stat joins broadcast, one shuffled dl join") {
+    val docs = Tables.documents(spark, sfDir)
+    val queries = Seq((0L, "dup"), (1L, "spark"), (1L, "agg"))
+      .toDF("query_id", "term")
+    val scored = Retrieval.bm25Scored(dw(docs), docs, "doc_id", queries)
+    val plan = Retrieval.bm25TopK(scored, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    // the query-term semi filter, per-term df, and the two 1-row stat
+    // tables all ride broadcasts; only the doc-length attach (and the
+    // aggregations) shuffle
+    val nBroadcast = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "stat crossJoins must broadcast, not cartesian")
+    val nShuffledJoin = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(nShuffledJoin <= 1,
+      s"only the dl join may shuffle, got $nShuffledJoin:\n$plan")
+  }
 }
