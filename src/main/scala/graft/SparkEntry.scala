@@ -685,6 +685,26 @@ object SparkEntry {
       graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
     }),
 
+    // contrastive hard-negative mining (DPR): a11's lexical top-20
+    // anti-joined against its vector top-20 — lexically confusable
+    // but semantically distant candidates, the negatives that teach an
+    // embedding model; bounded at <= 20 rows/query at any corpus size
+    "x22_hard_negatives" -> ((s, d) => {
+      val qdocs = Seq(0L, 1L, 2L, 3L, 4L)
+      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
+      val queries = dw.filter(col("doc_id").isin(qdocs: _*))
+        .select(col("doc_id").as("query_id"), col("w").as("term"))
+      val lex = graft.operators.Retrieval.bm25TopK(
+        graft.operators.Retrieval.bm25Scored(
+            dw, Tables.documents(s, d), "doc_id", queries)
+          .filter(col("doc_id") =!= col("query_id")),
+        "doc_id", 20)
+      val vec = Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          qdocs, 20)
+        .select(col("query_id"), col("nn_id").as("doc_id"))
+      graft.operators.Retrieval.hardNegatives(lex, vec, "doc_id")
+    }),
+
     // ---- F. text analysis ------------------------------------------------
     "x1_langid" -> ((s, d) =>
       Text.withLangId(Tables.documents(s, d), "text")
@@ -2582,6 +2602,31 @@ object SparkEntry {
            |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
            |  FROM fus)
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // a11's lex/vec CTEs, anti-joined: lexical top-20 minus the
+      // vector top-20 (the lex CTE re-derived here carrying score_q6)
+      "x22_hard_negatives" ->
+        s"""WITH ${bm25Ctes(
+             "SELECT doc_id AS query_id, w FROM dw WHERE doc_id IN (0, 1, 2, 3, 4)")},
+           |lex AS (SELECT query_id, doc_id, score_q6, rank AS lex_rank FROM (
+           |    SELECT query_id, doc_id, score_q6, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank
+           |    FROM bsc WHERE doc_id <> query_id)
+           |  WHERE rank <= 20),
+           |vsc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |    ${cosSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+           |vec AS (SELECT query_id, doc_id FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+           |    FROM vsc)
+           |  WHERE rank <= 20)
+           |SELECT l.query_id, l.doc_id, l.lex_rank, l.score_q6
+           |FROM lex l LEFT JOIN vec v
+           |  ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+           |WHERE v.doc_id IS NULL
+           |ORDER BY l.query_id, l.lex_rank""".stripMargin,
 
       // true IVFPQ = a4's hierarchical probe CTEs × a8's PQ CTEs:
       // coarse-probe a CONSTANT max(12, ⌈cells/50⌉) cells (rank k1

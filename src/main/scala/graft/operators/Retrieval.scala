@@ -142,6 +142,21 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive retrieval training
+    * (DPR, Karpukhin et al. 2020): candidates the LEXICAL leg ranks in
+    * its top-k that the VECTOR leg does NOT — lexically confusable,
+    * semantically distant, exactly the negatives that teach an
+    * embedding model the difference. A pure anti-join of the two
+    * bounded top-k tables, so the operator costs nothing beyond the
+    * legs it consumes and its output is ≤ k rows per query at any
+    * corpus size. */
+  def hardNegatives(lex: DataFrame, vec: DataFrame, id: String): DataFrame =
+    lex.select(col("query_id"), col(id), col("rank").as("lex_rank"),
+        col("score_q6"))
+      .join(vec.select(col("query_id"), col(id)), Seq("query_id", id),
+        "left_anti")
+      .orderBy("query_id", "lex_rank")
+
   /** Per-query maximum attainable BM25 micro-score: qmax_q6 =
     * Σ_terms ⌊2.2·10^6 · idf_bits⌋ = Σ 2200000·idf_bits — the
     * saturation asymptote (tf → ∞ drives the saturation factor to

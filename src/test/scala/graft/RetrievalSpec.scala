@@ -128,6 +128,19 @@ class RetrievalSpec extends SparkSpec {
     assert(report.map(_._2).sum == expFlagged.size)
   }
 
+  test("hardNegatives = lex top-k minus vec top-k, lex order kept") {
+    val lex = Seq((0L, 5L, 1, 900L), (0L, 6L, 2, 800L), (0L, 7L, 3, 700L),
+        (1L, 5L, 1, 600L))
+      .toDF("query_id", "doc_id", "rank", "score_q6")
+    val vec = Seq((0L, 6L), (1L, 9L)).toDF("query_id", "doc_id")
+    val got = Retrieval.hardNegatives(lex, vec, "doc_id")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // doc 6 is vector-near for q0 (not a hard negative); q1's vec list
+    // misses doc 5 entirely so it stays
+    assert(got == Seq((0L, 5L, 1, 900L), (0L, 7L, 3, 700L),
+      (1L, 5L, 1, 600L)))
+  }
+
   test("x20 plan shape: query/df/stat joins broadcast, one shuffled dl join") {
     val docs = Tables.documents(spark, sfDir)
     val queries = Seq((0L, "dup"), (1L, "spark"), (1L, "agg"))
