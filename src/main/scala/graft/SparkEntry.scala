@@ -670,39 +670,19 @@ object SparkEntry {
     // window is bounded at 2x20 candidates per query at any corpus
     // size; both legs are existing scale paths.
     "a11_hybrid_rrf" -> ((s, d) => {
-      val qdocs = Seq(0L, 1L, 2L, 3L, 4L)
-      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
-      val queries = dw.filter(col("doc_id").isin(qdocs: _*))
-        .select(col("doc_id").as("query_id"), col("w").as("term"))
-      val lex = graft.operators.Retrieval.bm25TopK(
-        graft.operators.Retrieval.bm25Scored(
-            dw, Tables.documents(s, d), "doc_id", queries)
-          .filter(col("doc_id") =!= col("query_id")),
-        "doc_id", 20)
-      val vec = Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
-          qdocs, 20)
-        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      val (lex, vec) = graft.operators.RetrievalCache.hybridLegs(s, d)
       graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
     }),
 
     // contrastive hard-negative mining (DPR): a11's lexical top-20
     // anti-joined against its vector top-20 — lexically confusable
     // but semantically distant candidates, the negatives that teach an
-    // embedding model; bounded at <= 20 rows/query at any corpus size
+    // embedding model; bounded at <= 20 rows/query at any corpus size.
+    // Both legs come from the SHARED RetrievalCache candidate run.
     "x22_hard_negatives" -> ((s, d) => {
-      val qdocs = Seq(0L, 1L, 2L, 3L, 4L)
-      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
-      val queries = dw.filter(col("doc_id").isin(qdocs: _*))
-        .select(col("doc_id").as("query_id"), col("w").as("term"))
-      val lex = graft.operators.Retrieval.bm25TopK(
-        graft.operators.Retrieval.bm25Scored(
-            dw, Tables.documents(s, d), "doc_id", queries)
-          .filter(col("doc_id") =!= col("query_id")),
-        "doc_id", 20)
-      val vec = Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
-          qdocs, 20)
-        .select(col("query_id"), col("nn_id").as("doc_id"))
-      graft.operators.Retrieval.hardNegatives(lex, vec, "doc_id")
+      val (lex, vec) = graft.operators.RetrievalCache.hybridLegs(s, d)
+      graft.operators.Retrieval.hardNegatives(
+        lex, vec.select(col("query_id"), col("doc_id")), "doc_id")
     }),
 
     // ---- F. text analysis ------------------------------------------------

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** One lexical (BM25 top-20) + one vector (exact-cosine top-20)
+  * candidate run per (session, corpus) for the canonical query docs,
+  * shared by every hybrid-retrieval consumer — a11 fuses the two legs,
+  * x22 anti-joins them. Same shape as ClusterCache/CellIndexCache: a
+  * real retrieval pipeline materializes its candidate lists once and
+  * hangs fusion, negative mining, and evaluation off them instead of
+  * re-running both searches per downstream query. Both tables are
+  * bounded at queries × k rows, so the persist is a few KB.
+  */
+object RetrievalCache {
+  /** The canonical query-doc ids a11/x22 retrieve for (vec_id aligns
+    * with doc_id in the corpus). */
+  val QueryDocs: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private val K = 20
+
+  private val legsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
+
+  /** (lexical, vector) top-K candidate tables, both
+    * (query_id, doc_id, rank [, score_q6]). */
+  def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = (System.identityHashCode(spark), dir)
+    def build(): (DataFrame, DataFrame) = {
+      val dw = graft.dedup.ClusterCache.docWordTf(spark, dir)
+      val docs = Tables.documents(spark, dir)
+      val queries = dw.filter(col("doc_id").isin(QueryDocs: _*))
+        .select(col("doc_id").as("query_id"), col("w").as("term"))
+      val lex = Retrieval.bm25TopK(
+          Retrieval.bm25Scored(dw, docs, "doc_id", queries)
+            .filter(col("doc_id") =!= col("query_id")),
+          "doc_id", K)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vec = graft.ann.Ann.knnBrute(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", QueryDocs, K)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (lex, vec)
+    }
+    val legs = legsCache.getOrElseUpdate(key, build())
+    if (legs._1.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      legsCache.put(key, fresh)
+      fresh
+    } else legs
+  }
+}

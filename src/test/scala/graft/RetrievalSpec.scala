@@ -141,6 +141,30 @@ class RetrievalSpec extends SparkSpec {
       (1L, 5L, 1, 600L)))
   }
 
+  test("RetrievalCache shared legs match the direct computations") {
+    val docs = Tables.documents(spark, sfDir)
+    val qdocs = graft.operators.RetrievalCache.QueryDocs
+    val table = dw(docs)
+    val queries = table.filter($"doc_id".isin(qdocs: _*))
+      .select($"doc_id".as("query_id"), $"w".as("term"))
+    val directLex = Retrieval.bm25TopK(
+        Retrieval.bm25Scored(table, docs, "doc_id", queries)
+          .filter($"doc_id" =!= $"query_id"), "doc_id", 20)
+      .select($"query_id", $"rank", $"doc_id", $"score_q6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val directVec = graft.ann.Ann.knnBrute(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", qdocs, 20)
+      .select($"query_id", $"nn_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val (lex, vec) = graft.operators.RetrievalCache.hybridLegs(spark, sfDir)
+    val cachedLex = lex.select($"query_id", $"rank", $"doc_id", $"score_q6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val cachedVec = vec.select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(cachedLex == directLex)
+    assert(cachedVec == directVec)
+  }
+
   test("x20 plan shape: query/df/stat joins broadcast, one shuffled dl join") {
     val docs = Tables.documents(spark, sfDir)
     val queries = Seq((0L, "dup"), (1L, "spark"), (1L, "agg"))
