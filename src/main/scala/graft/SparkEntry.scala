@@ -858,9 +858,7 @@ object SparkEntry {
     // window sort over every matching doc)
     "x20_bm25_search" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(
-        graft.operators.Retrieval.bm25Scored(
-          graft.dedup.ClusterCache.docWordTf(s, d),
-          Tables.documents(s, d), "doc_id", benchProbeDf(s)),
+        graft.operators.RetrievalCache.benchScored(s, d, benchProbeDf(s)),
         "doc_id", 10)),
 
     // retrieval-based decontamination (the fuzzy complement of x8's
@@ -868,15 +866,13 @@ object SparkEntry {
     // any benchmark probe's maximum attainable BM25 mass — catches
     // paraphrased leaks exact n-grams miss; the relative threshold
     // keeps the flag rate corpus-size-stable
-    "x21_retrieval_decontam" -> ((s, d) => {
-      val dw = graft.dedup.ClusterCache.docWordTf(s, d)
+    "x21_retrieval_decontam" -> ((s, d) =>
       graft.operators.Retrieval.retrievalContamination(
-        graft.operators.Retrieval.bm25Scored(
-          dw, Tables.documents(s, d), "doc_id", benchProbeDf(s)),
+        graft.operators.RetrievalCache.benchScored(s, d, benchProbeDf(s)),
         graft.operators.Retrieval.bm25QueryMax(
-          dw, Tables.documents(s, d), benchProbeDf(s)),
-        Tables.documents(s, d), "doc_id", "source", X21ThetaNum, X21ThetaDen)
-    }),
+          graft.dedup.ClusterCache.docWordTf(s, d),
+          Tables.documents(s, d), benchProbeDf(s)),
+        Tables.documents(s, d), "doc_id", "source", X21ThetaNum, X21ThetaDen)),
 
     // ---- H. sketches -----------------------------------------------------
     // HyperLogLog daily uniques: per-group state is 16 registers, not a

@@ -22,6 +22,29 @@ object RetrievalCache {
 
   private val legsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
+  private val scoredCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** The (query_id, doc_id, score_q6) BM25 score table for a fixed
+    * probe set, built once per (session, corpus) — x20 ranks it, x21
+    * thresholds it. `probes` must be deterministic for the session
+    * (SparkEntry's benchmark probe constants); the table is bounded by
+    * matching docs × queries. */
+  def benchScored(spark: SparkSession, dir: String,
+                  probes: DataFrame): DataFrame = {
+    val key = (System.identityHashCode(spark), dir)
+    def build(): DataFrame =
+      Retrieval.bm25Scored(
+          graft.dedup.ClusterCache.docWordTf(spark, dir),
+          Tables.documents(spark, dir), "doc_id", probes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val df = scoredCache.getOrElseUpdate(key, build())
+    if (df.sparkSession.sparkContext.isStopped) {
+      val fresh = build()
+      scoredCache.put(key, fresh)
+      fresh
+    } else df
+  }
 
   /** (lexical, vector) top-K candidate tables, both
     * (query_id, doc_id, rank [, score_q6]). */
