@@ -147,4 +147,32 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(Pipeline.sourceOverlapFrom(clusters, same, "doc_id", "source")
       .isEmpty)
   }
+
+  test("x20/x21 BM25 survives degenerate docs: twins tie, NULL/empty vanish") {
+    import graft.operators.Retrieval
+    val dw = Pipeline.docWordTable(docs, "doc_id", "text")
+    val queries = Seq((0L, "alpha"), (0L, "beta"), (1L, "!!!"))
+      .toDF("query_id", "term")
+    val scored = Retrieval.bm25Scored(dw, docs, "doc_id", queries)
+      .select($"query_id", $"doc_id", $"score_q6")
+      .as[(Long, Long, Long)].collect()
+    // the NULL-text doc never scores (no tokens); neither do the
+    // empty/whitespace docs (their only token "" matches no query term)
+    assert(!scored.exists(s => Seq(1L, 0L, 7L).contains(s._2)))
+    // identical twin docs tie exactly on every query they match
+    val twins = scored.filter(s => s._2 == 5L || s._2 == 6L)
+      .groupBy(_._1).values
+    assert(twins.nonEmpty && twins.forall(g => g.map(_._3).toSet.size == 1))
+    // a punctuation token is a first-class term under whitespace split
+    assert(scored.exists(s => s._1 == 1L && s._2 == 3L && s._3 > 0))
+    // the contamination report still covers EVERY doc (incl. NULL text)
+    val withSrc = docs.withColumn("source", lit("s"))
+    val report = Retrieval.retrievalContamination(
+        Retrieval.bm25Scored(dw, withSrc, "doc_id", queries),
+        Retrieval.bm25QueryMax(dw, withSrc, queries),
+        withSrc, "doc_id", "source", 7, 10)
+      .select($"n_docs", $"n_flagged").as[(Long, Long)].collect()
+    assert(report.map(_._1).sum == 9L)
+    assert(report.map(_._2).sum <= 9L)
+  }
 }
