@@ -249,6 +249,53 @@ object ScaleProbe {
       println(f"$k%-14s ${d1r(k)}%8.2f ${d8r(k)}%8.2f ${d8r(k) / d1r(k)}%5.1fx")
     }
 
+    // retrieval family at 8x: BM25 over the same rotated corpora —
+    // each replica gets its own ROTATED probe terms (the translate the
+    // corpus got), so query hits, per-term df, and the doc-length
+    // aggregate all grow with the corpus instead of pinning to
+    // replica 0. The doc-word table is materialized OUTSIDE the timed
+    // region on both sides (production shares it via ClusterCache /
+    // IndexStore); the timing is the query-side cost — the scored
+    // joins + CollectMinK top-k, and the contamination report on top.
+    val retrSuite = {
+      import spark.implicits._
+      val rAlpha = "abcdefghijklmnopqrstuvwxyz"
+      def rotTerm(t: String, i: Int): String =
+        t.map(c => rAlpha((rAlpha.indexOf(c) + i) % 26))
+      val rTerms = Seq("dup", "merge", "spark")
+      val rq1 = rTerms.map(t => (0L, t)).toDF("query_id", "term")
+      val rq8 = (0 until 8)
+        .flatMap(i => rTerms.map(t => (i.toLong, rotTerm(t, i))))
+        .toDF("query_id", "term")
+      val rdw1 = graft.operators.Pipeline.docWordTable(d1, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rdw8 = graft.operators.Pipeline.docWordTable(d8, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdw1.count(); rdw8.count()
+      def topk(dw: DataFrame, docs: DataFrame, qs: DataFrame): Long =
+        graft.operators.Retrieval.bm25TopK(
+          graft.operators.Retrieval.bm25Scored(dw, docs, "doc_id", qs),
+          "doc_id", 10).count()
+      def contam(dw: DataFrame, docs: DataFrame, qs: DataFrame): Long =
+        graft.operators.Retrieval.retrievalContamination(
+          graft.operators.Retrieval.bm25Scored(dw, docs, "doc_id", qs),
+          graft.operators.Retrieval.bm25QueryMax(dw, docs, qs),
+          docs, "doc_id", "source", 7, 10).count()
+      val ops: Seq[(String, (DataFrame, DataFrame, DataFrame) => Long)] =
+        Seq(("bm25_topk", topk _), ("bm25_contam", contam _))
+      val pairs = ops.map { case (name, op) =>
+        op(rdw1, d1, rq1); op(rdw8, d8, rq8) // warm both shapes
+        (name -> med3(op(rdw1, d1, rq1)), name -> med3(op(rdw8, d8, rq8)))
+      }
+      rdw1.unpersist(); rdw8.unpersist()
+      (pairs.map(_._1).toMap, pairs.map(_._2).toMap)
+    }
+    val (rt1, rt8) = retrSuite
+    println(f"${"retrieval op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    rt1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${rt1(k)}%8.2f ${rt8(k)}%8.2f ${rt8(k) / rt1(k)}%5.1fx")
+    }
+
     // sketch family at 8x: the bounded-state claim under MEASUREMENT —
     // wall should track the scan (~linear), never the key/row volume,
     // because every aggregation buffer is fixed-size by construction
@@ -674,6 +721,7 @@ object ScaleProbe {
          |},
          |"interval_align_chain_depth_8x_sweep_vs_pairwise": ${sect(al1, al8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
+         |"retrieval_8x_vs_1x": ${sect(rt1, rt8)},
          |"sketches_8x_vs_1x": ${sect(sk1, sk8)},
          |"embeddings_8x_vs_1x": ${sect(nd1x, nd8x)},
          |"embeddings_64x_vs_8x": ${sect(nd8x, nd64x)},
