@@ -49,10 +49,14 @@ object Retrieval {
     * idf uses); `docWord` is the shared ClusterCache.docWordTf table.
     *
     * Docs sharing no term with a query simply don't appear (BM25 of
-    * an empty match set is 0 — standard sparse-retrieval semantics). */
+    * an empty match set is 0 — standard sparse-retrieval semantics).
+    * Duplicate (query_id, term) rows are collapsed — classic BM25
+    * scores each distinct query term once; without the distinct a
+    * caller passing raw (unaggregated) query tokens would silently
+    * double-count. */
   def bm25Scored(docWord: DataFrame, docs: DataFrame, id: String,
                  queries: DataFrame): DataFrame = {
-    val q = queries.select(col("query_id"), col("term").as("w"))
+    val q = queries.select(col("query_id"), col("term").as("w")).distinct()
     val qTerms = q.select(col("w")).distinct()
     // query-filtered postings: one row per (doc, matched term)
     val filt = docWord.join(broadcast(qTerms), Seq("w"))

@@ -77,6 +77,19 @@ class RetrievalSpec extends SparkSpec {
     assert(scored.head._3 == exp)
   }
 
+  test("duplicate query tokens collapse: raw-token queries score once per term") {
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val once = Seq((0L, "a"), (0L, "b")).toDF("query_id", "term")
+    val dup = Seq((0L, "a"), (0L, "a"), (0L, "a"), (0L, "b"))
+      .toDF("query_id", "term")
+    val t = dw(docs)
+    val a = Retrieval.bm25Scored(t, docs, "doc_id", once)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Retrieval.bm25Scored(t, docs, "doc_id", dup)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("rrfFuse: hand-computed fusion, one-leg docs, rank-0 backfill") {
     val lex = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("query_id", "rank", "doc_id")
       .select($"query_id", $"doc_id", $"rank")
