@@ -858,7 +858,7 @@ object SparkEntry {
     // window sort over every matching doc)
     "x20_bm25_search" -> ((s, d) =>
       graft.operators.Retrieval.bm25TopK(
-        graft.operators.RetrievalCache.benchScored(s, d, benchProbeDf(s)),
+        graft.operators.RetrievalCache.benchScored(s, d, BenchProbes),
         "doc_id", 10)),
 
     // retrieval-based decontamination (the fuzzy complement of x8's
@@ -868,7 +868,7 @@ object SparkEntry {
     // keeps the flag rate corpus-size-stable
     "x21_retrieval_decontam" -> ((s, d) =>
       graft.operators.Retrieval.retrievalContamination(
-        graft.operators.RetrievalCache.benchScored(s, d, benchProbeDf(s)),
+        graft.operators.RetrievalCache.benchScored(s, d, BenchProbes),
         graft.operators.Retrieval.bm25QueryMax(
           graft.dedup.ClusterCache.docWordTf(s, d),
           Tables.documents(s, d), benchProbeDf(s)),
@@ -1097,7 +1097,7 @@ object SparkEntry {
       s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |  FROM documents),
          |dw AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |q AS ($qSrc),
+         |q AS (SELECT DISTINCT query_id, w FROM ($qSrc)),
          |filt AS (SELECT dw.* FROM dw
          |  JOIN (SELECT DISTINCT w FROM q) qt USING (w)),
          |dfq AS (SELECT w, count(*) AS df FROM filt GROUP BY 1),

@@ -42,6 +42,27 @@ object Retrieval {
   private val SatDenL = 3L
   private val SatDenDl = 9L
 
+  /** The query-term derivation [[bm25Scored]] and [[bm25QueryMax]]
+    * share — ONE copy so the score/qmax relationship x21 thresholds on
+    * cannot drift: q = distinct (query_id, w) (classic BM25 scores
+    * each distinct query term once), filt = the query-FILTERED
+    * postings (df derives from it, so the aggregate never
+    * materializes the full vocabulary), nRow = the corpus count. */
+  private def queryTermStats(docWord: DataFrame, docs: DataFrame,
+      queries: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val q = queries.select(col("query_id"), col("term").as("w")).distinct()
+    val qTerms = q.select(col("w")).distinct()
+    val filt = docWord.join(broadcast(qTerms), Seq("w"))
+    val dfQ = filt.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    (q, filt, dfQ, nRow)
+  }
+
+  /** idf_bits = bits(N) − bits(df) + 1 over the joined (df, n_docs)
+    * columns — the x11/x17 integer quantization, one definition. */
+  private def idfBits: org.apache.spark.sql.Column =
+    (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1).cast("long")
+
   /** Per-(query, doc) BM25 micro-scores: Σ_terms ⌊10^6 · idf_bits ·
     * sat⌋ as BIGINT `score_q6`. `queries` is a (query_id, term) table,
     * assumed small (a benchmark probe set / a handful of query docs)
@@ -56,14 +77,7 @@ object Retrieval {
     * double-count. */
   def bm25Scored(docWord: DataFrame, docs: DataFrame, id: String,
                  queries: DataFrame): DataFrame = {
-    val q = queries.select(col("query_id"), col("term").as("w")).distinct()
-    val qTerms = q.select(col("w")).distinct()
-    // query-filtered postings: one row per (doc, matched term)
-    val filt = docWord.join(broadcast(qTerms), Seq("w"))
-    // df over query terms only — derived from the FILTERED postings,
-    // so the aggregate never materializes the full vocabulary
-    val dfQ = filt.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    val (q, filt, dfQ, nRow) = queryTermStats(docWord, docs, queries)
     val lRow = docWord.agg(sum(col("tf")).cast("long").as("l_total"))
     val dl = docWord.groupBy(col(id)).agg(sum(col("tf")).cast("long").as("dl"))
     filt
@@ -71,8 +85,7 @@ object Retrieval {
       .join(broadcast(dfQ), Seq("w"))
       .join(dl, Seq(id))
       .crossJoin(broadcast(nRow)).crossJoin(broadcast(lRow))
-      .withColumn("idf_bits",
-        (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1).cast("long"))
+      .withColumn("idf_bits", idfBits)
       .withColumn("term_q6",
         floor(lit(1000000.0) * col("idf_bits").cast("double") *
           ((lit(SatNum) * col("tf") * col("l_total")).cast("double") /
@@ -171,16 +184,10 @@ object Retrieval {
     * across scales (8.8% at both sf0.01 and sf0.1 for θ = 0.7). */
   def bm25QueryMax(docWord: DataFrame, docs: DataFrame,
                    queries: DataFrame): DataFrame = {
-    val q = queries.select(col("query_id"), col("term").as("w"))
-    val qTerms = q.select(col("w")).distinct()
-    val filt = docWord.join(broadcast(qTerms), Seq("w"))
-    val dfQ = filt.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val nRow = docs.agg(count(lit(1)).as("n_docs"))
-    q.distinct()
-      .join(broadcast(dfQ), Seq("w"))
+    val (q, _, dfQ, nRow) = queryTermStats(docWord, docs, queries)
+    q.join(broadcast(dfQ), Seq("w"))
       .crossJoin(broadcast(nRow))
-      .withColumn("idf_bits",
-        (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1).cast("long"))
+      .withColumn("idf_bits", idfBits)
       .groupBy(col("query_id"))
       .agg(sum(lit(2200000L) * col("idf_bits")).as("qmax_q6"))
   }
@@ -207,6 +214,10 @@ object Retrieval {
         sum(coalesce(col("__f"), lit(0L))).as("n_flagged"))
       .withColumn("flag_rate",
         round(col("n_flagged") / col("n_docs").cast("double"), 6))
-      .orderBy(source)
+      // NULLS LAST to match SQL engines' default ASC placement (Spark
+      // alone defaults NULLS FIRST — a row-ORDER parity trap on
+      // corpora with a NULL source; the driver gate sorts rows, but
+      // ordered consumers shouldn't have to)
+      .orderBy(asc_nulls_last(source))
   }
 }

@@ -11,8 +11,11 @@ import graft.sources.Tables
   * x22 anti-joins them. Same shape as ClusterCache/CellIndexCache: a
   * real retrieval pipeline materializes its candidate lists once and
   * hangs fusion, negative mining, and evaluation off them instead of
-  * re-running both searches per downstream query. Both tables are
-  * bounded at queries × k rows, so the persist is a few KB.
+  * re-running both searches per downstream query. The two hybrid-leg
+  * tables are bounded at queries × k rows (a few KB); the benchScored
+  * table is matching-docs × queries — corpus-order when probe terms
+  * are common, which is why it persists MEMORY_AND_DISK rather than
+  * assuming it fits in memory.
   */
 object RetrievalCache {
   /** The canonical query-doc ids a11/x22 retrieve for (vec_id aligns
@@ -22,22 +25,27 @@ object RetrievalCache {
 
   private val legsCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
-  private val scoredCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val scoredCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Seq[(Long, String)]), DataFrame]
 
   /** The (query_id, doc_id, score_q6) BM25 score table for a fixed
-    * probe set, built once per (session, corpus) — x20 ranks it, x21
-    * thresholds it. `probes` must be deterministic for the session
-    * (SparkEntry's benchmark probe constants); the table is bounded by
-    * matching docs × queries. */
+    * probe set, built once per (session, corpus, probe set) — x20
+    * ranks it, x21 thresholds it. The probe SEQUENCE is part of the
+    * cache key (a DataFrame argument would be probes-blind: a second
+    * caller with different probes would silently get the first
+    * caller's scores); the table is bounded by matching docs ×
+    * queries. */
   def benchScored(spark: SparkSession, dir: String,
-                  probes: DataFrame): DataFrame = {
-    val key = (System.identityHashCode(spark), dir)
-    def build(): DataFrame =
+                  probes: Seq[(Long, String)]): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, probes)
+    def build(): DataFrame = {
+      import spark.implicits._
       Retrieval.bm25Scored(
           graft.dedup.ClusterCache.docWordTf(spark, dir),
-          Tables.documents(spark, dir), "doc_id", probes)
+          Tables.documents(spark, dir), "doc_id",
+          probes.toDF("query_id", "term"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val df = scoredCache.getOrElseUpdate(key, build())
     if (df.sparkSession.sparkContext.isStopped) {
       val fresh = build()

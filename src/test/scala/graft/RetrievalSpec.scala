@@ -90,6 +90,20 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("int64 overflow fails loudly (the bm25 saturation products' safety line)") {
+    // bm25Scored's 22*tf*L / (10*tf*L + 3*L + 9*dl*N) products assume
+    // overflow is an ERROR, not a wrap (Retrieval.scala doc): pin that
+    // the session actually runs ANSI so a wrapped-negative micro-score
+    // can never silently corrupt a contamination report
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "bm25's int64-product safety assumes ANSI overflow errors")
+    val e = intercept[Exception] {
+      Seq(Long.MaxValue).toDF("x").select($"x" * lit(10L)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("overflow"),
+      s"expected ARITHMETIC_OVERFLOW, got: ${e.getMessage.take(200)}")
+  }
+
   test("rrfFuse: hand-computed fusion, one-leg docs, rank-0 backfill") {
     val lex = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("query_id", "rank", "doc_id")
       .select($"query_id", $"doc_id", $"rank")
