@@ -77,6 +77,22 @@ object SparkEntry {
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
 
+  /** a4's 2-stage hierarchical IVF probe over the shared CellIndexCache
+    * artifacts — ONE definition so a4 (the search) and a12 (its recall
+    * evaluation against the brute truth) cannot drift apart. */
+  private def ivfProbeTopk(s: SparkSession, d: String,
+                           k: Int = 10): DataFrame = {
+    val ix = graft.ann.CellIndexCache.embeddings(s, d)
+    Ann.knnIvfProbeHier(
+      graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+      "vec_id", "embedding", "cell",
+      graft.ann.CellIndexCache.centroids(s, d), ix.k2,
+      Seq(0L, 1L, 2L, 3L, 4L), k,
+      Ann.recommendedNprobe(ix.k1.toLong * ix.k2),
+      Ann.recommendedGroupProbe(ix.k1),
+      Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
+  }
+
   /** Flagship: AS-OF snapshot (the reference's GET /query). */
   def entry(spark: SparkSession): DataFrame =
     queries("t1_asof_snapshot")(spark, "/root/testdata/sf0.001")
@@ -201,6 +217,15 @@ object SparkEntry {
 
     "ts9_percentiles" -> ((s, d) =>
       TimeSeries.percentiles(ev(s, d), "event_type", "value")
+        .orderBy("event_type")),
+
+    // robust per-series anomaly gate (Hampel filter): median/MAD with
+    // |v − med| > 3·MAD outlier counts — the robust twin of ts19's
+    // z-score, immune to the outliers dragging mean/stddev; both
+    // medians 6-dp-rounded exact percentiles so the strict compare is
+    // engine-exact (ts9's discipline)
+    "ts30_mad_outliers" -> ((s, d) =>
+      TimeSeries.madOutliers(ev(s, d), "event_type", "value", 3)
         .orderBy("event_type")),
 
     "ts10_distinct_users" -> ((s, d) =>
@@ -575,16 +600,26 @@ object SparkEntry {
     // key instead of a per-query scan of all k1·k2 centroids
     // (ANN_SWEEP_r12: 0.76 with a bit-equal probed set at sf0.01;
     // 0.736 vs flat 0.740 at sf0.1 — one truth pair of 250)
-    "a4_ivf_nprobe" -> ((s, d) => {
-      val ix = graft.ann.CellIndexCache.embeddings(s, d)
-      Ann.knnIvfProbeHier(
-        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
-        "vec_id", "embedding", "cell",
-        graft.ann.CellIndexCache.centroids(s, d), ix.k2,
-        Seq(0L, 1L, 2L, 3L, 4L), 10,
-        Ann.recommendedNprobe(ix.k1.toLong * ix.k2),
-        Ann.recommendedGroupProbe(ix.k1),
-        Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
+    "a4_ivf_nprobe" -> ((s, d) => ivfProbeTopk(s, d)),
+
+    // IVF recall evaluation (recall@10 vs the exact brute-force truth):
+    // the index-quality report a vector pipeline publishes next to its
+    // index-health card (a10) — what the standalone AnnSweep harness
+    // measures, as a first-class bounded operator (truth and probe legs
+    // are both queries×10 rows; the join/aggregate never exceeds that)
+    "a12_ivf_recall" -> ((s, d) => {
+      val truth = Ann.knnBrute(Tables.embeddings(s, d), "vec_id",
+          "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("query_id"), col("nn_id"))
+      val approx = ivfProbeTopk(s, d)
+        .select(col("query_id"), col("nn_id")).withColumn("__hit", lit(1L))
+      truth.join(approx, Seq("query_id", "nn_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit") / col("n_truth").cast("double"), 6))
+        .orderBy("query_id")
     }),
 
     // exact cosine RANGE search (radius query): one corpus pass for
@@ -671,6 +706,21 @@ object SparkEntry {
     // size; both legs are existing scale paths.
     "a11_hybrid_rrf" -> ((s, d) => {
       val (lex, vec) = graft.operators.RetrievalCache.hybridLegs(s, d)
+      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
+    }),
+
+    // the SCALE-PATH hybrid: a11 with its dense leg swapped from the
+    // exact brute scan to a4's hierarchical IVF probe — the
+    // configuration you'd run at 10^9 vectors, where a per-query
+    // linear scan is off the table. rrfFuse is leg-agnostic by
+    // construction (integer ranks in), so the swap is pure wiring over
+    // the SHARED index artifacts; the lexical leg comes from the same
+    // RetrievalCache candidate run a11/x22 read. Differences vs a11
+    // are exactly the probe's recall misses (a12 measures them).
+    "a13_hybrid_rrf_ivf" -> ((s, d) => {
+      val (lex, _) = graft.operators.RetrievalCache.hybridLegs(s, d)
+      val vec = ivfProbeTopk(s, d, 20)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
     }),
 
@@ -1223,6 +1273,57 @@ object SparkEntry {
          |      AND ($anyTable)))
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     }
+    // a4's full hierarchical-probe CTE chain (decimal-exact cell +
+    // group centroids, 2-stage probe) and its final exact-rerank top-10
+    // select — factored so the a4 oracle and a12's recall-eval oracle
+    // share one definition, digit-for-digit
+    val a4ProbeCtes: String =
+      s"""$cellCtes,
+         |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
+         |comp AS (
+         |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
+         |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
+         |    range(1, 65) t(j)),
+         |cvc AS (SELECT cell, i,
+         |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+         |  FROM comp GROUP BY cell, i),
+         |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
+         |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
+         |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
+         |  FROM cvc GROUP BY 1, 2),
+         |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
+         |vq AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |tg AS (
+         |  SELECT query_id, grp FROM (
+         |    SELECT vq.query_id, g.grp,
+         |      row_number() OVER (PARTITION BY vq.query_id ORDER BY
+         |        ${cosSql("vq.q_emb", "g.g_vec")} DESC, g.grp) AS gr
+         |    FROM vq CROSS JOIN gvec g)
+         |  WHERE gr <= (SELECT least(k1, greatest(1,
+         |    (${graft.ann.Ann.RecallNprobeNum} * k1 + ${graft.ann.Ann.RecallNprobeDen - 1})
+         |      // ${graft.ann.Ann.RecallNprobeDen} + 1)) FROM par)),
+         |probed AS (
+         |  SELECT query_id, q_emb, cell FROM (
+         |    SELECT t.query_id, vq.q_emb, c.cell,
+         |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+         |        ${cosSql("vq.q_emb", "c.c_vec")} DESC, c.cell) AS cr
+         |    FROM tg t JOIN vq ON vq.query_id = t.query_id
+         |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
+         |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
+         |    (${graft.ann.Ann.RecallNprobeNum} * k1 * k2 + ${graft.ann.Ann.RecallNprobeDen - 1})
+         |      // ${graft.ann.Ann.RecallNprobeDen})) FROM par))""".stripMargin
+    def a4TopkSelect(k: Int = 10): String =
+      s"""SELECT query_id, nn_id, cos, rank FROM (
+         |  SELECT query_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+         |  FROM (
+         |    SELECT p.query_id, c.vec_id AS nn_id,
+         |      ${cosSql("p.q_emb", "c.embedding")} AS cos
+         |    FROM probed p
+         |    JOIN cells cn ON cn.cell = p.cell
+         |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> p.query_id))
+         |WHERE rank <= $k""".stripMargin
     Map(
       "a2_ann_lsh" -> a2Sql,
 
@@ -1370,6 +1471,26 @@ object SparkEntry {
           |  round(quantile_cont(value, 0.9), 6) AS p90,
           |  round(quantile_cont(value, 0.99), 6) AS p99, count(*) AS n
           |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+      // Hampel filter: both medians are 6-dp-rounded exact
+      // PERCENTILE_CONT (ts9's cross-engine discipline), deviations and
+      // the 3·MAD threshold are identical IEEE doubles on both engines
+      "ts30_mad_outliers" ->
+        """WITH med AS (SELECT event_type,
+          |    round(quantile_cont(value, 0.5), 6) AS med
+          |  FROM events GROUP BY 1),
+          |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+          |  FROM events e JOIN med m USING (event_type)),
+          |madt AS (SELECT event_type, min(med) AS med,
+          |    round(quantile_cont(dev, 0.5), 6) AS mad, count(*) AS n
+          |  FROM dev GROUP BY 1)
+          |SELECT m.event_type, m.med, m.mad, m.n,
+          |  CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+          |  round(CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+          |    / CAST(m.n AS DOUBLE), 6) AS out_rate
+          |FROM madt m JOIN dev d USING (event_type)
+          |GROUP BY m.event_type, m.med, m.mad, m.n
+          |ORDER BY m.event_type""".stripMargin,
 
       "ts10_distinct_users" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_keys, count(*) AS n_events
@@ -2409,51 +2530,30 @@ object SparkEntry {
       // arithmetic both engines) by rounded cosine (ties by id at
       // both stages), exact rerank within the probed cells
       "a4_ivf_nprobe" ->
-        s"""WITH $cellCtes,
-          |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
-          |comp AS (
-          |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
-          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
-          |    range(1, 65) t(j)),
-          |cvc AS (SELECT cell, i,
-          |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
-          |  FROM comp GROUP BY cell, i),
-          |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
-          |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
-          |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
-          |  FROM cvc GROUP BY 1, 2),
-          |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
-          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
-          |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
-          |tg AS (
-          |  SELECT query_id, grp FROM (
-          |    SELECT q.query_id, g.grp,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        ${cosSql("q.q_emb", "g.g_vec")} DESC, g.grp) AS gr
-          |    FROM q CROSS JOIN gvec g)
-          |  WHERE gr <= (SELECT least(k1, greatest(1,
-          |    (${graft.ann.Ann.RecallNprobeNum} * k1 + ${graft.ann.Ann.RecallNprobeDen - 1})
-          |      // ${graft.ann.Ann.RecallNprobeDen} + 1)) FROM par)),
-          |probed AS (
-          |  SELECT query_id, q_emb, cell FROM (
-          |    SELECT t.query_id, q.q_emb, c.cell,
-          |      row_number() OVER (PARTITION BY t.query_id ORDER BY
-          |        ${cosSql("q.q_emb", "c.c_vec")} DESC, c.cell) AS cr
-          |    FROM tg t JOIN q ON q.query_id = t.query_id
-          |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
-          |  WHERE cr <= (SELECT least(k1 * k2, greatest(1,
-          |    (${graft.ann.Ann.RecallNprobeNum} * k1 * k2 + ${graft.ann.Ann.RecallNprobeDen - 1})
-          |      // ${graft.ann.Ann.RecallNprobeDen})) FROM par))
-          |SELECT query_id, nn_id, cos, rank FROM (
-          |  SELECT query_id, nn_id, cos,
-          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
-          |  FROM (
-          |    SELECT p.query_id, c.vec_id AS nn_id,
-          |      ${cosSql("p.q_emb", "c.embedding")} AS cos
-          |    FROM probed p
-          |    JOIN cells cn ON cn.cell = p.cell
-          |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> p.query_id))
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        s"""WITH $a4ProbeCtes
+          |${a4TopkSelect()} ORDER BY query_id, rank""".stripMargin,
+
+      // recall@10 of the a4 hierarchical probe vs the exact brute-force
+      // truth — the probe leg is a4's EXACT CTE chain (shared text), the
+      // truth leg is a1's construction
+      "a12_ivf_recall" ->
+        s"""WITH $a4ProbeCtes,
+          |approx AS (${a4TopkSelect()}),
+          |truth AS (
+          |  SELECT query_id, nn_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+          |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4))
+          |  WHERE rank <= 10)
+          |SELECT t.query_id, count(*) AS n_truth,
+          |  CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    / CAST(count(*) AS DOUBLE), 6) AS recall
+          |FROM truth t LEFT JOIN approx a
+          |  ON a.query_id = t.query_id AND a.nn_id = t.nn_id
+          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
       "a5_range_search" ->
         s"""SELECT query_id, nn_id, cos FROM (
@@ -2564,6 +2664,35 @@ object SparkEntry {
            |      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
            |    FROM vsc)
            |  WHERE rank <= 20),
+           |fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+           |        + coalesce(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf,
+           |    coalesce(l.lex_rank, 0) AS lex_rank,
+           |    coalesce(v.vec_rank, 0) AS vec_rank
+           |  FROM lex l FULL OUTER JOIN vec v
+           |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+           |SELECT query_id, rank, doc_id, rrf, lex_rank, vec_rank FROM (
+           |  SELECT query_id, doc_id, rrf, lex_rank, vec_rank,
+           |    row_number() OVER (
+           |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           |  FROM fus)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // a11 with the dense leg from a4's EXACT probe CTE chain (shared
+      // text — the bm25 and probe chains have disjoint CTE names), the
+      // same fusion arithmetic
+      "a13_hybrid_rrf_ivf" ->
+        s"""WITH ${bm25Ctes(
+             "SELECT doc_id AS query_id, w FROM dw WHERE doc_id IN (0, 1, 2, 3, 4)")},
+           |lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY score_q6 DESC, doc_id) AS rank
+           |    FROM bsc WHERE doc_id <> query_id)
+           |  WHERE rank <= 20),
+           |$a4ProbeCtes,
+           |vec AS (SELECT query_id, nn_id AS doc_id, rank AS vec_rank
+           |  FROM (${a4TopkSelect(20)})),
            |fus AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
            |    coalesce(l.doc_id, v.doc_id) AS doc_id,
            |    round(coalesce(1.0 / (60 + l.lex_rank), 0.0)

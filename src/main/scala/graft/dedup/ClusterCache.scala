@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
+import graft.util.SessionCache
 
 /** One MinHash-LSH + connected-components clustering job per
   * (session, corpus dir, parameters), shared by every consumer —
@@ -15,13 +16,14 @@ import graft.sources.Tables
   */
 object ClusterCache {
   private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
-  private val cache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
-  private val postingsCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
-  private val dfCache = scala.collection.concurrent.TrieMap.empty[Key, DataFrame]
-  private val statsCache = scala.collection.concurrent.TrieMap.empty[Key, Dedup.DfSkewStats]
+  private val pairCache = SessionCache.forDf[Key]
+  private val cache = SessionCache.forDf[Key]
+  private val postingsCache = SessionCache.forDf[Key]
+  private val dfCache = SessionCache.forDf[Key]
+  private val statsCache = SessionCache.forValue[Key, Dedup.DfSkewStats]
 
-  private val docWordCache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val docWordCache = SessionCache.forDf[(Int, String)]
+  private val docLenCache = SessionCache.forDf[(Int, String)]
 
   /** The shared (doc_id, term, tf) token aggregate over `dir`'s
     * documents — the table x11 (unigram LM), x14 (CCNet buckets) and
@@ -29,40 +31,43 @@ object ClusterCache {
     * corpus, persisted; each consumer pays only its own downstream
     * (Catalyst cannot share the differently-pruned branches between
     * consumers OR within one — see Pipeline.docWordTf). */
-  def docWordTf(spark: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(spark), dir)
-    def build(): DataFrame =
+  def docWordTf(spark: SparkSession, dir: String): DataFrame =
+    docWordCache.getOrBuild((System.identityHashCode(spark), dir)) {
       graft.sources.IndexStore.loadOr(spark, dir, "docwordtf") {
         graft.operators.Pipeline.docWordTable(
             Tables.documents(spark, dir), "doc_id", "text")
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val df = docWordCache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      docWordCache.put(key, fresh)
-      fresh
-    } else df
-  }
+    }
+
+  /** The shared per-doc token-length table (doc_id, dl) over
+    * [[docWordTf]], plus the corpus token total under `l_total` on
+    * every row — ONE doc-sized aggregate per corpus serving every
+    * BM25-family consumer (x20/x21's benchScored build and a11/x22's
+    * hybrid legs each need dl and L; before this table each cache
+    * re-derived both from the shared docWordTf). Doc-count-sized,
+    * persisted. */
+  def docLengths(spark: SparkSession, dir: String): DataFrame =
+    docLenCache.getOrBuild((System.identityHashCode(spark), dir)) {
+      import org.apache.spark.sql.functions._
+      val dw = docWordTf(spark, dir)
+      val dl = dw.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("dl"))
+      val lTot = dl.agg(sum(col("dl")).cast("long").as("l_total"))
+      dl.crossJoin(broadcast(lTot)).persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** The shared (doc_id, n_sh, shingle-hash) postings table over
     * `dir`'s documents — the input both exact-similarity measures
     * (d4 Jaccard, x16 containment) join on. One shingle + md5 build
     * per corpus, persisted; each consumer pays only its own join. */
-  def postings(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
-    def build(): DataFrame =
+  def postings(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    postingsCache.getOrBuild(Key(System.identityHashCode(spark), dir, n, 0, 0)) {
       graft.sources.IndexStore.loadOr(spark, dir, s"postings_n$n") {
         Dedup.shinglePostings(Tables.documents(spark, dir), "doc_id", "text", n)
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val df = postingsCache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      postingsCache.put(key, fresh)
-      fresh
-    } else df
-  }
+    }
 
   /** The shared per-shingle document-frequency table (shingle, __df)
     * over [[postings]] — vocabulary-sized (tiny next to the postings
@@ -73,20 +78,13 @@ object ClusterCache {
     * prune — without it each of those recomputes the same groupBy
     * from the postings (three full-width aggregations inside one x16
     * call; measured +1.3s on a 0.3s sf0.1 query). */
-  def shingleDf(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
-    def build(): DataFrame =
+  def shingleDf(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    dfCache.getOrBuild(Key(System.identityHashCode(spark), dir, n, 0, 0)) {
       graft.sources.IndexStore.loadOr(spark, dir, s"shingledf_n$n") {
         Dedup.shingleDf(postings(spark, dir, n))
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val df = dfCache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      dfCache.put(key, fresh)
-      fresh
-    } else df
-  }
+    }
 
   /** The df-distribution routing statistics over [[shingleDf]] —
     * tau-independent, so ONE two-action computation per corpus serves
@@ -96,67 +94,43 @@ object ClusterCache {
     * df table. Memoized as a plain value (a few longs), not a
     * DataFrame. */
   def dfSkewStats(spark: SparkSession, dir: String,
-                  n: Int = 3): Dedup.DfSkewStats = {
-    val key = Key(System.identityHashCode(spark), dir, n, 0, 0)
-    statsCache.getOrElseUpdate(key, Dedup.dfSkewStats(shingleDf(spark, dir, n)))
-  }
+                  n: Int = 3): Dedup.DfSkewStats =
+    statsCache.getOrBuild(Key(System.identityHashCode(spark), dir, n, 0, 0))(
+      Dedup.dfSkewStats(shingleDf(spark, dir, n)))
 
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
     * band-join job, every consumer. */
   def minhashPairs(spark: SparkSession, dir: String,
-                   n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
-    val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
-    def build(): DataFrame =
+                   n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame =
+    pairCache.getOrBuild(Key(System.identityHashCode(spark), dir, n, perms, bands)) {
       graft.sources.IndexStore.loadOr(spark, dir, s"minhash_n${n}_p${perms}_b$bands") {
         Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
             n, perms, bands, ordered = false)
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val df = pairCache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      pairCache.put(key, fresh)
-      fresh
-    } else df
-  }
+    }
 
   /** The shared dup-cluster table over `dir`'s documents table
     * (doc_id, cluster_id), persisted MEMORY_AND_DISK — connected
     * components over [[minhashPairs]]' edge set, so the LSH job is
     * shared with d2 and the CC rounds with d7. */
   def documents(spark: SparkSession, dir: String,
-                n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame = {
-    val key = Key(System.identityHashCode(spark), dir, n, perms, bands)
-    def build(): DataFrame =
+                n: Int = 3, perms: Int = 16, bands: Int = 4): DataFrame =
+    cache.getOrBuild(Key(System.identityHashCode(spark), dir, n, perms, bands)) {
       graft.sources.IndexStore.loadOr(spark, dir, s"clusters_n${n}_p${perms}_b$bands") {
         Dedup.connectedComponents(
             Tables.documents(spark, dir).select(org.apache.spark.sql.functions.col("doc_id")),
             minhashPairs(spark, dir, n, perms, bands), "doc_id")
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
-    val df = cache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      // a test stopped the owning session; rebuild against the live one
-      val fresh = build()
-      cache.put(key, fresh)
-      fresh
-    } else df
-  }
+    }
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, postingsCache, dfCache).foreach { c =>
-      c.values.foreach { df =>
-        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
-      }
-      c.clear()
-    }
-    docWordCache.values.foreach { df =>
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
-    }
-    docWordCache.clear()
+    Seq(cache, pairCache, postingsCache, dfCache, docWordCache, docLenCache)
+      .foreach(_.clear())
     statsCache.clear()
   }
 }

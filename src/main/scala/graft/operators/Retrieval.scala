@@ -74,17 +74,30 @@ object Retrieval {
     * Duplicate (query_id, term) rows are collapsed — classic BM25
     * scores each distinct query term once; without the distinct a
     * caller passing raw (unaggregated) query tokens would silently
-    * double-count. */
+    * double-count.
+    *
+    * `docLen`, if given, is a precomputed (<id>, dl, l_total) table
+    * (graft.dedup.ClusterCache.docLengths' shape) — dl = the doc's
+    * token count, l_total = the corpus token total on every row. The
+    * values are exact integers either way, so passing it cannot change
+    * a score; it only moves the doc-sized aggregate out of the query. */
   def bm25Scored(docWord: DataFrame, docs: DataFrame, id: String,
-                 queries: DataFrame): DataFrame = {
+                 queries: DataFrame,
+                 docLen: Option[DataFrame] = None): DataFrame = {
     val (q, filt, dfQ, nRow) = queryTermStats(docWord, docs, queries)
-    val lRow = docWord.agg(sum(col("tf")).cast("long").as("l_total"))
-    val dl = docWord.groupBy(col(id)).agg(sum(col("tf")).cast("long").as("dl"))
+    // (id, dl, l_total): dl = Σ tf per doc, l_total = the corpus token
+    // total on every row — derived here when no shared table is passed;
+    // production callers pass ClusterCache.docLengths so the doc-sized
+    // aggregate runs ONCE per corpus, not once per consumer cache.
+    val dlt = docLen.getOrElse {
+      val dl = docWord.groupBy(col(id)).agg(sum(col("tf")).cast("long").as("dl"))
+      dl.crossJoin(broadcast(dl.agg(sum(col("dl")).cast("long").as("l_total"))))
+    }
     filt
       .join(broadcast(q), Seq("w"))
       .join(broadcast(dfQ), Seq("w"))
-      .join(dl, Seq(id))
-      .crossJoin(broadcast(nRow)).crossJoin(broadcast(lRow))
+      .join(dlt, Seq(id))
+      .crossJoin(broadcast(nRow))
       .withColumn("idf_bits", idfBits)
       .withColumn("term_q6",
         floor(lit(1000000.0) * col("idf_bits").cast("double") *

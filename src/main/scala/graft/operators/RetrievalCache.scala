@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables
+import graft.util.SessionCache
 
 /** One lexical (BM25 top-20) + one vector (exact-cosine top-20)
   * candidate run per (session, corpus) for the canonical query docs,
@@ -15,7 +16,9 @@ import graft.sources.Tables
   * tables are bounded at queries × k rows (a few KB); the benchScored
   * table is matching-docs × queries — corpus-order when probe terms
   * are common, which is why it persists MEMORY_AND_DISK rather than
-  * assuming it fits in memory.
+  * assuming it fits in memory. Both builds read the shared
+  * ClusterCache.docLengths table, so the per-doc-length aggregate runs
+  * once per corpus across the whole retrieval family.
   */
 object RetrievalCache {
   /** The canonical query-doc ids a11/x22 retrieve for (vec_id aligns
@@ -23,10 +26,9 @@ object RetrievalCache {
   val QueryDocs: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
   private val K = 20
 
-  private val legsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
-  private val scoredCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Seq[(Long, String)]), DataFrame]
+  private val legsCache = SessionCache.forDfPair[(Int, String)]
+  private val scoredCache =
+    SessionCache.forDf[(Int, String, Seq[(Long, String)])]
 
   /** The (query_id, doc_id, score_q6) BM25 score table for a fixed
     * probe set, built once per (session, corpus, probe set) — x20
@@ -36,35 +38,28 @@ object RetrievalCache {
     * caller's scores); the table is bounded by matching docs ×
     * queries. */
   def benchScored(spark: SparkSession, dir: String,
-                  probes: Seq[(Long, String)]): DataFrame = {
-    val key = (System.identityHashCode(spark), dir, probes)
-    def build(): DataFrame = {
+                  probes: Seq[(Long, String)]): DataFrame =
+    scoredCache.getOrBuild((System.identityHashCode(spark), dir, probes)) {
       import spark.implicits._
       Retrieval.bm25Scored(
           graft.dedup.ClusterCache.docWordTf(spark, dir),
           Tables.documents(spark, dir), "doc_id",
-          probes.toDF("query_id", "term"))
+          probes.toDF("query_id", "term"),
+          Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val df = scoredCache.getOrElseUpdate(key, build())
-    if (df.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      scoredCache.put(key, fresh)
-      fresh
-    } else df
-  }
 
   /** (lexical, vector) top-K candidate tables, both
     * (query_id, doc_id, rank [, score_q6]). */
-  def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val key = (System.identityHashCode(spark), dir)
-    def build(): (DataFrame, DataFrame) = {
+  def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    legsCache.getOrBuild((System.identityHashCode(spark), dir)) {
       val dw = graft.dedup.ClusterCache.docWordTf(spark, dir)
       val docs = Tables.documents(spark, dir)
       val queries = dw.filter(col("doc_id").isin(QueryDocs: _*))
         .select(col("doc_id").as("query_id"), col("w").as("term"))
       val lex = Retrieval.bm25TopK(
-          Retrieval.bm25Scored(dw, docs, "doc_id", queries)
+          Retrieval.bm25Scored(dw, docs, "doc_id", queries,
+              Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
             .filter(col("doc_id") =!= col("query_id")),
           "doc_id", K)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -74,11 +69,10 @@ object RetrievalCache {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (lex, vec)
     }
-    val legs = legsCache.getOrElseUpdate(key, build())
-    if (legs._1.sparkSession.sparkContext.isStopped) {
-      val fresh = build()
-      legsCache.put(key, fresh)
-      fresh
-    } else legs
+
+  /** Unpersist and forget every cached candidate table (test hygiene). */
+  def clear(): Unit = {
+    legsCache.clear()
+    scoredCache.clear()
   }
 }

@@ -244,6 +244,45 @@ object TimeSeries {
       round(expr(s"percentile($value, 0.99)"), 6).as("p99"),
       count(lit(1)).as("n"))
 
+  /** Robust per-series outlier report: median / MAD / outlier counts
+    * under the classic |v − median| > k·MAD rule (Hampel filter — the
+    * robust anomaly gate a telemetry or training-metrics pipeline runs
+    * where mean/stddev (ts19's z-score) are themselves dragged by the
+    * outliers they should catch).
+    *
+    * Engine-exactness: both medians are [[percentiles]]' exact
+    * PERCENTILE_CONT, ROUNDED TO 6 DP before re-use — deviations are
+    * |v − med6| of identical IEEE doubles on both engines, and the
+    * outlier threshold k·mad6 is one exact double product, so the
+    * strict > compare agrees bit-for-bit. Shape: two aggregation passes
+    * over the series (median, then MAD + counts off a broadcast join of
+    * the series-sized median table) — no window, no per-group sort
+    * task. At 100 TB the exact percentile aggregate is the one
+    * memory-bound piece; `approx_percentile` is the drop-in scale
+    * variant, same as ts9 (spec-covered there). */
+  def madOutliers(df: DataFrame, series: String, value: String,
+                  k: Int = 3): DataFrame = {
+    val med = df.groupBy(col(series))
+      .agg(round(expr(s"percentile($value, 0.5)"), 6).as("med"))
+    val dev = df.join(broadcast(med), Seq(series))
+      .select(col(series), col("med"),
+        abs(col(value) - col("med")).as("__dev"))
+    val madT = dev.groupBy(col(series)).agg(
+      first(col("med")).as("med"),
+      round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
+      count(lit(1)).as("n"))
+    // conditional sum, not filter-then-count: a series with zero
+    // outliers must still report (n_outliers = 0)
+    val out = dev
+      .join(broadcast(madT.select(col(series), col("mad"))), Seq(series))
+      .groupBy(col(series))
+      .agg(sum(when(col("__dev") > lit(k.toDouble) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    madT.join(out, Seq(series))
+      .withColumn("out_rate",
+        round(col("n_outliers") / col("n").cast("double"), 6))
+  }
+
   /** Exact distinct cardinality per series (the oracle-checkable variant;
     * the HLL `approx_count_distinct` twin is spec-covered). */
   def distinctKeys(df: DataFrame, series: String, key: String): DataFrame =
