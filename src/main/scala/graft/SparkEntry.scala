@@ -78,20 +78,12 @@ object SparkEntry {
     Tables.events(spark, dir)
 
   /** a4's 2-stage hierarchical IVF probe over the shared CellIndexCache
-    * artifacts — ONE definition so a4 (the search) and a12 (its recall
-    * evaluation against the brute truth) cannot drift apart. */
+    * artifacts — ONE definition (CellIndexCache.probeTopk) so a4 (the
+    * search), a12 (its recall evaluation against the brute truth) and
+    * a13's cached dense leg cannot drift apart. */
   private def ivfProbeTopk(s: SparkSession, d: String,
-                           k: Int = 10): DataFrame = {
-    val ix = graft.ann.CellIndexCache.embeddings(s, d)
-    Ann.knnIvfProbeHier(
-      graft.ann.CellIndexCache.embeddingsWithCell(s, d),
-      "vec_id", "embedding", "cell",
-      graft.ann.CellIndexCache.centroids(s, d), ix.k2,
-      Seq(0L, 1L, 2L, 3L, 4L), k,
-      Ann.recommendedNprobe(ix.k1.toLong * ix.k2),
-      Ann.recommendedGroupProbe(ix.k1),
-      Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
-  }
+                           k: Int = 10): DataFrame =
+    graft.ann.CellIndexCache.probeTopk(s, d, Seq(0L, 1L, 2L, 3L, 4L), k)
 
   /** Flagship: AS-OF snapshot (the reference's GET /query). */
   def entry(spark: SparkSession): DataFrame =
@@ -719,9 +711,8 @@ object SparkEntry {
     // are exactly the probe's recall misses (a12 measures them).
     "a13_hybrid_rrf_ivf" -> ((s, d) => {
       val (lex, _) = graft.operators.RetrievalCache.hybridLegs(s, d)
-      val vec = ivfProbeTopk(s, d, 20)
-        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
-      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", 10)
+      graft.operators.Retrieval.rrfFuse(lex,
+        graft.operators.RetrievalCache.ivfLeg(s, d), "doc_id", 10)
     }),
 
     // contrastive hard-negative mining (DPR): a11's lexical top-20

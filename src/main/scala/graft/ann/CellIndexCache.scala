@@ -174,6 +174,24 @@ object CellIndexCache {
       }
     }
 
+  /** a4's 2-stage hierarchical IVF top-k search over this cache's
+    * shared artifacts — the ONE wiring of knnIvfProbeHier to the
+    * production cells/centroids/group-centroids, so every consumer
+    * (a4's search, a12's recall eval, a13's hybrid dense leg) probes
+    * identically. Per-query SEARCH work, deliberately NOT memoized
+    * here: callers that want a materialized candidate table cache the
+    * bounded result themselves (RetrievalCache.ivfLeg). */
+  def probeTopk(spark: SparkSession, dir: String, queryIds: Seq[Long],
+                k: Int): DataFrame = {
+    val ix = embeddings(spark, dir)
+    Ann.knnIvfProbeHier(
+      embeddingsWithCell(spark, dir), "vec_id", "embedding", "cell",
+      centroids(spark, dir), ix.k2, queryIds, k,
+      Ann.recommendedNprobe(ix.k1.toLong * ix.k2),
+      Ann.recommendedGroupProbe(ix.k1),
+      Some(groupCentroids(spark, dir)))
+  }
+
   /** Unpersist and forget every cached index (test hygiene). */
   def clear(): Unit = {
     cache.clear()

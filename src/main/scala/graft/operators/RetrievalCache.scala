@@ -70,9 +70,24 @@ object RetrievalCache {
       (lex, vec)
     }
 
+  private val ivfLegCache = SessionCache.forDf[(Int, String)]
+
+  /** The IVF-probed dense candidate leg (query_id, doc_id, rank) for
+    * the canonical query docs, top-20 via the a4 hierarchical probe
+    * (CellIndexCache.probeTopk — the SAME definition a4/a12 run), built
+    * once per (session, corpus) like the brute legs above — a13 fuses
+    * it against the shared lexical leg. Bounded at queries × 20 rows. */
+  def ivfLeg(spark: SparkSession, dir: String): DataFrame =
+    ivfLegCache.getOrBuild((System.identityHashCode(spark), dir)) {
+      graft.ann.CellIndexCache.probeTopk(spark, dir, QueryDocs, K)
+        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Unpersist and forget every cached candidate table (test hygiene). */
   def clear(): Unit = {
     legsCache.clear()
     scoredCache.clear()
+    ivfLegCache.clear()
   }
 }

@@ -55,6 +55,18 @@ class MadRecallSpec extends SparkSpec {
         s"series ${r.get(0)}"))
   }
 
+  test("RetrievalCache.ivfLeg equals the direct probe (pinned, like the brute legs)") {
+    import graft.operators.RetrievalCache
+    val direct = graft.ann.CellIndexCache
+      .probeTopk(spark, sfDir, RetrievalCache.QueryDocs, 20)
+      .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cached = RetrievalCache.ivfLeg(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cached === direct)
+    assert(cached.nonEmpty)
+  }
+
   test("a12_ivf_recall equals the intersection of its own legs (a1 truth x a4 probe)") {
     val d = sfDir
     val truth = SparkEntry.queries("a1_knn_brute")(spark, d)
