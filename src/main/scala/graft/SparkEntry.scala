@@ -828,6 +828,15 @@ object SparkEntry {
       graft.operators.Pipeline.unigramLmProfileFrom(
         graft.dedup.ClusterCache.docWordTf(s, d), "doc_id")),
 
+    // corpus-bigram-LM fluency profile (the CCNet perplexity-filter
+    // shape, x11 one model order up): add-one-smoothed transition
+    // surprisal in integer bits — catches shuffled/generated text
+    // whose unigram stats look normal; V from the SHARED vocabulary
+    "x23_bigram_surprisal" -> ((s, d) =>
+      graft.operators.Pipeline.bigramSurprisalFrom(
+        Tables.documents(s, d),
+        graft.dedup.ClusterCache.docWordTf(s, d), "doc_id", "text")),
+
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =
     // tf * (bits(N) - bits(df) + 1), integer end to end
@@ -1807,6 +1816,32 @@ object SparkEntry {
           |    min(wc.cnt) AS min_cnt
           |  FROM dw JOIN wc USING (w) GROUP BY dw.doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      // bigram-LM transition surprisal in integer bits:
+      // bits(C1(a)+V) - bits(C2(a,b)+1) per occurrence — same
+      // bit-length quantization as x11, all-integer until the final
+      // rounded per-doc average; tokens carry no spaces under the
+      // single-space split so 'a b' is an unambiguous join key
+      "x23_bigram_surprisal" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |bgf AS (SELECT doc_id,
+          |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+          |  FROM w WHERE len(t) >= 2),
+          |bgt AS (SELECT doc_id, bg, count(*) AS tf2 FROM bgf GROUP BY 1, 2),
+          |c2 AS (SELECT bg, split_part(bg, ' ', 1) AS a,
+          |    CAST(sum(tf2) AS BIGINT) AS c2 FROM bgt GROUP BY 1, 2),
+          |c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM w)),
+          |sc AS (SELECT g.doc_id, CAST(sum(g.tf2) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(g.tf2 * (length(bin(c1.c1 + v.v))
+          |      - length(bin(c2.c2 + 1)))) AS BIGINT) AS sum_bits
+          |  FROM bgt g JOIN c2 USING (bg) JOIN c1 USING (a) CROSS JOIN v
+          |  GROUP BY 1)
+          |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+          |  coalesce(sc.sum_bits, 0) AS sum_bits,
+          |  round(coalesce(CAST(sc.sum_bits AS DOUBLE) / sc.n_bigrams, 0.0), 6) AS avg_bits
+          |FROM documents d LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "x17_tfidf_terms" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

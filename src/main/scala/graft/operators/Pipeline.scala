@@ -318,6 +318,63 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** Corpus-BIGRAM-LM fluency profile — x11's unigram rarity pass one
+    * model order up (the CCNet perplexity-filter shape): per document,
+    * the add-one-smoothed conditional surprisal of each adjacent token
+    * transition under the corpus bigram LM, QUANTIZED to integer bits
+    * (the x11/x17 discipline) so every aggregate is cross-engine exact:
+    *
+    *   surprisal_bits(a→b) = bits(C1(a) + V) − bits(C2(a,b) + 1)
+    *
+    * with C2 the corpus count of the bigram, C1(a) = Σ_b C2(a,b) the
+    * head's transition mass, V the corpus unigram vocabulary (the
+    * add-one denominator), bits(x) = length(bin(x)). Integer ≥ 0 by
+    * construction (C1 + V ≥ C2 + 1 always). High avg_bits = improbable
+    * transitions (shuffled/generated text, OCR noise — fluency damage
+    * x11's order-free unigram stats cannot see); low = common-word
+    * prose. A float log P(b|a) sum would be libm/order-dependent.
+    *
+    * Shape: one scan → bigram strings (tokens carry no spaces under
+    * the single-space split, so `a ⊔ b` is unambiguous and gives ONE
+    * equi-join key); per-doc bigram tf aggregate (tokens-sized, the
+    * dominant shuffle — the d9/x15 postings family); corpus C2 and C1
+    * derived from that SAME aggregate (bigram-vocabulary-sized); V
+    * from the SHARED docWordTf table's vocabulary; one join back on
+    * the bigram key (AQE absorbs hot heads) and a per-doc aggregation.
+    * No window, no collect; docs with < 2 tokens report n_bigrams = 0
+    * via the final left join. */
+  def bigramSurprisalFrom(docs: DataFrame, docWord: DataFrame,
+                          id: String, text: String): DataFrame = {
+    val t = Text.words(col(text))
+    val bgCol = explode(zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)))
+    val bgt = docs.select(col(id), bgCol.as("bg"))
+      .groupBy(col(id), col("bg")).agg(count(lit(1)).as("tf2"))
+    val c2 = bgt.groupBy(col("bg")).agg(sum(col("tf2")).as("c2"))
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val v = docWord.agg(countDistinct(col("w")).as("v"))
+    val scored = bgt
+      .join(c2, Seq("bg"))
+      .join(c1, Seq("a"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(id)).agg(
+        sum(col("tf2")).as("n_bigrams"),
+        sum(col("tf2") *
+          (length(bin(col("c1") + col("v"))) - length(bin(col("c2") + 1))))
+          .as("sum_bits"))
+    docs.select(col(id))
+      .join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(round(col("sum_bits") / col("n_bigrams").cast("double"), 6),
+          lit(0.0)).as("avg_bits"))
+      .orderBy(id)
+  }
+
   /** Integer-quantized TF-IDF top terms per document — the keyword /
     * salient-term extraction pass (topical indexing, dedup explainers,
     * domain tagging). IDF is the x11 bit-length quantization applied to

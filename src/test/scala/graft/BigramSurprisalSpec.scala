@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** x23 (bigram-LM surprisal) hand-derivations + corpus invariants. */
+class BigramSurprisalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramSurprisalFrom: hand-derived bits, <2-token and empty docs report 0") {
+    // vocab V = {a, b, x, ""} = 4 (the empty doc contributes the ""
+    // token under the single-space split — x3's counting semantics).
+    // c2("a b") = 3 (twice in d1, once in d2), c2("b a") = 1;
+    // C1(a) = 3, C1(b) = 1.
+    // surprisal(a->b) = bits(3+4) - bits(3+1) = 3 - 3 = 0
+    // surprisal(b->a) = bits(1+4) - bits(1+1) = 3 - 2 = 1
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, "")
+    ).toDF("doc_id", "text")
+    val dw = Pipeline.docWordTable(docs, "doc_id", "text")
+    val out = Pipeline.bigramSurprisalFrom(docs, dw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList
+    assert(out === List(
+      (1L, 3L, 1L, 0.333333), // 2x0 + 1x1 bits over 3 bigrams
+      (2L, 1L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("bigramSurprisalFrom invariants on the real corpus: n_bigrams = n_tokens - 1, bits >= 0") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Pipeline.bigramSurprisalFrom(docs,
+      Pipeline.docWordTable(docs, "doc_id", "text"), "doc_id", "text")
+    val joined = out.join(
+        docs.select(col("doc_id"),
+          (size(split(col("text"), " ")) - 1).as("expect_bg")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"),
+        greatest(col("expect_bg"), lit(0)).cast("long").as("expect_bg"),
+        col("sum_bits"), col("avg_bits"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === r.getAs[Long]("expect_bg"),
+        s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("sum_bits") >= 0L)
+      assert(r.getAs[Double]("avg_bits") >= 0.0)
+    }
+  }
+}
