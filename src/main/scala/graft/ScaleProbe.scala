@@ -296,6 +296,27 @@ object ScaleProbe {
       println(f"$k%-14s ${rt1(k)}%8.2f ${rt8(k)}%8.2f ${rt8(k) / rt1(k)}%5.1fx")
     }
 
+    // round-13 late keys at 8x: ts30 (median/MAD — three aggregation
+    // passes, the exact-percentile aggregate being the one
+    // memory-bound-at-scale piece with approx_percentile the
+    // documented drop-in) and x23 (bigram-LM — the d9/x15 postings
+    // shuffle family; the bigram aggregate is the dominant term and
+    // should track the token volume ~linearly)
+    val madOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("mad_outliers", ev => TimeSeries.madOutliers(
+        ev, "event_type", "value", 3).count()))
+    val bigramOps: Seq[(String, DataFrame => Long)] = Seq(
+      ("bigram_lm", docs => graft.operators.Pipeline.bigramSurprisalFrom(
+        docs, graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
+        "doc_id", "text").count()))
+    val (nk1e, nk8e) = interleave(madOps, e1, e8)
+    val (nk1d, nk8d) = interleave(bigramOps, d1, d8)
+    val (nk1, nk8) = (nk1e ++ nk1d, nk8e ++ nk8d)
+    println(f"${"new-key op"}%-14s ${"1x(s)"}%8s ${"8x(s)"}%8s ratio")
+    nk1.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-14s ${nk1(k)}%8.2f ${nk8(k)}%8.2f ${nk8(k) / nk1(k)}%5.1fx")
+    }
+
     // sketch family at 8x: the bounded-state claim under MEASUREMENT —
     // wall should track the scan (~linear), never the key/row volume,
     // because every aggregation buffer is fixed-size by construction
@@ -722,6 +743,7 @@ object ScaleProbe {
          |"interval_align_chain_depth_8x_sweep_vs_pairwise": ${sect(al1, al8)},
          |"documents_8x_vs_1x": ${sect(d1r, d8r)},
          |"retrieval_8x_vs_1x": ${sect(rt1, rt8)},
+         |"newkeys_8x_vs_1x": ${sect(nk1, nk8)},
          |"sketches_8x_vs_1x": ${sect(sk1, sk8)},
          |"embeddings_8x_vs_1x": ${sect(nd1x, nd8x)},
          |"embeddings_64x_vs_8x": ${sect(nd8x, nd64x)},
