@@ -837,6 +837,14 @@ object SparkEntry {
         Tables.documents(s, d),
         graft.dedup.ClusterCache.docWordTf(s, d), "doc_id", "text")),
 
+    // per-source lexical drift vs the corpus (data-mixing diagnostic):
+    // avg per-token rarity under the corpus code vs the source's own
+    // code, integer bits end to end; div_bits above the log2(T/T_s)
+    // baseline = domain specialization / contaminated shard
+    "x24_source_divergence" -> ((s, d) =>
+      graft.operators.Pipeline.sourceDivergence(
+        Tables.documents(s, d), "doc_id", "text", "source")),
+
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =
     // tf * (bits(N) - bits(df) + 1), integer end to end
@@ -1842,6 +1850,28 @@ object SparkEntry {
           |  round(coalesce(CAST(sc.sum_bits AS DOUBLE) / sc.n_bigrams, 0.0), 6) AS avg_bits
           |FROM documents d LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // per-source rarity under the corpus code vs the source's own
+      // code — the x11 bit quantization aggregated by source, all
+      // integer sums until the final rounded ratios
+      "x24_source_divergence" ->
+        """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |sw AS (SELECT source, w, count(*) AS s_cnt FROM toks GROUP BY 1, 2),
+          |cw AS (SELECT w, CAST(sum(s_cnt) AS BIGINT) AS cnt FROM sw GROUP BY 1),
+          |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+          |agg AS (SELECT sw.source,
+          |    CAST(sum(sw.s_cnt) AS BIGINT) AS n_tokens,
+          |    count(*) AS vocab,
+          |    CAST(sum(sw.s_cnt * length(bin(cw.cnt))) AS BIGINT) AS scb,
+          |    CAST(sum(sw.s_cnt * length(bin(sw.s_cnt))) AS BIGINT) AS ssb
+          |  FROM sw JOIN cw USING (w) GROUP BY 1)
+          |SELECT a.source, nd.n_docs, a.n_tokens, a.vocab,
+          |  round(CAST(scb AS DOUBLE) / a.n_tokens, 6) AS avg_corpus_bits,
+          |  round(CAST(ssb AS DOUBLE) / a.n_tokens, 6) AS avg_self_bits,
+          |  round(CAST(scb - ssb AS DOUBLE) / a.n_tokens, 6) AS div_bits
+          |FROM agg a JOIN nd USING (source)
+          |ORDER BY a.source""".stripMargin,
 
       "x17_tfidf_terms" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -375,6 +375,52 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** Per-SOURCE lexical-drift report — the data-mixing diagnostic that
+    * sits next to x12 (mixture quotas) and x18 (composition counts):
+    * for each source, the average per-token rarity of its vocabulary
+    * under the CORPUS unigram code vs under its OWN code, in the
+    * x11 integer bit quantization:
+    *
+    *   avg_corpus_bits = Σ_w s_cnt(w)·bits(cnt(w)) / T_s
+    *   avg_self_bits   = Σ_w s_cnt(w)·bits(s_cnt(w)) / T_s
+    *   div_bits        = avg_corpus_bits − avg_self_bits
+    *
+    * div_bits ≈ log2(T/T_s) for a source that mirrors the corpus
+    * distribution scaled down; a source whose div_bits sits ABOVE that
+    * baseline concentrates on corpus-rare vocabulary (domain
+    * specialization / drift — the signal that re-weights a mixture or
+    * flags a contaminated shard). All sums integer until the final
+    * rounded ratios, so both engines agree bit-for-bit.
+    *
+    * Shape: one scan → (source, w) token aggregate (the postings
+    * shuffle family); corpus counts derived from THAT aggregate
+    * (vocab-sized second aggregation — never a second scan); one
+    * vocab-sized join back; output = sources. No window, no collect. */
+  def sourceDivergence(docs: DataFrame, id: String, text: String,
+                       source: String): DataFrame = {
+    val sw = docs
+      .select(col(source), explode(Text.words(col(text))).as("w"))
+      .groupBy(col(source), col("w")).agg(count(lit(1)).as("s_cnt"))
+      .localCheckpoint() // corpus counts derive from this same aggregate
+    val cw = sw.groupBy(col("w")).agg(sum(col("s_cnt")).as("cnt"))
+    val nd = docs.groupBy(col(source)).agg(count(lit(1)).as("n_docs"))
+    sw.join(cw, Seq("w"))
+      .groupBy(col(source)).agg(
+        sum(col("s_cnt")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("s_cnt") * length(bin(col("cnt")))).as("sum_corpus_bits"),
+        sum(col("s_cnt") * length(bin(col("s_cnt")))).as("sum_self_bits"))
+      .join(nd, Seq(source))
+      .select(col(source), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("sum_corpus_bits") / col("n_tokens").cast("double"), 6)
+          .as("avg_corpus_bits"),
+        round(col("sum_self_bits") / col("n_tokens").cast("double"), 6)
+          .as("avg_self_bits"),
+        round((col("sum_corpus_bits") - col("sum_self_bits"))
+          / col("n_tokens").cast("double"), 6).as("div_bits"))
+      .orderBy(asc_nulls_last(source))
+  }
+
   /** Integer-quantized TF-IDF top terms per document — the keyword /
     * salient-term extraction pass (topical indexing, dedup explainers,
     * domain tagging). IDF is the x11 bit-length quantization applied to

@@ -28,6 +28,23 @@ class BigramSurprisalSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("sourceDivergence: hand-derived bits and the mirrored-distribution baseline") {
+    // corpus counts: a=3, b=2 -> bits(3)=2, bits(2)=2.
+    // source A (docs "a a", "b"): T=3, corpus-bits = 2*2+1*2 = 6 ->
+    //   2.0; self-bits = 2*bits(2)+1*bits(1) = 5 -> 1.666667; div 1/3.
+    // source B (doc "a b"): T=2, corpus 4 -> 2.0; self 2 -> 1.0; div 1.
+    val docs = Seq(
+      (1L, "a a", "A"), (2L, "b", "A"), (3L, "a b", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = Pipeline.sourceDivergence(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toList
+    assert(out === List(
+      ("A", 2L, 3L, 2L, 2.0, 1.666667, 0.333333),
+      ("B", 1L, 2L, 2L, 2.0, 1.0, 1.0)))
+  }
+
   test("bigramSurprisalFrom invariants on the real corpus: n_bigrams = n_tokens - 1, bits >= 0") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val out = Pipeline.bigramSurprisalFrom(docs,
