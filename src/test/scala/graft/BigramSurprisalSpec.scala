@@ -28,6 +28,39 @@ class BigramSurprisalSpec extends SparkSpec {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("bigramSurprisalFrom discriminates structured prose from its shuffled twin") {
+    // The synthetic bench corpus is near-uniform word salad, so x23's
+    // avg_bits is flat there (NOTES_r13 §15 honesty note) — THIS pins
+    // the operator's actual discriminating power: docs built from a
+    // repeating 6-token sentence (high-probability transitions) vs
+    // docs carrying the SAME token multiset in a scrambled order
+    // (transitions the corpus LM has rarely seen). Unigram stats are
+    // identical by construction — only the bigram model separates them.
+    val sentence = Seq("the", "cat", "sat", "on", "a", "mat")
+    def structured(i: Int): String =
+      Seq.fill(10)(sentence).flatten.mkString(" ")
+    def shuffled(i: Int): String = {
+      val toks = Seq.fill(10)(sentence).flatten
+      // deterministic seeded scramble (test-only — engine parity is
+      // not involved; a stride rotation would be a no-op on a
+      // periodic sentence)
+      new scala.util.Random(42 + i).shuffle(toks).mkString(" ")
+    }
+    val docs = ((0 until 20).map(i => (i.toLong, structured(i))) ++
+      (100 until 120).map(i => (i.toLong, shuffled(i)))).toDF("doc_id", "text")
+    val out = Pipeline.bigramSurprisalFrom(docs,
+        Pipeline.docWordTable(docs, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val structAvg = (0 until 20).map(i => out(i.toLong)).sum / 20
+    val shufAvg = (100 until 120).map(i => out(i.toLong)).sum / 20
+    assert(structAvg < shufAvg,
+      s"structured $structAvg should score below shuffled $shufAvg")
+    // the gap should be decisive, not marginal: the structured docs'
+    // transitions dominate the corpus LM, the scrambled ones are rare
+    assert(shufAvg - structAvg >= 1.0,
+      s"expected >=1 bit separation, got ${shufAvg - structAvg}")
+  }
+
   test("sourceDivergence: hand-derived bits and the mirrored-distribution baseline") {
     // corpus counts: a=3, b=2 -> bits(3)=2, bits(2)=2.
     // source A (docs "a a", "b"): T=3, corpus-bits = 2*2+1*2 = 6 ->
