@@ -85,6 +85,35 @@ object SparkEntry {
                            k: Int = 10): DataFrame =
     graft.ann.CellIndexCache.probeTopk(s, d, Seq(0L, 1L, 2L, 3L, 4L), k)
 
+  /** a9's IVFPQ search over the shared index artifacts — ONE wiring so
+    * a9 (the search) and a14 (its recall evaluation) cannot drift. */
+  private def ivfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val ix = graft.ann.CellIndexCache.embeddings(s, d)
+    val np = Ann.ivfPqNprobe(ix.k1.toLong * ix.k2)
+    Ann.knnIvfPq(
+      graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+      "vec_id", "embedding", "cell",
+      graft.ann.CellIndexCache.centroids(s, d),
+      graft.ann.CellIndexCache.pqCodes(s, d),
+      graft.ann.CellIndexCache.pqCodebook(s, d),
+      Seq(0L, 1L, 2L, 3L, 4L), 10, np,
+      k2 = ix.k2,
+      groupProbe = Ann.hierGroupProbe(ix.k1, ix.k2, np),
+      gvec = Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
+  }
+
+  /** recall@k of `approx` against `truth` (both (query_id, nn_id)
+    * top-k tables) — the bounded eval aggregate a12 and a14 share. */
+  private def recallEval(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.join(approx.withColumn("__hit", lit(1L)),
+        Seq("query_id", "nn_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit") / col("n_truth").cast("double"), 6))
+      .orderBy("query_id")
+
   /** Flagship: AS-OF snapshot (the reference's GET /query). */
   def entry(spark: SparkSession): DataFrame =
     queries("t1_asof_snapshot")(spark, "/root/testdata/sf0.001")
@@ -599,20 +628,23 @@ object SparkEntry {
     // index-health card (a10) — what the standalone AnnSweep harness
     // measures, as a first-class bounded operator (truth and probe legs
     // are both queries×10 rows; the join/aggregate never exceeds that)
-    "a12_ivf_recall" -> ((s, d) => {
-      val truth = Ann.knnBrute(Tables.embeddings(s, d), "vec_id",
-          "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10)
-        .select(col("query_id"), col("nn_id"))
-      val approx = ivfProbeTopk(s, d)
-        .select(col("query_id"), col("nn_id")).withColumn("__hit", lit(1L))
-      truth.join(approx, Seq("query_id", "nn_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_truth"),
-          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit") / col("n_truth").cast("double"), 6))
-        .orderBy("query_id")
-    }),
+    "a12_ivf_recall" -> ((s, d) => recallEval(
+      Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("query_id"), col("nn_id")),
+      ivfProbeTopk(s, d).select(col("query_id"), col("nn_id")))),
+
+    // IVFPQ recall evaluation — a12's twin over the COMPRESSED index
+    // path: how much of the exact top-10 the constant-probe ADC +
+    // bounded-rerank pipeline recovers. Together with a10 (occupancy)
+    // and a12 (coarse-probe recall) this completes the index health
+    // card a vector pipeline publishes: structure, probe quality, and
+    // quantization cost, each a bounded first-class query.
+    "a14_ivfpq_recall" -> ((s, d) => recallEval(
+      Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("query_id"), col("nn_id")),
+      ivfPqTopk(s, d).select(col("query_id"), col("nn_id")))),
 
     // exact cosine RANGE search (radius query): one corpus pass for
     // the whole broadcast query set, per-row norms precomputed
@@ -661,20 +693,7 @@ object SparkEntry {
     // holds ≥0.85; ANN_SWEEP_r12). All structures — cells, centroids,
     // group centroids, PQ codes — are shared corpus artifacts
     // (CellIndexCache), not per-query jobs.
-    "a9_ivfpq" -> ((s, d) => {
-      val ix = graft.ann.CellIndexCache.embeddings(s, d)
-      val np = Ann.ivfPqNprobe(ix.k1.toLong * ix.k2)
-      Ann.knnIvfPq(
-        graft.ann.CellIndexCache.embeddingsWithCell(s, d),
-        "vec_id", "embedding", "cell",
-        graft.ann.CellIndexCache.centroids(s, d),
-        graft.ann.CellIndexCache.pqCodes(s, d),
-        graft.ann.CellIndexCache.pqCodebook(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, np,
-        k2 = ix.k2,
-        groupProbe = Ann.hierGroupProbe(ix.k1, ix.k2, np),
-        gvec = Some(graft.ann.CellIndexCache.groupCentroids(s, d)))
-    }),
+    "a9_ivfpq" -> ((s, d) => ivfPqTopk(s, d)),
 
     // IVF index-health card (FAISS imbalance_factor analog): occupancy
     // balance over the SAME shared cell table a3/a4/a9/d5/d8 search —
@@ -1332,6 +1351,111 @@ object SparkEntry {
          |    JOIN cells cn ON cn.cell = p.cell
          |    JOIN embeddings c ON c.vec_id = cn.vec_id AND c.vec_id <> p.query_id))
          |WHERE rank <= $k""".stripMargin
+    // brute-force truth CTE + recall-eval select, shared by the two
+    // recall evaluations (a12 over the IVF probe, a14 over IVFPQ) —
+    // one definition, same shape as the Spark-side recallEval helper
+    val bruteTruthCte: String =
+      s"""truth AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id IN (0, 1, 2, 3, 4))
+         |  WHERE rank <= 10)""".stripMargin
+    val recallSelect: String =
+      """SELECT t.query_id, count(*) AS n_truth,
+        |  CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.nn_id = t.nn_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    // a9's full IVFPQ CTE chain (constant-probe hierarchical coarse,
+    // residual PQ encode, per-(query,cell) ADC, bounded shortlist) and
+    // its exact-rerank top-k select — factored so the a9 oracle and
+    // a14's recall-eval oracle share one definition
+    val a9ProbeCtes: String =
+      s"""$cellCtes,
+        |a9np AS (SELECT k1, k2, least(k1 * k2, greatest(1,
+        |    greatest(${graft.ann.Ann.IvfPqProbeCells},
+        |      (k1 * k2 + ${graft.ann.Ann.IvfPqFloorDen - 1})
+        |        // ${graft.ann.Ann.IvfPqFloorDen}))) AS np FROM par),
+        |a9gp AS (SELECT least(k1, greatest(${graft.ann.Ann.HierGroupFloor},
+        |    (2 * np + k2 - 1) // k2)) AS gp FROM a9np),
+        |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
+        |comp AS (
+        |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
+        |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
+        |    range(1, 65) t(j)),
+        |cvc AS (SELECT cell, i,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
+        |  FROM comp GROUP BY cell, i),
+        |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
+        |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
+        |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
+        |  FROM cvc GROUP BY 1, 2),
+        |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |tg AS (
+        |  SELECT query_id, grp FROM (
+        |    SELECT q.query_id, g.grp,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        ${cosSql("q.q_emb", "g.g_vec")} DESC, g.grp) AS gr
+        |    FROM q CROSS JOIN gvec g)
+        |  WHERE gr <= (SELECT gp FROM a9gp)),
+        |probed AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT t.query_id, c.cell,
+        |      row_number() OVER (PARTITION BY t.query_id ORDER BY
+        |        ${cosSql("q.q_emb", "c.c_vec")} DESC, c.cell) AS cr
+        |    FROM tg t JOIN q ON q.query_id = t.query_id
+        |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
+        |  WHERE cr <= (SELECT np FROM a9np)),
+        |mm AS (SELECT unnest(range(8)) AS m),
+        |rv AS (SELECT e.vec_id, cl.cell,
+        |    [CAST(e.embedding[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
+        |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+        |  JOIN cvec cv ON cv.cell = cl.cell),
+        |cb AS (SELECT vec_id AS cid, m, rvec[m*8+1 : m*8+8] AS csub
+        |  FROM rv, mm WHERE vec_id < ${graft.ann.Ann.IvfPqCodebookK}),
+        |rs AS (SELECT vec_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM rv, mm),
+        |enc AS (SELECT vec_id, cell, m, cid AS code FROM (
+        |    SELECT r.vec_id, r.cell, r.m, b.cid,
+        |      row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
+        |        CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
+        |          for i in range(1, 9)]) * 1000000) AS BIGINT), b.cid) AS rn
+        |    FROM rs r JOIN cb b USING (m)) WHERE rn = 1),
+        |qrv AS (SELECT p.query_id, p.cell,
+        |    [CAST(q.q_emb[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
+        |  FROM probed p JOIN q ON q.query_id = p.query_id
+        |  JOIN cvec cv ON cv.cell = p.cell),
+        |qrs AS (SELECT query_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM qrv, mm),
+        |dtq AS (SELECT r.query_id, r.cell, r.m, b.cid,
+        |    CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
+        |      for i in range(1, 9)]) * 1000000) AS BIGINT) AS dmicro
+        |  FROM qrs r JOIN cb b USING (m)),
+        |ad AS (SELECT d.query_id, e.vec_id AS nn_id,
+        |    sum(d.dmicro)::BIGINT AS admicro
+        |  FROM enc e
+        |  JOIN dtq d ON d.cell = e.cell AND d.m = e.m AND d.cid = e.code
+        |  WHERE e.vec_id <> d.query_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT query_id, nn_id, admicro FROM (
+        |    SELECT query_id, nn_id, admicro,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY admicro, nn_id) AS arn
+        |    FROM ad) WHERE arn <= ${graft.ann.Ann.IvfPqRerank})""".stripMargin
+    def a9TopkSelect(k: Int = 10): String =
+      s"""SELECT query_id, nn_id, cos, adc_dist, rank FROM (
+        |  SELECT sl.query_id, sl.nn_id,
+        |    round(sl.admicro / 1000000.0, 6) AS adc_dist,
+        |    ${cosSql("qq.embedding", "c.embedding")} AS cos,
+        |    row_number() OVER (PARTITION BY sl.query_id ORDER BY
+        |      ${cosSql("qq.embedding", "c.embedding")} DESC, sl.nn_id) AS rank
+        |  FROM sl JOIN embeddings qq ON qq.vec_id = sl.query_id
+        |  JOIN embeddings c ON c.vec_id = sl.nn_id)
+        |WHERE rank <= $k""".stripMargin
     Map(
       "a2_ann_lsh" -> a2Sql,
 
@@ -2595,21 +2719,8 @@ object SparkEntry {
       "a12_ivf_recall" ->
         s"""WITH $a4ProbeCtes,
           |approx AS (${a4TopkSelect()}),
-          |truth AS (
-          |  SELECT query_id, nn_id FROM (
-          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-          |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-          |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-          |    WHERE q.vec_id IN (0, 1, 2, 3, 4))
-          |  WHERE rank <= 10)
-          |SELECT t.query_id, count(*) AS n_truth,
-          |  CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-          |  round(CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-          |    / CAST(count(*) AS DOUBLE), 6) AS recall
-          |FROM truth t LEFT JOIN approx a
-          |  ON a.query_id = t.query_id AND a.nn_id = t.nn_id
-          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+          |$bruteTruthCte
+          |$recallSelect""".stripMargin,
 
       "a5_range_search" ->
         s"""SELECT query_id, nn_id, cos FROM (
@@ -2799,85 +2910,17 @@ object SparkEntry {
       // the top-200 ADC shortlist — every ranking rule identical to
       // the Spark side digit-for-digit
       "a9_ivfpq" ->
-        s"""WITH $cellCtes,
-          |a9np AS (SELECT k1, k2, least(k1 * k2, greatest(1,
-          |    greatest(${graft.ann.Ann.IvfPqProbeCells},
-          |      (k1 * k2 + ${graft.ann.Ann.IvfPqFloorDen - 1})
-          |        // ${graft.ann.Ann.IvfPqFloorDen}))) AS np FROM par),
-          |a9gp AS (SELECT least(k1, greatest(${graft.ann.Ann.HierGroupFloor},
-          |    (2 * np + k2 - 1) // k2)) AS gp FROM a9np),
-          |cells AS (SELECT vec_id, cell FROM pcell WHERE is_primary),
-          |comp AS (
-          |  SELECT cl.cell, j AS i, CAST(e.embedding[j] AS DOUBLE) AS v
-          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id,
-          |    range(1, 65) t(j)),
-          |cvc AS (SELECT cell, i,
-          |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS cv
-          |  FROM comp GROUP BY cell, i),
-          |cvec AS (SELECT cell, list(cv ORDER BY i) AS c_vec FROM cvc GROUP BY cell),
-          |gvc AS (SELECT cell // (SELECT k2 FROM par) AS grp, i,
-          |    CAST(sum(CAST(cv AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS gv
-          |  FROM cvc GROUP BY 1, 2),
-          |gvec AS (SELECT grp, list(gv ORDER BY i) AS g_vec FROM gvc GROUP BY grp),
-          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
-          |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
-          |tg AS (
-          |  SELECT query_id, grp FROM (
-          |    SELECT q.query_id, g.grp,
-          |      row_number() OVER (PARTITION BY q.query_id ORDER BY
-          |        ${cosSql("q.q_emb", "g.g_vec")} DESC, g.grp) AS gr
-          |    FROM q CROSS JOIN gvec g)
-          |  WHERE gr <= (SELECT gp FROM a9gp)),
-          |probed AS (
-          |  SELECT query_id, cell FROM (
-          |    SELECT t.query_id, c.cell,
-          |      row_number() OVER (PARTITION BY t.query_id ORDER BY
-          |        ${cosSql("q.q_emb", "c.c_vec")} DESC, c.cell) AS cr
-          |    FROM tg t JOIN q ON q.query_id = t.query_id
-          |    JOIN cvec c ON c.cell // (SELECT k2 FROM par) = t.grp)
-          |  WHERE cr <= (SELECT np FROM a9np)),
-          |mm AS (SELECT unnest(range(8)) AS m),
-          |rv AS (SELECT e.vec_id, cl.cell,
-          |    [CAST(e.embedding[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
-          |  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
-          |  JOIN cvec cv ON cv.cell = cl.cell),
-          |cb AS (SELECT vec_id AS cid, m, rvec[m*8+1 : m*8+8] AS csub
-          |  FROM rv, mm WHERE vec_id < ${graft.ann.Ann.IvfPqCodebookK}),
-          |rs AS (SELECT vec_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM rv, mm),
-          |enc AS (SELECT vec_id, cell, m, cid AS code FROM (
-          |    SELECT r.vec_id, r.cell, r.m, b.cid,
-          |      row_number() OVER (PARTITION BY r.vec_id, r.m ORDER BY
-          |        CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
-          |          for i in range(1, 9)]) * 1000000) AS BIGINT), b.cid) AS rn
-          |    FROM rs r JOIN cb b USING (m)) WHERE rn = 1),
-          |qrv AS (SELECT p.query_id, p.cell,
-          |    [CAST(q.q_emb[j] AS DOUBLE) - cv.c_vec[j] for j in range(1, 65)] AS rvec
-          |  FROM probed p JOIN q ON q.query_id = p.query_id
-          |  JOIN cvec cv ON cv.cell = p.cell),
-          |qrs AS (SELECT query_id, cell, m, rvec[m*8+1 : m*8+8] AS sub FROM qrv, mm),
-          |dtq AS (SELECT r.query_id, r.cell, r.m, b.cid,
-          |    CAST(round(list_sum([(r.sub[i]-b.csub[i])*(r.sub[i]-b.csub[i])
-          |      for i in range(1, 9)]) * 1000000) AS BIGINT) AS dmicro
-          |  FROM qrs r JOIN cb b USING (m)),
-          |ad AS (SELECT d.query_id, e.vec_id AS nn_id,
-          |    sum(d.dmicro)::BIGINT AS admicro
-          |  FROM enc e
-          |  JOIN dtq d ON d.cell = e.cell AND d.m = e.m AND d.cid = e.code
-          |  WHERE e.vec_id <> d.query_id
-          |  GROUP BY 1, 2),
-          |sl AS (SELECT query_id, nn_id, admicro FROM (
-          |    SELECT query_id, nn_id, admicro,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY admicro, nn_id) AS arn
-          |    FROM ad) WHERE arn <= ${graft.ann.Ann.IvfPqRerank})
-          |SELECT query_id, nn_id, cos, adc_dist, rank FROM (
-          |  SELECT sl.query_id, sl.nn_id,
-          |    round(sl.admicro / 1000000.0, 6) AS adc_dist,
-          |    ${cosSql("qq.embedding", "c.embedding")} AS cos,
-          |    row_number() OVER (PARTITION BY sl.query_id ORDER BY
-          |      ${cosSql("qq.embedding", "c.embedding")} DESC, sl.nn_id) AS rank
-          |  FROM sl JOIN embeddings qq ON qq.vec_id = sl.query_id
-          |  JOIN embeddings c ON c.vec_id = sl.nn_id)
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        s"""WITH $a9ProbeCtes
+          |${a9TopkSelect()} ORDER BY query_id, rank""".stripMargin,
+
+      // recall@10 of the IVFPQ path vs the brute truth — the probe leg
+      // is a9's EXACT CTE chain (shared text), the eval the shared
+      // truth + recall select a12 uses
+      "a14_ivfpq_recall" ->
+        s"""WITH $a9ProbeCtes,
+          |approx AS (${a9TopkSelect()}),
+          |$bruteTruthCte
+          |$recallSelect""".stripMargin,
 
       "a7_kmeans" ->
         s"""WITH kcomp AS (

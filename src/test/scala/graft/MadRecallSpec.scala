@@ -67,24 +67,32 @@ class MadRecallSpec extends SparkSpec {
     assert(cached.nonEmpty)
   }
 
-  test("a12_ivf_recall equals the intersection of its own legs (a1 truth x a4 probe)") {
+  private def checkRecallEval(searchKey: String, evalKey: String): Unit = {
     val d = sfDir
     val truth = SparkEntry.queries("a1_knn_brute")(spark, d)
       .select(col("query_id"), col("nn_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SparkEntry.queries("a4_ivf_nprobe")(spark, d)
+    val approx = SparkEntry.queries(searchKey)(spark, d)
       .select(col("query_id"), col("nn_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val evalRows = SparkEntry.queries("a12_ivf_recall")(spark, d).collect()
+    val evalRows = SparkEntry.queries(evalKey)(spark, d).collect()
     assert(evalRows.map(_.getAs[Long]("query_id")).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
     evalRows.foreach { r =>
       val q = r.getAs[Long]("query_id")
       val hits = truth.filter(_._1 == q).intersect(approx.filter(_._1 == q)).size
       assert(r.getAs[Long]("n_truth") === 10L)
-      assert(r.getAs[Long]("n_hit") === hits.toLong, s"query $q")
+      assert(r.getAs[Long]("n_hit") === hits.toLong, s"$evalKey query $q")
       val recall = r.getAs[Double]("recall")
       assert(recall >= 0.0 && recall <= 1.0)
       assert(recall === math.rint(hits / 10.0 * 1e6) / 1e6)
     }
+  }
+
+  test("a12_ivf_recall equals the intersection of its own legs (a1 truth x a4 probe)") {
+    checkRecallEval("a4_ivf_nprobe", "a12_ivf_recall")
+  }
+
+  test("a14_ivfpq_recall equals the intersection of its own legs (a1 truth x a9 IVFPQ)") {
+    checkRecallEval("a9_ivfpq", "a14_ivfpq_recall")
   }
 }
