@@ -351,10 +351,15 @@ object Sketch {
       qBucket(0.99).as("__b99"))
     def estOf(b: Column): Column = round(col("gmin") +
       (b + 1).cast("double") * (col("gmax") - col("gmin")) / lit(buckets.toDouble), 6)
-    val exact = df.groupBy(col(group)).agg(
-      round(expr(s"percentile($value, 0.5)"), 6).as("p50_exact"),
-      round(expr(s"percentile($value, 0.9)"), 6).as("p90_exact"),
-      round(expr(s"percentile($value, 0.99)"), 6).as("p99_exact"))
+    // exact error-report legs via the bounded cutoff-selection
+    // construction (TimeSeries.exactQuantiles) — never the built-in
+    // `percentile` aggregate's all-values-per-group buffer
+    val exact = graft.operators.TimeSeries
+      .exactQuantiles(df, group, value, Seq(0.5, 0.9, 0.99))
+      .select(col(group),
+        round(col("__q0"), 6).as("p50_exact"),
+        round(col("__q1"), 6).as("p90_exact"),
+        round(col("__q2"), 6).as("p99_exact"))
     sel.crossJoin(broadcast(mm)).join(exact, Seq(group))
       .select(col(group), col("n"),
         estOf(col("__b50")).as("p50_est"), col("p50_exact"),

@@ -234,15 +234,118 @@ object TimeSeries {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** EXACT per-group quantiles — Spark `percentile` semantics (linear
+    * interpolation at position p·(n−1) over the sorted non-null
+    * values, the same arithmetic as ANSI PERCENTILE_CONT) — with
+    * BOUNDED aggregation state at any row volume. Spark's exact
+    * `percentile` aggregate buffers EVERY value of a group in one
+    * OpenHashMap (billions of doubles per group at 100 TB — the same
+    * unbounded-per-group-state class as collect_list, which
+    * CollectMinK eliminated for top-k); this is the ts23/rankSuite
+    * cutoff construction applied to quantile SELECTION instead:
+    *
+    *  1. one pass: per-group approx_percentile CUTOFFS (bounded GK
+    *     sketch) + exact counts — cutoffs only balance the buckets,
+    *     exactness never depends on them;
+    *  2. range-bucket each row by "cutoffs strictly below" (ties never
+    *     straddle a boundary) and take per-(group, bucket) EXACT
+    *     counts → cumulative offsets (groups × parts rows);
+    *  3. each quantile's target positions (floor/ceil of p·(n−1))
+    *     locate their bucket via the offsets; ONLY those buckets
+    *     (≤ 2·|ps| per group) are ranked, under a window partitioned
+    *     by (group, bucket) — a spilling sort of ~n/parts rows, never
+    *     an in-memory buffer of n; `parts` scales with the corpus;
+    *  4. interpolate exactly as Percentile.getPercentile does:
+    *     (ceil(h)−h)·v_lo + (h−floor(h))·v_hi — same operand order,
+    *     bit-identical IEEE result (spec-pinned against the built-in
+    *     on skewed/tied/tiny corpora).
+    *
+    * Three scans of the input (cutoffs; bucket counts; selection) —
+    * the two small intermediates are localCheckpointed (the rankSuite
+    * discipline) so no branch re-executes upstream. Rows with null
+    * `value` are excluded (percentile semantics), including from `n`.
+    * Returns (group, __n, __q0..__q{k-1}) — callers rename/round. */
+  def exactQuantiles(df: DataFrame, group: String, value: String,
+                     ps: Seq[Double], parts: Int = 32): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val t = df.select(col(group).as("__g"), col(value).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
+    // groups-sized; checkpointed because it feeds three branches
+    val cuts = t.groupBy(col("__g")).agg(
+        expr(s"approx_percentile(__v, array($probsArr))").as("__cuts"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val tb = t.join(broadcast(cuts.select(col("__g"), col("__cuts"))), Seq("__g"))
+      .withColumn("__rb", size(filter(col("__cuts"), c => c < col("__v"))))
+      .drop("__cuts")
+    // exact per-(group, range-bucket) counts → offsets (groups × parts)
+    val cnt = tb.groupBy(col("__g"), col("__rb")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val off = cnt.withColumn("__off",
+      coalesce(sum(col("__c")).over(Window.partitionBy(col("__g"))
+        .orderBy(col("__rb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // target 0-based positions: floor/ceil of h = p·(n−1) per quantile
+    val targets = cuts.select(col("__g"),
+        explode(array(ps.zipWithIndex.map { case (p, i) =>
+          struct(lit(i).as("__pi"),
+            (lit(p) * (col("__n") - 1L).cast("double")).as("__h"))
+        }: _*)).as("__t"))
+      .select(col("__g"), col("__t.__pi").as("__pi"), col("__t.__h").as("__h"))
+      .select(col("__g"), col("__pi"), col("__h"),
+        explode(array(
+          struct(lit(0).as("__w"), floor(col("__h")).as("__r")),
+          struct(lit(1).as("__w"), ceil(col("__h")).as("__r")))).as("__e"))
+      .select(col("__g"), col("__pi"), col("__h"),
+        col("__e.__w").as("__w"), col("__e.__r").as("__r"))
+    // locate each target position's bucket + 0-based local index
+    // (offsets side renamed: both tiny tables share the cuts lineage,
+    // and an unaliased __g === __g self-join is trivially true)
+    val offA = off.select(col("__g").as("__og"), col("__rb"),
+      col("__c"), col("__off"))
+    val needed = targets.join(offA,
+        col("__g") === col("__og") &&
+          col("__r") >= col("__off") && col("__r") < col("__off") + col("__c"))
+      .select(col("__g"), col("__pi"), col("__h"), col("__w"),
+        col("__rb"), (col("__r") - col("__off")).as("__li"))
+    val buckets = needed.select(col("__g"), col("__rb")).distinct()
+    // rank ONLY the needed buckets (semi-filter first: joining `needed`
+    // directly would duplicate rows and corrupt row_number), then pick
+    val picked = tb.join(broadcast(buckets), Seq("__g", "__rb"))
+      .withColumn("__ln",
+        row_number().over(Window.partitionBy(col("__g"), col("__rb"))
+          .orderBy(col("__v"))).cast("long") - 1L)
+      .join(broadcast(needed), Seq("__g", "__rb"))
+      .filter(col("__ln") === col("__li"))
+      .select(col("__g"), col("__pi"), col("__h"), col("__w"), col("__v"))
+    // Percentile.getPercentile arithmetic, operand order preserved
+    val q = picked.groupBy(col("__g"), col("__pi"), col("__h")).agg(
+        max(when(col("__w") === 0, col("__v"))).as("__vlo"),
+        max(when(col("__w") === 1, col("__v"))).as("__vhi"))
+      .withColumn("__q",
+        when(floor(col("__h")) === ceil(col("__h")), col("__vlo"))
+          .otherwise((ceil(col("__h")) - col("__h")) * col("__vlo") +
+            (col("__h") - floor(col("__h"))) * col("__vhi")))
+    cuts.select(col("__g"), col("__n"))
+      .join(q.groupBy(col("__g")).agg(
+        ps.indices.map(i => max(when(col("__pi") === i, col("__q"))).as(s"__q$i"))
+          .head, ps.indices.tail.map(i =>
+            max(when(col("__pi") === i, col("__q"))).as(s"__q$i")): _*),
+        Seq("__g"))
+      .withColumnRenamed("__g", group)
+  }
+
   /** Exact per-series percentiles (linear interpolation, matching ANSI
-    * PERCENTILE_CONT). Exact rather than sketch-based so the oracle can
-    * replicate it; `approx_percentile` is the 100 TB variant (see spec). */
+    * PERCENTILE_CONT) via [[exactQuantiles]] — bit-identical to Spark's
+    * built-in `percentile` aggregate (spec-pinned) but with bounded
+    * state, so the same code path is the 100 TB path. */
   def percentiles(df: DataFrame, series: String, value: String): DataFrame =
-    df.groupBy(col(series)).agg(
-      round(expr(s"percentile($value, 0.5)"), 6).as("p50"),
-      round(expr(s"percentile($value, 0.9)"), 6).as("p90"),
-      round(expr(s"percentile($value, 0.99)"), 6).as("p99"),
-      count(lit(1)).as("n"))
+    exactQuantiles(df, series, value, Seq(0.5, 0.9, 0.99))
+      .select(col(series),
+        round(col("__q0"), 6).as("p50"),
+        round(col("__q1"), 6).as("p90"),
+        round(col("__q2"), 6).as("p99"),
+        col("__n").as("n"))
 
   /** Robust per-series outlier report: median / MAD / outlier counts
     * under the classic |v − median| > k·MAD rule (Hampel filter — the
@@ -250,27 +353,30 @@ object TimeSeries {
     * where mean/stddev (ts19's z-score) are themselves dragged by the
     * outliers they should catch).
     *
-    * Engine-exactness: both medians are [[percentiles]]' exact
+    * Engine-exactness: both medians are [[exactQuantiles]]' exact
     * PERCENTILE_CONT, ROUNDED TO 6 DP before re-use — deviations are
     * |v − med6| of identical IEEE doubles on both engines, and the
     * outlier threshold k·mad6 is one exact double product, so the
-    * strict > compare agrees bit-for-bit. Shape: two aggregation passes
-    * over the series (median, then MAD + counts off a broadcast join of
-    * the series-sized median table) — no window, no per-group sort
-    * task. At 100 TB the exact percentile aggregate is the one
-    * memory-bound piece; `approx_percentile` is the drop-in scale
-    * variant, same as ts9 (spec-covered there). */
+    * strict > compare agrees bit-for-bit. Shape: both medians run the
+    * bounded cutoff-selection construction (never Spark's
+    * all-values-in-one-buffer `percentile` aggregate), sequentially —
+    * the MAD is a median OF the deviations, which need the first
+    * median — plus one conditional-count recount pass; the deviation
+    * branch is re-derived per pass (Catalyst cannot share the
+    * unpersisted branch), each re-derivation one scan + one broadcast
+    * join. Every intermediate is series- or (series × parts)-sized. */
   def madOutliers(df: DataFrame, series: String, value: String,
                   k: Int = 3): DataFrame = {
-    val med = df.groupBy(col(series))
-      .agg(round(expr(s"percentile($value, 0.5)"), 6).as("med"))
+    val med = exactQuantiles(df, series, value, Seq(0.5))
+      .select(col(series), round(col("__q0"), 6).as("med"))
     val dev = df.join(broadcast(med), Seq(series))
       .select(col(series), col("med"),
         abs(col(value) - col("med")).as("__dev"))
-    val madT = dev.groupBy(col(series)).agg(
-      first(col("med")).as("med"),
-      round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
-      count(lit(1)).as("n"))
+    val madT = exactQuantiles(dev, series, "__dev", Seq(0.5))
+      .select(col(series), round(col("__q0"), 6).as("mad"),
+        col("__n").as("n"))
+      .join(med, Seq(series))
+      .select(col(series), col("med"), col("mad"), col("n"))
     // conditional sum, not filter-then-count: a series with zero
     // outliers must still report (n_outliers = 0)
     val out = dev
