@@ -296,19 +296,44 @@ object ScaleProbe {
       println(f"$k%-14s ${rt1(k)}%8.2f ${rt8(k)}%8.2f ${rt8(k) / rt1(k)}%5.1fx")
     }
 
-    // round-13 late keys at 8x: ts30 (median/MAD — three aggregation
-    // passes, the exact-percentile aggregate being the one
-    // memory-bound-at-scale piece with approx_percentile the
-    // documented drop-in) and x23 (bigram-LM — the d9/x15 postings
-    // shuffle family; the bigram aggregate is the dominant term and
-    // should track the token volume ~linearly)
+    // round-13 late keys at 8x: ts30 (median/MAD — since r14 the
+    // BOUNDED exactQuantiles cutoff-selection end to end: no
+    // all-values-per-group percentile buffer anywhere in the path)
+    // and x23 (bigram-LM — the d9/x15 postings shuffle family; the
+    // bigram aggregate is the dominant term and should track token
+    // volume ~linearly). bigram_lm_r13form is the A/B twin: the r13
+    // shape whose exchanges carried raw "a b" STRING keys (built via
+    // the interpreter-bound zip_with HOF) vs production's int64
+    // md5Prefix60 keys — run on the rotated REAL corpus (structured
+    // prose, the honesty item from the r13 synthetic-corpus note).
     val madOps: Seq[(String, DataFrame => Long)] = Seq(
       ("mad_outliers", ev => TimeSeries.madOutliers(
         ev, "event_type", "value", 3).count()))
+    def bigramR13Form(docs: DataFrame): Long = {
+      val t = split(col("text"), " ")
+      val bgCol = explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+      val bgt = docs.select(col("doc_id"), bgCol.as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf2"))
+      val c2 = bgt.groupBy(col("bg")).agg(sum(col("tf2")).as("c2"))
+        .withColumn("a", substring_index(col("bg"), " ", 1))
+      val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+      val v = graft.operators.Pipeline.docWordTable(docs, "doc_id", "text")
+        .agg(countDistinct(col("w")).as("v"))
+      bgt.join(c2, Seq("bg")).join(c1, Seq("a")).crossJoin(broadcast(v))
+        .groupBy(col("doc_id")).agg(
+          sum(col("tf2")).as("n_bigrams"),
+          sum(col("tf2") * (length(bin(col("c1") + col("v")))
+            - length(bin(col("c2") + 1)))).as("sum_bits"))
+        .count()
+    }
     val bigramOps: Seq[(String, DataFrame => Long)] = Seq(
       ("bigram_lm", docs => graft.operators.Pipeline.bigramSurprisalFrom(
         docs, graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
-        "doc_id", "text").count()))
+        "doc_id", "text").count()),
+      ("bigram_lm_r13form", docs => bigramR13Form(docs)))
     val (nk1e, nk8e) = interleave(madOps, e1, e8)
     val (nk1d, nk8d) = interleave(bigramOps, d1, d8)
     val (nk1, nk8) = (nk1e ++ nk1d, nk8e ++ nk8d)
@@ -612,45 +637,15 @@ object ScaleProbe {
     println(f"${"neardup_1cell_sb1v8"}%-22s $nd1%8.2f $nd8%8.2f ${nd8 / nd1}%5.1fx")
     println(f"${"simhash_hotchunk"}%-22s $shU%8.2f $shH%8.2f ${shH / shU}%5.1fx")
 
-    // hot-group exact dedup: ONE content hash shared by 4M (then 32M)
-    // docs — the dup-heavy-corpus shape (billions of boilerplate docs).
-    // The bounded CollectMinK keeps every agg buffer ≤ K (the unbounded
-    // `slice(sort_array(collect_list(id)),1,K)` twin materializes the
-    // whole group in one buffer before slicing — a multi-GB row at real
-    // scale). String ids are the realistic shape (URLs/uuids).
-    // Measurement protocol (r11, after SCALE_r10's 1M/8M leg proved
-    // noise-bound — sub-0.5s absolutes, bounded 4.16x vs unbounded
-    // 1.63x, inverted between rounds): sizes 4M/32M so the fast side
-    // clears ~1s, and the four (plan, size) cells are INTERLEAVED
-    // round-robin across 5 reps (median-of-5) so a host-contention
-    // wave lands on all four cells instead of inflating one column.
-    def hotDocs(n: Long) = spark.range(n)
-      .select(concat(lit("doc::"), lpad(col("id").cast("string"), 12, "0"))
-        .as("doc_id"), lit("same boilerplate").as("text"))
-    def exactUnbounded(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-        .groupBy("content_hash")
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"),
-          concat_ws(",",
-            slice(sort_array(collect_list(col("doc_id"))), 1, 100)).as("doc_ids"))
-    val h1 = hotDocs(4000000L).localCheckpoint()
-    val h8 = hotDocs(32000000L).localCheckpoint()
-    def medInterleaved(fns: Seq[() => Long], reps: Int): Seq[Double] = {
-      val t = Array.fill(fns.length)(List.empty[Double])
-      for (_ <- 1 to reps; i <- fns.indices) t(i) ::= time(fns(i)())
-      t.map(ts => ts.sorted.apply(ts.length / 2)).toSeq
-    }
-    graft.dedup.Dedup.exact(h1, "doc_id", "text").count() // warm-up
-    graft.dedup.Dedup.exact(h8, "doc_id", "text").count()
-    exactUnbounded(h1).count(); exactUnbounded(h8).count()
-    val Seq(de1, de8, du1, du8) = medInterleaved(Seq(
-      () => graft.dedup.Dedup.exact(h1, "doc_id", "text").count(),
-      () => graft.dedup.Dedup.exact(h8, "doc_id", "text").count(),
-      () => exactUnbounded(h1).count(),
-      () => exactUnbounded(h8).count()), 5)
-    println(f"${"hot-group dedup"}%-22s ${"4M(s)"}%8s ${"32M(s)"}%8s ratio")
-    println(f"${"bounded_collect_min_k"}%-22s $de1%8.2f $de8%8.2f ${de8 / de1}%5.1fx")
-    println(f"${"unbounded_collect_list"}%-22s $du1%8.2f $du8%8.2f ${du8 / du1}%5.1fx")
+    // hot-group exact dedup wall-clock leg: RETIRED in r14. Three
+    // rounds of contradictory numbers (r11 bounded faster, r12 parity,
+    // r13 bounded slower — 4M/32M one-hash corpus, interleaved
+    // median-of-5) mean the leg was measuring single-box memory
+    // pressure, not the code. The claim the leg existed for is a STATE
+    // bound, not a wall-clock one, and it's pinned by construction +
+    // spec (CollectMinK: every aggregation buffer ≤ K entries whatever
+    // the group size; the unbounded collect_list twin materializes the
+    // whole group in one buffer). See CollectMinKSpec / DedupSpec.
 
     // rollback audit at scale: a rollback touching 1M/8M distinct
     // records. Same CollectMinK bound as d1 — every buffer ≤ K entries
@@ -676,8 +671,6 @@ object ScaleProbe {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.unpersistLocalCheckpoint(a1m)
     ColumnBridge.unpersistLocalCheckpoint(a8m)
-    ColumnBridge.unpersistLocalCheckpoint(h1)
-    ColumnBridge.unpersistLocalCheckpoint(h8)
 
     // sequence packing: the cumsum stage runs one task per shard, so
     // the shard count IS the parallelism. 4M synthetic docs (the 40k
@@ -777,12 +770,7 @@ object ScaleProbe {
          |    {"base_s": ${f"$shU%.3f"}, "probe_s": ${f"$shH%.3f"}, "ratio": ${f"${shH / shU}%.2f"}}
          |},
          |"hot_group_exact_dedup": {
-         |  "protocol": "4M/32M one-hash corpus, 4 cells interleaved round-robin, median-of-5",
-         |  "bounded_4m_vs_32m":
-         |    {"base_s": ${f"$de1%.3f"}, "probe_s": ${f"$de8%.3f"}, "ratio": ${f"${de8 / de1}%.2f"}},
-         |  "unbounded_twin_4m_vs_32m":
-         |    {"base_s": ${f"$du1%.3f"}, "probe_s": ${f"$du8%.3f"}, "ratio": ${f"${du8 / du1}%.2f"}},
-         |  "unbounded_over_bounded_32m": ${f"${du8 / de8}%.2f"}
+         |  "retired": "r14: three rounds of contradictory wall-clock (r11 bounded faster, r12 parity, r13 slower) = the leg measured box memory pressure, not code; the <=K state bound is pinned by construction + spec (CollectMinK), which is the claim that matters"
          |},
          |"rollback_audit_bounded_1m_vs_8m": {
          |  "base_s": ${f"$rb1%.3f"}, "probe_s": ${f"$rb8%.3f"},

@@ -1959,15 +1959,17 @@ object SparkEntry {
           |bgf AS (SELECT doc_id,
           |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
           |  FROM w WHERE len(t) >= 2),
-          |bgt AS (SELECT doc_id, bg, count(*) AS tf2 FROM bgf GROUP BY 1, 2),
-          |c2 AS (SELECT bg, split_part(bg, ' ', 1) AS a,
-          |    CAST(sum(tf2) AS BIGINT) AS c2 FROM bgt GROUP BY 1, 2),
-          |c1 AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+          |bgt AS (SELECT doc_id,
+          |    ('0x' || substr(md5(bg), 1, 15))::BIGINT AS bgh,
+          |    ('0x' || substr(md5(split_part(bg, ' ', 1)), 1, 15))::BIGINT AS ah,
+          |    count(*) AS tf2 FROM bgf GROUP BY 1, 2, 3),
+          |c2 AS (SELECT bgh, CAST(sum(tf2) AS BIGINT) AS c2 FROM bgt GROUP BY 1),
+          |c1 AS (SELECT ah, CAST(sum(tf2) AS BIGINT) AS c1 FROM bgt GROUP BY 1),
           |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM w)),
           |sc AS (SELECT g.doc_id, CAST(sum(g.tf2) AS BIGINT) AS n_bigrams,
           |    CAST(sum(g.tf2 * (length(bin(c1.c1 + v.v))
           |      - length(bin(c2.c2 + 1)))) AS BIGINT) AS sum_bits
-          |  FROM bgt g JOIN c2 USING (bg) JOIN c1 USING (a) CROSS JOIN v
+          |  FROM bgt g JOIN c2 USING (bgh) JOIN c1 USING (ah) CROSS JOIN v
           |  GROUP BY 1)
           |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
           |  coalesce(sc.sum_bits, 0) AS sum_bits,

@@ -335,30 +335,34 @@ object Pipeline {
     * prose. A float log P(b|a) sum would be libm/order-dependent.
     *
     * Shape: one scan → bigram strings (tokens carry no spaces under
-    * the single-space split, so `a ⊔ b` is unambiguous and gives ONE
-    * equi-join key); per-doc bigram tf aggregate (tokens-sized, the
-    * dominant shuffle — the d9/x15 postings family); corpus C2 and C1
-    * derived from that SAME aggregate (bigram-vocabulary-sized); V
-    * from the SHARED docWordTf table's vocabulary; one join back on
-    * the bigram key (AQE absorbs hot heads) and a per-doc aggregation.
-    * No window, no collect; docs with < 2 tokens report n_bigrams = 0
-    * via the final left join. */
+    * the single-space split, so `a ⊔ b` is unambiguous), immediately
+    * NARROWED to int64 keys — `bgh` = md5Prefix60(bigram) and `ah` =
+    * md5Prefix60(head token), the d4 postings trick — so the dominant
+    * tokens-sized exchange (the per-doc bigram tf aggregate, the
+    * d9/x15 postings family) and the join back carry two longs per
+    * row instead of a raw `"a b"` string (~4× narrower at corpus
+    * scale; 60-bit keys make collisions negligible, and the oracle
+    * md5s the same way so both engines agree under any collision).
+    * The bigram column itself is the native WordShingles expression
+    * (Text.bigrams — codegen'd; the zip_with/slice HOF twin is
+    * interpreter-bound). Corpus C2 and C1 derive from the SAME
+    * aggregate (bigram-vocabulary-sized, keyed on the int64s); V from
+    * the SHARED docWordTf table's vocabulary; one join back on `bgh`
+    * (AQE absorbs hot heads) and a per-doc aggregation. No window, no
+    * collect; docs with < 2 tokens report n_bigrams = 0 via the final
+    * left join. */
   def bigramSurprisalFrom(docs: DataFrame, docWord: DataFrame,
                           id: String, text: String): DataFrame = {
-    val t = Text.words(col(text))
-    val bgCol = explode(zip_with(
-      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b)))
-    val bgt = docs.select(col(id), bgCol.as("bg"))
-      .groupBy(col(id), col("bg")).agg(count(lit(1)).as("tf2"))
-    val c2 = bgt.groupBy(col("bg")).agg(sum(col("tf2")).as("c2"))
-      .withColumn("a", substring_index(col("bg"), " ", 1))
-    val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val bgt = docs.select(col(id), explode(Text.bigrams(col(text))).as("bg"))
+      .select(col(id), Text.md5Prefix60(col("bg")).as("bgh"),
+        Text.md5Prefix60(substring_index(col("bg"), " ", 1)).as("ah"))
+      .groupBy(col(id), col("bgh"), col("ah")).agg(count(lit(1)).as("tf2"))
+    val c2 = bgt.groupBy(col("bgh")).agg(sum(col("tf2")).as("c2"))
+    val c1 = bgt.groupBy(col("ah")).agg(sum(col("tf2")).as("c1"))
     val v = docWord.agg(countDistinct(col("w")).as("v"))
     val scored = bgt
-      .join(c2, Seq("bg"))
-      .join(c1, Seq("a"))
+      .join(c2, Seq("bgh"))
+      .join(c1, Seq("ah"))
       .crossJoin(broadcast(v))
       .groupBy(col(id)).agg(
         sum(col("tf2")).as("n_bigrams"),
