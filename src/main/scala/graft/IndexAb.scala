@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
   * Writes GRAFT_INDEX_OUT (default INDEX_AB.json).
   *
   * Usage: sbt "runMain graft.IndexAb [sfDir]"
-  * After this has run once, any JVM with GRAFT_INDEX_TABLES=1 (e.g.
-  * the Verify gate) re-attaches the tables via the on-disk manifests
-  * and never pays the index build.
+  * After this has run once, any later JVM (load mode is the default
+  * since r14; Verify/Bench also self-prime via
+  * IndexStore.primeIfMissing) re-attaches the tables via the on-disk
+  * manifests and never pays the index build.
   */
 object IndexAb {
   private val Queries = Seq("a3_ivf_coarse", "a4_ivf_nprobe", "a9_ivfpq",
@@ -44,19 +45,23 @@ object IndexAb {
       q -> timed(SparkEntry.queries(q)(spark, sfDir).count())._2
     }.toMap
 
-    // ---- build mode, cold caches (the per-session price today) ----
-    sys.props.remove(graft.sources.IndexStore.EnvFlag)
+    // ---- build mode, cold caches (the per-session price the
+    // persisted index eliminates). "0" FORCES building: since r14
+    // load mode is the default, and a getter that loaded a table here
+    // would (a) time the wrong thing and (b) make writeAll overwrite
+    // a table it is reading.
+    sys.props(graft.sources.IndexStore.EnvFlag) = "0"
     clear()
     val buildCold = runAll()
     // ---- persist (artifacts are warm in the session caches now) ----
     val (names, writeSecs) = timed(graft.sources.IndexStore.writeAll(spark, sfDir))
-    // ---- load mode, cold caches: no index build, bucketed reads ----
-    sys.props(graft.sources.IndexStore.EnvFlag) = "1"
+    // ---- load mode (the r14 default), cold caches: no index build,
+    // bucketed reads ----
+    sys.props.remove(graft.sources.IndexStore.EnvFlag)
     clear()
     val loadCold = runAll()
     clear()
     val loadCold2 = runAll() // second pass: steadier read-path numbers
-    sys.props.remove(graft.sources.IndexStore.EnvFlag)
 
     def m(kv: Map[String, Double]) = kv.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

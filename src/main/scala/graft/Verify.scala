@@ -20,6 +20,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // first-touch index priming: write whichever durable bucketed
+    // index artifacts are missing/stale for this corpus, so THIS
+    // session's queries share the freshly built artifacts and every
+    // later session (the other gates, the bench) loads them. Failure
+    // never blocks the gate — getters fall back to building.
+    try {
+      val primed = graft.sources.IndexStore.primeIfMissing(spark, sfDir)
+      if (primed.nonEmpty)
+        System.err.println(s"[verify] primed ${primed.length} index tables")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] index priming failed (building per-session): ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     // dev convenience: GRAFT_VERIFY_ONLY=q1_pricing_summary,ts11_...
     // re-dumps a subset into an existing outDir (oracle json still

@@ -49,12 +49,14 @@ object ClusterCache {
     * persisted. */
   def docLengths(spark: SparkSession, dir: String): DataFrame =
     docLenCache.getOrBuild((System.identityHashCode(spark), dir)) {
-      import org.apache.spark.sql.functions._
-      val dw = docWordTf(spark, dir)
-      val dl = dw.groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("long").as("dl"))
-      val lTot = dl.agg(sum(col("dl")).cast("long").as("l_total"))
-      dl.crossJoin(broadcast(lTot)).persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOr(spark, dir, "doclengths") {
+        import org.apache.spark.sql.functions._
+        val dw = docWordTf(spark, dir)
+        val dl = dw.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast("long").as("dl"))
+        val lTot = dl.agg(sum(col("dl")).cast("long").as("l_total"))
+        dl.crossJoin(broadcast(lTot)).persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
   /** The shared (doc_id, n_sh, shingle-hash) postings table over

@@ -31,23 +31,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * ever pays the index build again — the cache getters load these
   * tables when [[enabled]].
   *
-  * Activation: set GRAFT_INDEX_TABLES=1 (env, or system property for
-  * in-process tests) and run [[graft.IndexAb]] (or call [[writeAll]])
-  * once per corpus. Tables are parameter-stamped (shingle n, minhash
-  * perms/bands ride in the name; coarse-cell k1/k2 re-derive
-  * deterministically from the parquet footer row count) so a stale
-  * table is a different name, never silently wrong data. Storage is
-  * the session warehouse dir (spark-warehouse + embedded metastore by
-  * default; a deployment points spark.sql.warehouse.dir at the object
-  * store). */
+  * Activation: ON BY DEFAULT since r14 — the cache getters auto-load
+  * any artifact whose manifest exists and whose corpus fingerprint
+  * still matches (GRAFT_INDEX_TABLES=0/off forces build mode; "1"
+  * stays accepted and means the same as unset). Bench/Verify prime a
+  * corpus on first touch via [[primeIfMissing]] (write ONLY the
+  * missing artifacts), so the first session pays the build+write once
+  * and every later session loads. Staleness is two-axis: PARAMETER
+  * changes (shingle n, minhash perms/bands; coarse-cell k1/k2
+  * re-derive deterministically from the parquet footer row count)
+  * ride in the table NAME, and corpus CONTENT changes invalidate the
+  * manifest's source fingerprint — either way a stale table is
+  * rebuilt, never silently served. Storage is the session warehouse
+  * dir (spark-warehouse + embedded metastore by default; a deployment
+  * points spark.sql.warehouse.dir at the object store). */
 object IndexStore {
   val EnvFlag = "GRAFT_INDEX_TABLES"
 
-  /** Load-from-tables mode: system property first (tests), env second
-    * (deployments). Write via [[writeAll]] works regardless. */
+  /** Load-from-tables mode: ON unless explicitly disabled
+    * (GRAFT_INDEX_TABLES=0/off/false; system property first — tests —
+    * env second). Writes via [[writeAll]]/[[primeIfMissing]] work
+    * regardless of the flag's value; only loading is gated. */
   def enabled: Boolean =
-    sys.props.get(EnvFlag).orElse(sys.env.get(EnvFlag))
-      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    !sys.props.get(EnvFlag).orElse(sys.env.get(EnvFlag))
+      .exists(v => v == "0" || v.equalsIgnoreCase("off") ||
+        v.equalsIgnoreCase("false"))
 
   def buckets: Int =
     sys.props.get("GRAFT_INDEX_BUCKETS").orElse(sys.env.get("GRAFT_INDEX_BUCKETS"))
@@ -71,6 +79,38 @@ object IndexStore {
   private def manifestPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(location(spark, name), "_graft_index_meta.json")
 
+  /** Corpus-content fingerprint for staleness detection: per source
+    * table every index artifact derives from (documents, embeddings),
+    * the data-file count and total bytes under `<dir>/<table>.parquet`
+    * (file or spark-written directory). A regenerated corpus with
+    * different content virtually never keeps identical compressed
+    * parquet lengths, so the manifest check fails and the artifact is
+    * REBUILT — never silently served stale. mtimes are deliberately
+    * excluded: deterministic regeneration of identical bytes stays
+    * valid (the driver re-materializes testdata per round). */
+  private[graft] def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    def one(table: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, table + ".parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) s"$table:absent"
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val base = f.getPath.getName
+          if (!base.startsWith("_") && !base.startsWith(".")) {
+            n += 1; bytes += f.getLen
+          }
+        }
+        s"$table:$n:$bytes"
+      }
+    }
+    Seq("documents", "embeddings").map(one).mkString(";")
+  }
+
   /** Catalog registration does NOT survive the JVM (the default
     * in-memory catalog; no Hive metastore dependency here), but the
     * bucketed FILES do — each write drops a `_graft_index_meta.json`
@@ -79,7 +119,8 @@ object IndexStore {
     * the table with CREATE TABLE ... CLUSTERED BY ... LOCATION before
     * first use. That is what makes the index durable across sessions,
     * not merely across queries. */
-  private def registerIfNeeded(spark: SparkSession, name: String): Boolean = {
+  private def registerIfNeeded(spark: SparkSession, name: String,
+                               dir: String): Boolean = {
     if (spark.catalog.tableExists(name)) return true
     val mp = manifestPath(spark, name)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -87,11 +128,15 @@ object IndexStore {
     val in = fs.open(mp)
     val manifest =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // manifest layout: first line schema JSON, second "bucketKey,buckets"
-    val Array(schemaJson, spec) = manifest.split("\n", 2)
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+    // manifest layout: line 1 schema JSON, line 2 "bucketKey,buckets",
+    // line 3 corpus fingerprint. A 2-line (pre-r14) manifest carries no
+    // fingerprint and is treated as stale — rebuilt, never trusted.
+    val parts = manifest.split("\n", 3)
+    if (parts.length < 3) return false
+    if (parts(2).trim != corpusFingerprint(spark, dir)) return false
+    val schema = org.apache.spark.sql.types.DataType.fromJson(parts(0))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val cluster = spec.trim match {
+    val cluster = parts(1).trim match {
       case "" => ""
       case s =>
         val Array(k, b) = s.split(",")
@@ -104,11 +149,11 @@ object IndexStore {
   }
 
   def exists(spark: SparkSession, dir: String, artifact: String): Boolean =
-    registerIfNeeded(spark, tableName(dir, artifact))
+    registerIfNeeded(spark, tableName(dir, artifact), dir)
 
   def load(spark: SparkSession, dir: String, artifact: String): DataFrame = {
     val name = tableName(dir, artifact)
-    registerIfNeeded(spark, name)
+    registerIfNeeded(spark, name, dir)
     spark.table(name)
   }
 
@@ -152,42 +197,78 @@ object IndexStore {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mp, true)
     try out.write(
-      (df.schema.json + "\n" + bucketKey.map(k => s"$k,$buckets").getOrElse(""))
+      (df.schema.json + "\n" + bucketKey.map(k => s"$k,$buckets").getOrElse("") +
+        "\n" + corpusFingerprint(spark, dir))
         .getBytes("UTF-8"))
     finally out.close()
     name
   }
 
-  /** Build (via the session caches — one job per artifact, shared
-    * with any queries already run) and persist ALL index artifacts
-    * for `dir`'s corpus. Returns the written table names. */
-  def writeAll(spark: SparkSession, dir: String,
-               n: Int = 3, perms: Int = 16, bands: Int = 4): Seq[String] = {
+  /** The standard artifact set for `dir`'s corpus: (name, builder,
+    * bucket key). Builders go through the session caches — anything
+    * queries already built is shared — and are DEPENDENCY-ORDERED:
+    * later builders consume earlier artifacts through the getters
+    * (doclengths reads docwordtf, pqcodes reads centroids, ...). */
+  private def artifactSet(spark: SparkSession, dir: String,
+                          n: Int, perms: Int, bands: Int)
+      : Seq[(String, () => DataFrame, Option[String])] = {
     import graft.ann.CellIndexCache
     import graft.dedup.ClusterCache
     import org.apache.spark.sql.functions.{col, expr}
-    val k2 = CellIndexCache.embeddings(spark, dir).k2
     Seq(
-      write(CellIndexCache.embeddingsWithCell(spark, dir), dir, "cells",
+      ("cells", () => CellIndexCache.embeddingsWithCell(spark, dir),
         Some("cell")),
-      write(CellIndexCache.centroids(spark, dir)
-          .select(expr(s"c_cell div $k2").as("g_grp"), col("c_cell"), col("c_vec")),
-        dir, "centroids", Some("g_grp")),
-      write(CellIndexCache.groupCentroids(spark, dir), dir, "gcents", None),
-      write(CellIndexCache.pqCodebook(spark, dir), dir, "pqcodebook", None),
-      write(CellIndexCache.pqCodes(spark, dir), dir, "pqcodes", Some("c_cell")),
-      write(CellIndexCache.rawPqCodebook(spark, dir), dir, "rawpqcodebook", None),
-      write(CellIndexCache.rawPqCodes(spark, dir), dir, "rawpqcodes",
-        Some("__vid")),
-      write(CellIndexCache.scaledPairs(spark, dir), dir, "pairs", Some("id_a")),
-      write(ClusterCache.postings(spark, dir, n), dir, s"postings_n$n",
+      ("centroids", () => {
+        val k2 = CellIndexCache.embeddings(spark, dir).k2
+        CellIndexCache.centroids(spark, dir)
+          .select(expr(s"c_cell div $k2").as("g_grp"), col("c_cell"), col("c_vec"))
+      }, Some("g_grp")),
+      ("gcents", () => CellIndexCache.groupCentroids(spark, dir), None),
+      ("pqcodebook", () => CellIndexCache.pqCodebook(spark, dir), None),
+      ("pqcodes", () => CellIndexCache.pqCodes(spark, dir), Some("c_cell")),
+      ("rawpqcodebook", () => CellIndexCache.rawPqCodebook(spark, dir), None),
+      ("rawpqcodes", () => CellIndexCache.rawPqCodes(spark, dir), Some("__vid")),
+      ("pairs", () => CellIndexCache.scaledPairs(spark, dir), Some("id_a")),
+      (s"postings_n$n", () => ClusterCache.postings(spark, dir, n),
         Some("shingle")),
-      write(ClusterCache.shingleDf(spark, dir, n), dir, s"shingledf_n$n",
+      (s"shingledf_n$n", () => ClusterCache.shingleDf(spark, dir, n),
         Some("shingle")),
-      write(ClusterCache.minhashPairs(spark, dir, n, perms, bands), dir,
-        s"minhash_n${n}_p${perms}_b$bands", Some("id_a")),
-      write(ClusterCache.documents(spark, dir, n, perms, bands), dir,
-        s"clusters_n${n}_p${perms}_b$bands", Some("doc_id")),
-      write(ClusterCache.docWordTf(spark, dir), dir, "docwordtf", Some("w")))
+      (s"minhash_n${n}_p${perms}_b$bands",
+        () => ClusterCache.minhashPairs(spark, dir, n, perms, bands),
+        Some("id_a")),
+      (s"clusters_n${n}_p${perms}_b$bands",
+        () => ClusterCache.documents(spark, dir, n, perms, bands),
+        Some("doc_id")),
+      ("docwordtf", () => ClusterCache.docWordTf(spark, dir), Some("w")),
+      ("doclengths", () => ClusterCache.docLengths(spark, dir),
+        Some("doc_id")))
   }
+
+  /** Build and persist ALL index artifacts for `dir`'s corpus,
+    * OVERWRITING any present (the measurement/rewrite entry point —
+    * IndexAb, IndexStoreSpec). Callers must be in build mode with
+    * fresh caches (GRAFT_INDEX_TABLES=0 or no valid tables on disk):
+    * a getter that already LOADED artifact X would make this overwrite
+    * the very table it reads. First-touch production priming is
+    * [[primeIfMissing]], which skips present artifacts and has no such
+    * hazard. Returns the written table names. */
+  def writeAll(spark: SparkSession, dir: String,
+               n: Int = 3, perms: Int = 16, bands: Int = 4): Seq[String] =
+    artifactSet(spark, dir, n, perms, bands)
+      .map { case (a, build, key) => write(build(), dir, a, key) }
+
+  /** First-touch priming (the Bench/Verify session-start hook): write
+    * ONLY the artifacts whose durable table is missing or stale —
+    * present ones are skipped (their getters may already be serving
+    * the loaded table, which is also why overwriting them from here
+    * would be a read-from-self). Builders run through the session
+    * caches, so a primed session's queries reuse the freshly built
+    * (persisted) artifacts and the NEXT session loads everything.
+    * No-op in build mode. Returns the written table names. */
+  def primeIfMissing(spark: SparkSession, dir: String,
+                     n: Int = 3, perms: Int = 16, bands: Int = 4): Seq[String] =
+    if (!enabled) Nil
+    else artifactSet(spark, dir, n, perms, bands)
+      .filterNot { case (a, _, _) => exists(spark, dir, a) }
+      .map { case (a, build, key) => write(build(), dir, a, key) }
 }

@@ -21,7 +21,9 @@ class IndexStoreSpec extends SparkSpec {
   private def freshCaches(): Unit = { CellIndexCache.clear(); ClusterCache.clear() }
 
   test("loaded == built, queries transfer, probes bucket-prune") {
-    sys.props.remove(IndexStore.EnvFlag)
+    // "0" forces BUILD mode (load is the default since r14) so the
+    // reference values below are genuinely session-built
+    sys.props(IndexStore.EnvFlag) = "0"
     freshCaches()
 
     // ---- built (session) artifacts + reference query outputs ----
@@ -49,8 +51,9 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 13 && names.forall(spark.catalog.tableExists))
-    sys.props(IndexStore.EnvFlag) = "1"
+    assert(names.length == 14 && names.forall(spark.catalog.tableExists))
+    // flag REMOVED = the r14 default: auto-load, no env needed
+    sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
     try {
       // the cache getters now return the persisted tables
@@ -116,6 +119,68 @@ class IndexStoreSpec extends SparkSpec {
       sys.props.remove(IndexStore.EnvFlag)
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       freshCaches()
+    }
+  }
+
+  test("primeIfMissing writes only missing; stale corpus fingerprint forces rebuild") {
+    import java.nio.file.{Files, Paths}
+    sys.props.remove(IndexStore.EnvFlag) // the r14 default: auto-load
+    freshCaches()
+    // private corpus: spark-written DIRECTORY form (the generated-sf
+    // shape), so a content change can be a new part file — real extra
+    // rows, still-valid parquet
+    val tmp = Files.createTempDirectory("gstale_corpus").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.parquet(s"$tmp/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    var primed: Seq[String] = Nil
+    try {
+      primed = IndexStore.primeIfMissing(spark, tmp)
+      assert(primed.length == 14, s"expected all 14 written, got $primed")
+      // everything present + valid -> second prime writes NOTHING
+      assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
+      assert(IndexStore.exists(spark, tmp, "docwordtf"))
+      // parameter changes ride in the table NAME
+      assert(IndexStore.tableName(tmp, "postings_n3")
+        != IndexStore.tableName(tmp, "postings_n4"))
+      // corpus-content change: duplicate a part file (count+bytes move)
+      val fp1 = IndexStore.corpusFingerprint(spark, tmp)
+      val part = new java.io.File(s"$tmp/documents.parquet").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      Files.copy(part.toPath,
+        Paths.get(s"$tmp/documents.parquet/part-r14-extra.parquet"))
+      assert(IndexStore.corpusFingerprint(spark, tmp) != fp1)
+      // fresh-JVM simulation: catalog entries gone, only files remain
+      primed.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      freshCaches()
+      // the stale manifest must NOT re-register ...
+      assert(!IndexStore.exists(spark, tmp, "docwordtf"))
+      // ... and the getter must REBUILD from the corpus, never serve
+      // the stale table
+      val plan = graft.dedup.ClusterCache.docWordTf(spark, tmp)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_idx"), "getter served a stale index table")
+      // a legacy 2-line (pre-fingerprint) manifest is stale by definition
+      val whDir = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      val mf = Paths.get(whDir, IndexStore.tableName(tmp, "docwordtf"),
+        "_graft_index_meta.json")
+      val lines = new String(Files.readAllBytes(mf), "UTF-8").split("\n", 3)
+      Files.write(mf, (lines(0) + "\n" + lines(1)).getBytes("UTF-8"))
+      // the nio write bypasses Hadoop's LocalFileSystem checksum — drop
+      // the stale .crc sidecar so the manifest read sees the new bytes
+      Files.deleteIfExists(mf.resolveSibling("." + mf.getFileName + ".crc"))
+      assert(!IndexStore.exists(spark, tmp, "docwordtf"))
+    } finally {
+      primed.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      freshCaches()
+      val whDir = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      primed.foreach { n =>
+        scala.reflect.io.Directory(new java.io.File(whDir, n)).deleteRecursively()
+      }
+      scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
 }
