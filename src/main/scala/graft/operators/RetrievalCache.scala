@@ -26,6 +26,12 @@ object RetrievalCache {
   val QueryDocs: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
   private val K = 20
 
+  /** Parameter stamp for the durable candidate tables (IndexStore
+    * write-through): query-doc set + k ride in the NAME, so a changed
+    * configuration is a different table, never silently wrong data —
+    * the same rule as the index artifacts. */
+  private val qk = s"q${QueryDocs.mkString("_")}_k$K"
+
   private val legsCache = SessionCache.forDfPair[(Int, String)]
   private val scoredCache =
     SessionCache.forDf[(Int, String, Seq[(Long, String)])]
@@ -40,33 +46,46 @@ object RetrievalCache {
   def benchScored(spark: SparkSession, dir: String,
                   probes: Seq[(Long, String)]): DataFrame =
     scoredCache.getOrBuild((System.identityHashCode(spark), dir, probes)) {
-      import spark.implicits._
-      Retrieval.bm25Scored(
-          graft.dedup.ClusterCache.docWordTf(spark, dir),
-          Tables.documents(spark, dir), "doc_id",
-          probes.toDF("query_id", "term"),
-          Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // probe-set stamp: the probes ARE the table's identity
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(probes.map { case (q, t) => s"$q:$t" }.mkString("|")
+          .getBytes("UTF-8"))
+        .take(5).map(b => f"$b%02x").mkString
+      graft.sources.IndexStore.loadOrWrite(spark, dir, s"bscored_$h", None) {
+        import spark.implicits._
+        Retrieval.bm25Scored(
+            graft.dedup.ClusterCache.docWordTf(spark, dir),
+            Tables.documents(spark, dir), "doc_id",
+            probes.toDF("query_id", "term"),
+            Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
   /** (lexical, vector) top-K candidate tables, both
     * (query_id, doc_id, rank [, score_q6]). */
   def hybridLegs(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     legsCache.getOrBuild((System.identityHashCode(spark), dir)) {
-      val dw = graft.dedup.ClusterCache.docWordTf(spark, dir)
-      val docs = Tables.documents(spark, dir)
-      val queries = dw.filter(col("doc_id").isin(QueryDocs: _*))
-        .select(col("doc_id").as("query_id"), col("w").as("term"))
-      val lex = Retrieval.bm25TopK(
-          Retrieval.bm25Scored(dw, docs, "doc_id", queries,
-              Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
-            .filter(col("doc_id") =!= col("query_id")),
-          "doc_id", K)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val vec = graft.ann.Ann.knnBrute(
-          Tables.embeddings(spark, dir), "vec_id", "embedding", QueryDocs, K)
-        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val lex = graft.sources.IndexStore.loadOrWrite(
+          spark, dir, s"hlex_$qk", None) {
+        val dw = graft.dedup.ClusterCache.docWordTf(spark, dir)
+        val queries = dw.filter(col("doc_id").isin(QueryDocs: _*))
+          .select(col("doc_id").as("query_id"), col("w").as("term"))
+        Retrieval.bm25TopK(
+            Retrieval.bm25Scored(dw, Tables.documents(spark, dir), "doc_id",
+                queries,
+                Some(graft.dedup.ClusterCache.docLengths(spark, dir)))
+              .filter(col("doc_id") =!= col("query_id")),
+            "doc_id", K)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val vec = graft.sources.IndexStore.loadOrWrite(
+          spark, dir, s"hvec_$qk", None) {
+        graft.ann.Ann.knnBrute(
+            Tables.embeddings(spark, dir), "vec_id", "embedding", QueryDocs, K)
+          .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       (lex, vec)
     }
 
@@ -79,9 +98,11 @@ object RetrievalCache {
     * it against the shared lexical leg. Bounded at queries × 20 rows. */
   def ivfLeg(spark: SparkSession, dir: String): DataFrame =
     ivfLegCache.getOrBuild((System.identityHashCode(spark), dir)) {
-      graft.ann.CellIndexCache.probeTopk(spark, dir, QueryDocs, K)
-        .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      graft.sources.IndexStore.loadOrWrite(spark, dir, s"hivf_$qk", None) {
+        graft.ann.CellIndexCache.probeTopk(spark, dir, QueryDocs, K)
+          .select(col("query_id"), col("nn_id").as("doc_id"), col("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
   /** Unpersist and forget every cached candidate table (test hygiene). */

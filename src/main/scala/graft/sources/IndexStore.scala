@@ -167,6 +167,27 @@ object IndexStore {
     if (enabled && exists(spark, dir, artifact)) load(spark, dir, artifact)
     else build
 
+  /** [[loadOr]] plus WRITE-THROUGH on a miss — the self-priming hook
+    * for the parameter-stamped candidate tables (RetrievalCache) that
+    * [[primeIfMissing]] can't enumerate (their names carry the probe
+    * set). Safe against read-from-self by construction: the write only
+    * happens when the artifact was MISSING, so the just-built df can't
+    * be backed by the table it writes. A failed write degrades to
+    * session-cached (stderr note), never fails the query. */
+  def loadOrWrite(spark: SparkSession, dir: String, artifact: String,
+                  bucketKey: Option[String])(build: => DataFrame): DataFrame =
+    if (enabled && exists(spark, dir, artifact)) load(spark, dir, artifact)
+    else {
+      val df = build
+      if (enabled) {
+        try { write(df, dir, artifact, bucketKey); () }
+        catch { case e: Throwable => System.err.println(
+          s"[indexstore] write-through of $artifact failed (session-cached only): ${e.getMessage}")
+        }
+      }
+      df
+    }
+
   private[graft] def write(df: DataFrame, dir: String, artifact: String,
                            bucketKey: Option[String]): String = {
     val name = tableName(dir, artifact)
