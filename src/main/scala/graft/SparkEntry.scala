@@ -573,6 +573,19 @@ object SparkEntry {
         graft.dedup.ClusterCache.documents(s, d),
         Tables.documents(s, d), "doc_id", "source")),
 
+    // dedup index health card (NEW r14): measured recall of the d2
+    // MinHash banding vs the d4 exact-Jaccard truth per similarity
+    // band (the LSH s-curve, observed) + the candidate-precision row —
+    // the a12/a14 recall-eval pattern for the text-dedup index; pure
+    // consumer of the two SHARED pair tables
+    "d11_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallBands(
+        graft.dedup.ClusterCache.minhashPairs(s, d),
+        Dedup.ngramJaccardPairsFrom(
+          graft.dedup.ClusterCache.postings(s, d, 3), 0.12,
+          dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
+          statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3))))),
+
     // ---- P. composed end-to-end pipeline ---------------------------------
     // the whole-corpus curation chain (exact dedup -> near-dup
     // survivorship -> quality+blocklist -> decontamination -> mixture
@@ -863,6 +876,15 @@ object SparkEntry {
     "x24_source_divergence" -> ((s, d) =>
       graft.operators.Pipeline.sourceDivergence(
         Tables.documents(s, d), "doc_id", "text", "source")),
+
+    // DSIR importance weights (NEW r14, Xie et al. 2023): per-source
+    // target-vs-raw hashed-ngram LM bit gap + selection counts, target
+    // = English docs; both LMs bucket-bounded (4096) whatever the
+    // corpus vocabulary — DSIR's own scaling trick
+    "x25_dsir_weights" -> ((s, d) =>
+      graft.operators.Pipeline.dsirWeights(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        col("lang") === "en")),
 
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =
@@ -1999,6 +2021,43 @@ object SparkEntry {
           |FROM agg a JOIN nd USING (source)
           |ORDER BY a.source""".stripMargin,
 
+      // DSIR: hashed uni+bi-gram features (md5-60bit mod 4096), both
+      // LMs from one feature aggregate, add-one bit rarity, selection
+      // by integer cross-multiplication vs the corpus-average gap
+      "x25_dsir_weights" ->
+        """WITH u AS (SELECT doc_id, source, lang = 'en' AS t,
+          |    unnest(string_split(text, ' ')) AS f FROM documents),
+          |bg0 AS (SELECT doc_id, source, lang = 'en' AS t,
+          |    string_split(text, ' ') AS w FROM documents),
+          |bg AS (SELECT doc_id, source, t,
+          |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS f
+          |  FROM bg0 WHERE len(w) >= 2),
+          |fe AS (SELECT doc_id, source, t,
+          |    (('0x' || substr(md5(f), 1, 15))::BIGINT) % 4096 AS b,
+          |    count(*) AS tf
+          |  FROM (SELECT * FROM u UNION ALL SELECT * FROM bg)
+          |  GROUP BY 1, 2, 3, 4),
+          |lm AS (SELECT b, CAST(sum(tf) AS BIGINT) AS raw_cnt,
+          |    CAST(sum(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS tgt_cnt
+          |  FROM fe GROUP BY 1),
+          |pd AS (SELECT fe.doc_id, fe.source,
+          |    CAST(sum(fe.tf) AS BIGINT) AS F,
+          |    CAST(sum(fe.tf * length(bin(lm.tgt_cnt + 1))) AS BIGINT) AS St,
+          |    CAST(sum(fe.tf * length(bin(lm.raw_cnt + 1))) AS BIGINT) AS Sr
+          |  FROM fe JOIN lm USING (b) GROUP BY 1, 2),
+          |tot AS (SELECT CAST(sum(F) AS BIGINT) AS G,
+          |    CAST(sum(St) AS BIGINT) AS Ct, CAST(sum(Sr) AS BIGINT) AS Cr
+          |  FROM pd)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(F) AS BIGINT) AS n_feats,
+          |  CAST(sum(St - Sr) AS BIGINT) AS gap_bits,
+          |  CAST(sum(CASE WHEN (St - Sr) * G > (Ct - Cr) * F THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_selected,
+          |  min(CASE WHEN (St - Sr) * G > (Ct - Cr) * F THEN doc_id END)
+          |    AS first_sel,
+          |  round(CAST(sum(St - Sr) AS DOUBLE) / sum(F), 6) AS avg_gap_bits
+          |FROM pd CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin,
+
       "x17_tfidf_terms" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
           |  FROM documents),
@@ -2535,6 +2594,45 @@ object SparkEntry {
            |FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id
            |  AND a.source < b.source
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // LSH recall bands: d2's banding CTE (cand) scored against d4's
+      // exact-Jaccard truth (tr), per 6-dp-rounded similarity band;
+      // j_band = -1 is the candidate-precision row
+      "d11_lsh_recall" ->
+        s"""WITH $minhashCtes,
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band = b.band
+           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |w2 AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+           |sh2 AS (SELECT doc_id, list_distinct(
+           |    CASE WHEN len(words) < 3 THEN [text]
+           |         ELSE [array_to_string(words[i:i+2], ' ')
+           |               for i in range(1, len(words) - 1)] END) AS shingles
+           |  FROM w2),
+           |e2 AS (SELECT doc_id, len(shingles) AS n_sh,
+           |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh2),
+           |tr AS (SELECT id_a, id_b, jaccard FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+           |      round(count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)), 6) AS jaccard
+           |    FROM e2 a JOIN e2 b USING (shingle)
+           |    WHERE a.doc_id < b.doc_id
+           |      AND least(a.n_sh, b.n_sh) >= 0.12 * greatest(a.n_sh, b.n_sh)
+           |    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh)
+           |  WHERE jaccard >= 0.12),
+           |bnd AS (SELECT CASE WHEN jaccard < 0.25 THEN 0
+           |    WHEN jaccard < 0.5 THEN 1 WHEN jaccard < 0.75 THEN 2
+           |    ELSE 3 END AS j_band,
+           |    count(*) AS n_truth,
+           |    CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM tr LEFT JOIN cand c ON tr.id_a = c.id_a AND tr.id_b = c.id_b
+           |  GROUP BY 1),
+           |prec AS (SELECT -1 AS j_band, count(*) AS n_truth,
+           |    CAST(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           |  FROM cand c LEFT JOIN tr t ON c.id_a = t.id_a AND c.id_b = t.id_b)
+           |SELECT j_band, n_truth, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall
+           |FROM (SELECT * FROM bnd UNION ALL SELECT * FROM prec)
+           |ORDER BY j_band""".stripMargin,
 
       // the composed curation pipeline: the full chain replayed —
       // exact-dedup canon, CC survivors (ccCtes), x2 quality + x13

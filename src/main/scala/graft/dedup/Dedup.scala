@@ -724,4 +724,48 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** d11: the DEDUP index health card — measured recall of the
+    * MinHash banding's candidate pairs against the EXACT n-gram
+    * Jaccard truth, per similarity band, plus the candidate-precision
+    * row — the a12/a14 recall-eval pattern applied to the text-dedup
+    * index (Broder 1997's estimator under Indyk–Motwani banding: the
+    * expected candidate probability is the s-curve 1 − (1 − s^r)^b,
+    * so recall must RISE with the Jaccard band; the measured table is
+    * that curve, and a flat or inverted curve means the banding is
+    * misconfigured for the corpus).
+    *
+    * Rows: one per truth band (j_band 0..3 over the 6-dp-rounded
+    * jaccard — identical IEEE double both engines, d4's discipline —
+    * edges 0.25/0.5/0.75) with n_truth / n_hit / recall, plus the
+    * j_band = -1 row where the columns read (n_cand, n_true_cand,
+    * precision): the banding's total candidate volume and how much of
+    * it survives exact verification. Engine-exact throughout (counts
+    * + one rounded ratio).
+    *
+    * Scale shape: pure consumer of two SHARED artifacts (the cached /
+    * persisted minhash candidate table and the exact pair table) —
+    * two bounded equi-joins on (id_a, id_b), band-sized output. */
+  def lshRecallBands(cand: DataFrame, truth: DataFrame): DataFrame = {
+    val c = cand.select(col("id_a"), col("id_b"))
+    val t = truth.select(col("id_a"), col("id_b"), col("jaccard"))
+    val bandC = when(col("jaccard") < 0.25, 0)
+      .when(col("jaccard") < 0.5, 1)
+      .when(col("jaccard") < 0.75, 2).otherwise(3)
+    val perBand = t
+      .join(c.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(bandC.as("j_band"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    val precisionRow = c
+      .join(t.select(col("id_a"), col("id_b"), lit(1L).as("__true")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__true"), lit(0L))).as("n_hit"))
+      .select(lit(-1).as("j_band"), col("n_truth"), col("n_hit"))
+    perBand.unionByName(precisionRow)
+      .withColumn("recall",
+        round(col("n_hit") / col("n_truth").cast("double"), 6))
+      .orderBy("j_band")
+  }
 }

@@ -425,6 +425,90 @@ object Pipeline {
       .orderBy(asc_nulls_last(source))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling" — the pretraining data-selection pass
+    * that upsamples raw documents resembling a curated TARGET): per
+    * document, the integer-bits gap between its rarity under the
+    * target hashed-ngram LM and under the raw (whole-corpus) LM,
+    * reported per source. DSIR's own scaling trick is kept: features
+    * (word unigrams + bigrams) hash into `buckets` fixed buckets, so
+    * BOTH language models are `buckets`-bounded tables whatever the
+    * corpus vocabulary — broadcastable at any scale.
+    *
+    * Quantization (the x11/x23 discipline, everything cross-engine
+    * exact until the final rounded ratio):
+    *
+    *   St(d) = Σ_f tf_f · bits(tgt_b(f) + 1)   (rarity, target code)
+    *   Sr(d) = Σ_f tf_f · bits(raw_b(f) + 1)   (rarity, raw code)
+    *   dsir_gap(d) = (St − Sr) / F(d)          (HIGHER = target-like:
+    *       a feature common in the target has a large tgt count, so
+    *       bits(tgt+1) approaches bits(raw+1) and the gap approaches
+    *       0 from below; a target-foreign feature contributes
+    *       1 − bits(raw+1), deeply negative)
+    *
+    * A document is SELECTED when its gap beats the corpus-average gap
+    * by integer cross-multiplication (the x21 trick — no float
+    * compare): (St − Sr) · G > (Ct − Cr) · F, with (Ct, Cr, G) the
+    * corpus sums. The LM normalizers (feature totals) shift every
+    * document's gap by the same per-feature constant, so they cancel
+    * OUT of the average-relative selection rule — which is why the
+    * unnormalized bit sums suffice. Discrimination regime (inherent
+    * to add-one hashed LMs, DSIR's own smoothing): the signal lives
+    * in COMMON-mass features (a raw-common, target-absent feature
+    * costs bits(raw+1) − 1 per occurrence); per-document hapax junk
+    * is smoothing-dominated (bits 2 vs 1) and barely penalized —
+    * spec-pinned on a planted three-source corpus. int64 headroom: per-doc sums ≤ tokens·bits(corpus),
+    * the cross products ≤ corpus_bits_gap · doc_tokens — renormalize
+    * to per-million-feature units before the product at the
+    * 10¹²⁺-token scale where they'd approach 2⁶³ (documented, not
+    * triggered at any tested scale).
+    *
+    * Shape: one scan → exploded uni+bi features hashed to int64
+    * buckets (the postings exchange family, narrow keys); per-doc
+    * (id, bucket) tf aggregate; BOTH LMs derive from that SAME
+    * aggregate (bucket-bounded — raw from everything, target from the
+    * target-flagged rows); one broadcast join back (buckets rows);
+    * per-doc then per-source aggregation. No window, no collect. */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  source: String, targetPred: Column,
+                  buckets: Int = 4096): DataFrame = {
+    val f = explode(Text.words(col(text))).as("f")
+    val f2 = explode(Text.bigrams(col(text))).as("f")
+    val feats = docs.select(col(id), col(source), targetPred.as("__t"), f)
+      .unionByName(docs.select(col(id), col(source), targetPred.as("__t"), f2))
+      .select(col(id), col(source), col("__t"),
+        pmod(Text.md5Prefix60(col("f")), lit(buckets.toLong)).as("b"))
+      .groupBy(col(id), col(source), col("__t"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // both LMs derive from this same aggregate
+    val lm = feats.groupBy(col("b")).agg(
+      sum(col("tf")).as("raw_cnt"),
+      sum(when(col("__t"), col("tf")).otherwise(0L)).as("tgt_cnt"))
+    val perDoc = feats
+      .join(broadcast(lm), Seq("b"))
+      .groupBy(col(id), col(source)).agg(
+        sum(col("tf")).as("__F"),
+        sum(col("tf") * length(bin(col("tgt_cnt") + 1))).as("__St"),
+        sum(col("tf") * length(bin(col("raw_cnt") + 1))).as("__Sr"))
+    val tot = perDoc.agg(
+      sum(col("__F")).as("__G"),
+      sum(col("__St")).as("__Ct"),
+      sum(col("__Sr")).as("__Cr"))
+    perDoc.crossJoin(broadcast(tot))
+      .groupBy(col(source)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__F")).as("n_feats"),
+        sum(col("__St") - col("__Sr")).as("gap_bits"),
+        sum(when((col("__St") - col("__Sr")) * col("__G") >
+          (col("__Ct") - col("__Cr")) * col("__F"), 1L).otherwise(0L))
+          .as("n_selected"),
+        min(when((col("__St") - col("__Sr")) * col("__G") >
+          (col("__Ct") - col("__Cr")) * col("__F"), col(id))).as("first_sel"))
+      .withColumn("avg_gap_bits",
+        round(col("gap_bits") / col("n_feats").cast("double"), 6))
+      .orderBy(source)
+  }
+
   /** Integer-quantized TF-IDF top terms per document — the keyword /
     * salient-term extraction pass (topical indexing, dedup explainers,
     * domain tagging). IDF is the x11 bit-length quantization applied to
