@@ -428,6 +428,20 @@ object SparkEntry {
           ts(T1), ts(T2))
         .orderBy("user_id")),
 
+    // seasonal-naive anomaly profile (NEW r14): per (series,
+    // hour-of-day) decimal-exact baseline + ≥3σ recount — ts19's
+    // z-score machinery applied per seasonal slot; the slot table is
+    // ≤ series×24 rows and broadcasts back onto the scan
+    "ts31_seasonal_anomaly" -> ((s, d) =>
+      TimeSeries.seasonalAnomalies(ev(s, d), "event_type", "ts", "value", 3.0)),
+
+    // CUSUM drift ranking (NEW r14): per-user max drawup of the
+    // centered cumulative sum (Page's change-detection statistic as a
+    // ranking), integer micro-units after the decimal-exact mean; the
+    // top-k never leaves TakeOrdered
+    "ts32_cusum_drift" -> ((s, d) =>
+      TimeSeries.cusumDrift(ev(s, d), "user_id", "ts", "event_id", "value", 20)),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -481,6 +495,13 @@ object SparkEntry {
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("canonical_id")),
+
+    // token-weighted duplication inflation per source (NEW r14): how
+    // much of each source's token mass is exact copies — d1's hash
+    // exchange with the text reduced to (hash, token count), closed by
+    // a source-sized aggregate
+    "d12_dup_inflation" -> ((s, d) =>
+      Dedup.dupInflation(Tables.documents(s, d), "doc_id", "text", "source")),
 
     // candidate pair table built ONCE per (session, dir) and shared
     // with d6/d7's clustering (ClusterCache.minhashPairs)
@@ -658,6 +679,24 @@ object SparkEntry {
           Seq(0L, 1L, 2L, 3L, 4L), 10)
         .select(col("query_id"), col("nn_id")),
       ivfPqTopk(s, d).select(col("query_id"), col("nn_id")))),
+
+    // SQ8 recall evaluation (NEW r14): the cheap compression tier
+    // below PQ — per-dimension 8-bit scalar quantization (4×
+    // compression, no codebook), asymmetric full-precision-query
+    // scoring, recall@10 vs the same brute truth. Completes the
+    // compression column of the index health card: a12 (coarse probe),
+    // a14 (PQ), a15 (SQ8). The quantizer's (min, max) training scan is
+    // ONE session-cached aggregate (CellIndexCache.sq8Stats).
+    "a15_sq8_recall" -> ((s, d) => {
+      val (mins, maxs) = graft.ann.CellIndexCache.sq8Stats(s, d)
+      recallEval(
+        Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
+            Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .select(col("query_id"), col("nn_id")),
+        Ann.sq8Topk(Tables.embeddings(s, d), "vec_id", "embedding",
+            Seq(0L, 1L, 2L, 3L, 4L), 10, mins, maxs)
+          .select(col("query_id"), col("nn_id")))
+    }),
 
     // exact cosine RANGE search (radius query): one corpus pass for
     // the whole broadcast query set, per-row norms precomputed
@@ -893,6 +932,15 @@ object SparkEntry {
       graft.operators.Pipeline.tfidfTopTermsFrom(
         graft.dedup.ClusterCache.docWordTf(s, d),
         Tables.documents(s, d), "doc_id", 3)),
+
+    // Zipf-law fit of the term-frequency distribution (NEW r14): the
+    // corpus-card power-law statistic — least-squares slope/intercept
+    // of log-freq vs log-rank over the top 1000 terms off the SHARED
+    // (doc, term, tf) table; ln values floor-quantized to micro-units
+    // BEFORE the exact int64 moment sums (the x20/x23 discipline)
+    "x26_zipf_fit" -> ((s, d) =>
+      graft.operators.Pipeline.zipfFit(
+        graft.dedup.ClusterCache.docWordTf(s, d), 1000)),
 
     // dataset card: per-(source x lang) composition summary at every
     // CUBE granularity in one shuffle (grouping sets partial-aggregate
@@ -1886,6 +1934,53 @@ object SparkEntry {
            |        / CAST(sum(w) AS BIGINT), 6) AS twa
            |FROM wt GROUP BY 1 ORDER BY user_id""".stripMargin,
 
+      // ts19's decimal-exact mean/E[x²] applied per (series,
+      // hour-of-day) seasonal slot; the z-guard and the 6-dp rounding
+      // mirror the Spark expressions operand for operand
+      "ts31_seasonal_anomaly" ->
+        """WITH sl AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value
+          |  FROM events),
+          |st AS (SELECT event_type, hod,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+          |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ex2
+          |  FROM sl GROUP BY 1, 2)
+          |SELECT sl.event_type, sl.hod, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN sqrt(st.ex2 - st.mean * st.mean) > 0
+          |    AND abs(round((sl.value - st.mean)
+          |      / sqrt(st.ex2 - st.mean * st.mean), 6)) >= 3.0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+          |  round(min(st.mean), 6) AS mean_r,
+          |  round(min(sqrt(st.ex2 - st.mean * st.mean)), 6) AS std_r,
+          |  round(CAST(sum(CASE WHEN sqrt(st.ex2 - st.mean * st.mean) > 0
+          |    AND abs(round((sl.value - st.mean)
+          |      / sqrt(st.ex2 - st.mean * st.mean), 6)) >= 3.0
+          |    THEN 1 ELSE 0 END) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS anom_rate
+          |FROM sl JOIN st USING (event_type, hod)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // integer micro-unit deviations BEFORE the running sums, so the
+      // cumulative path / prefix-min / drawup are exact int64 on both
+      // engines; top-20 by (drift DESC, user_id) is a total order
+      "ts32_cusum_drift" ->
+        """WITH m AS (SELECT user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+          |  FROM events GROUP BY 1),
+          |c AS (SELECT e.user_id, e.ts, e.event_id,
+          |    CAST(floor((e.value - m.mean) * 1000000.0) AS BIGINT) AS devq
+          |  FROM events e JOIN m USING (user_id)),
+          |r AS (SELECT user_id, ts, event_id,
+          |    CAST(sum(devq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM c),
+          |r2 AS (SELECT user_id, cum,
+          |    CAST(min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmin
+          |  FROM r)
+          |SELECT user_id, count(*) AS n_events,
+          |  round(CAST(max(cum - runmin) AS BIGINT) / 1000000.0, 6) AS drift
+          |FROM r2 GROUP BY 1
+          |ORDER BY drift DESC, user_id LIMIT 20""".stripMargin,
+
       // sharded contiguous packing: same md5 shard + cumsum-before math
       "x7_pack_sequences" ->
         """WITH t AS (SELECT doc_id,
@@ -2071,6 +2166,43 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY score DESC, w) AS rank FROM s)
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      // ln values floor-quantized to micro-units before the (exact
+      // int64) moment sums; the closing slope/intercept doubles use
+      // the same operand order as the Spark columns
+      "x26_zipf_fit" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          |  FROM documents),
+          |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          |    CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tc),
+          |top AS (SELECT w, cnt FROM tc ORDER BY cnt DESC, w LIMIT 1000),
+          |q AS (SELECT rank, cnt,
+          |    CAST(floor(ln(rank) * 1000000.0) AS BIGINT) AS xq,
+          |    CAST(floor(ln(cnt) * 1000000.0) AS BIGINT) AS yq
+          |  FROM (SELECT cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM top)),
+          |f AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+          |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+          |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+          |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+          |    CAST(max(CASE WHEN rank = 1 THEN cnt END) AS BIGINT) AS top1
+          |  FROM q)
+          |SELECT tot.n_terms, f.n_top,
+          |  round((CAST(f.n_top AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+          |        - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+          |      / (CAST(f.n_top AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+          |        - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)), 6) AS zipf_slope,
+          |  round((CAST(f.sy AS DOUBLE)
+          |      - (CAST(f.n_top AS DOUBLE) * CAST(f.sxy AS DOUBLE)
+          |        - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE))
+          |      / (CAST(f.n_top AS DOUBLE) * CAST(f.sxx AS DOUBLE)
+          |        - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE))
+          |      * CAST(f.sx AS DOUBLE))
+          |      / CAST(f.n_top AS DOUBLE) / 1000000.0, 6) AS zipf_intercept,
+          |  round(CAST(f.top1 AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE), 6)
+          |    AS top1_share
+          |FROM f, tot""".stripMargin,
 
       // CUBE with the q23 null-group convention (grp bit: source high)
       "x18_corpus_card" ->
@@ -2502,6 +2634,27 @@ object SparkEntry {
           |  string_agg(CASE WHEN rn <= 100 THEN CAST(doc_id AS VARCHAR) END,
           |             ',' ORDER BY doc_id) AS doc_ids
           |FROM r GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+      // d1's window-min canonical over the md5 partition; all-integer
+      // token sums; the all-duplicate guard mirrors the Spark `when`
+      "d12_dup_inflation" ->
+        """WITH b AS (SELECT doc_id, source, md5(text) AS fp,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          |  FROM documents),
+          |c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM b)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN doc_id <> canonical THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup_docs,
+          |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+          |  CAST(sum(CASE WHEN doc_id <> canonical THEN toks ELSE 0 END) AS BIGINT)
+          |    AS tokens_dup,
+          |  CASE WHEN CAST(sum(toks) AS BIGINT)
+          |      > CAST(sum(CASE WHEN doc_id <> canonical THEN toks ELSE 0 END) AS BIGINT)
+          |    THEN round(CAST(sum(toks) AS DOUBLE)
+          |      / CAST(sum(toks) - sum(CASE WHEN doc_id <> canonical THEN toks ELSE 0 END)
+          |             AS DOUBLE), 6)
+          |  END AS inflation
+          |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
       "d2_minhash_lsh" ->
         s"""WITH $minhashCtes
@@ -3019,6 +3172,35 @@ object SparkEntry {
       "a14_ivfpq_recall" ->
         s"""WITH $a9ProbeCtes,
           |approx AS (${a9TopkSelect()}),
+          |$bruteTruthCte
+          |$recallSelect""".stripMargin,
+
+      // SQ8: per-dim exact min/max (order-free), codes/dequant as the
+      // same elementwise double formula the Spark zip_withs run
+      // (floor(+0.5) clamp [0,255], deq = min + code·step), scored by
+      // the shared cosine-rounding; dims hardcoded 64 like a8's slices
+      "a15_sq8_recall" ->
+        s"""WITH st AS (SELECT i, min(e) AS mn, max(e) AS mx FROM (
+          |    SELECT unnest(CAST(embedding AS DOUBLE[])) AS e,
+          |           unnest(range(1, len(embedding) + 1)) AS i
+          |    FROM embeddings) GROUP BY i),
+          |qa AS (SELECT list(mn ORDER BY i) AS mins,
+          |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+          |         ORDER BY i) AS steps
+          |  FROM st),
+          |dq AS (SELECT vec_id,
+          |    [qa.mins[i] + least(255.0, greatest(0.0,
+          |        floor((CAST(embedding AS DOUBLE[])[i] - qa.mins[i])
+          |          / qa.steps[i] + 0.5))) * qa.steps[i]
+          |      for i in range(1, 65)] AS deq
+          |  FROM embeddings, qa),
+          |approx AS (SELECT query_id, nn_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        ${cosSql("q.embedding", "c.deq")} DESC, c.vec_id) AS rank
+          |    FROM embeddings q JOIN dq c ON c.vec_id <> q.vec_id
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4))
+          |  WHERE rank <= 10),
           |$bruteTruthCte
           |$recallSelect""".stripMargin,
 

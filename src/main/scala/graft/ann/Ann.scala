@@ -62,6 +62,69 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-dimension (min, max) corpus statistics — the SQ8 scalar
+    * quantizer's training pass. ONE aggregate scan with 2·dims
+    * map-side-partial min/max expressions (no explode: the exchange is
+    * a single combined row); min/max of floats are EXACT, so the
+    * trained quantizer is identical at any partitioning. The collected
+    * result is 2·dims doubles — the bounded driver-action class of the
+    * rank-suite cutoffs. */
+  def sq8MinMax(emb: DataFrame, vec: String, dims: Int): (Array[Double], Array[Double]) = {
+    val v = col(vec).cast("array<double>")
+    val aggs = (0 until dims).flatMap(i => Seq(
+      min(element_at(v, i + 1)).as(s"mn$i"),
+      max(element_at(v, i + 1)).as(s"mx$i")))
+    val r = emb.agg(aggs.head, aggs.tail: _*).head()
+    (Array.tabulate(dims)(i => r.getAs[Double](s"mn$i")),
+     Array.tabulate(dims)(i => r.getAs[Double](s"mx$i")))
+  }
+
+  /** SQ8 (8-bit scalar quantization) asymmetric top-k: the cheap
+    * compression tier below PQ (FAISS's SQ8 — one code byte per
+    * DIMENSION, a 4× compression of float32 with no codebook
+    * training). Codes are `floor((x−min)/step + 0.5)` clamped to
+    * [0, 255] with per-dimension (min, step=(max−min)/255) from
+    * [[sq8MinMax]]; queries stay full-precision and candidates are
+    * scored on their DEQUANTIZED vectors (asymmetric distance — the
+    * quantizer's published eval protocol). Every quantize/dequantize
+    * step is an order-free elementwise double expression with shared
+    * literal stats, so both engines land bit-identical dequantized
+    * vectors into the SAME cosine machinery as [[knnBrute]]. At scale
+    * the dequantize is a projection fused into the scan (the stored
+    * form packs the codes like a9's `__codes`; the eval keeps the
+    * arithmetic explicit), and the scoring shape is knnBrute's single
+    * linear pass with broadcast queries. */
+  def sq8Topk(emb: DataFrame, id: String, vec: String,
+              queryIds: Seq[Long], k: Int,
+              mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val steps = mins.zip(maxs).map { case (mn, mx) =>
+      if (mx > mn) (mx - mn) / 255.0 else 1.0 }
+    val mnL = array(mins.map(lit): _*)
+    val stL = array(steps.map(lit): _*)
+    val vD = col(vec).cast("array<double>")
+    val xm = zip_with(vD, mnL, (x, mn) => x - mn)
+    val codeTimesStep = zip_with(xm, stL, (dv, st) =>
+      least(lit(255.0), greatest(lit(0.0),
+        floor(dv / st + lit(0.5)).cast("double"))) * st)
+    val deq = zip_with(codeTimesStep, mnL, (cs, mn) => mn + cs)
+    val corpus = emb.select(col(id).as("nn_id"), deq.as("nn_vec"))
+      .select(col("nn_id"), col("nn_vec"),
+        Vec.normNative(col("nn_vec")).as("nn_nrm"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        Vec.normNative(col(vec)).as("q_nrm"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact cosine RANGE search (the radius-query API next to top-k):
     * every corpus vector within cosine ≥ τ of each query vector.
     * Queries are broadcast and the corpus is scanned once for all of

@@ -42,6 +42,25 @@ object CellIndexCache {
     * aggregation (spec-checked in CoarseCellSpec). */
   val BaseTau = 0.25
 
+  private val sq8Cache =
+    new SessionCache[(Int, String), (Array[Double], Array[Double])](
+      _ => true, _ => ())
+
+  /** The SQ8 quantizer's per-dimension (mins, maxs) over `dir`'s
+    * embeddings — ONE training scan per (session, corpus), shared by
+    * every SQ8 consumer (a15's quantize leg and its recall eval). The
+    * cached value is 2·dims doubles (plain data — no session-owned
+    * resources to release), keyed by session only so two live sessions
+    * never share a driver-collected artifact. */
+  def sq8Stats(spark: SparkSession, dir: String,
+               id: String = "vec_id", vec: String = "embedding")
+      : (Array[Double], Array[Double]) =
+    sq8Cache.getOrBuild((System.identityHashCode(spark), dir)) {
+      val emb = Tables.embeddings(spark, dir)
+      val dims = emb.selectExpr(s"size($vec)").head().getInt(0)
+      Ann.sq8MinMax(emb, vec, dims)
+    }
+
   private val pairsCache = SessionCache.forDf[(Int, String)]
 
   /** Near-dup pairs over `dir`'s embeddings at [[BaseTau]], built on

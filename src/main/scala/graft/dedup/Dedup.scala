@@ -51,6 +51,39 @@ object Dedup {
         concat_ws(",", collectMinK(col(id), sampleK).cast("array<string>"))
           .as("doc_ids"))
 
+  /** Per-source duplication-inflation report over the EXACT duplicate
+    * groups — the token-weighted answer to "how much of each source is
+    * redundant copies": every doc that is not its md5 group's canonical
+    * (min id) counts its tokens as duplicate mass, and the inflation
+    * factor is total / kept tokens. The canonical flag is a window min
+    * over the hash partition (ONE shuffle on the uniform md5 key — the
+    * d1 exchange; the text column is dropped to a hash + a token count
+    * before it), and the report is a source-sized aggregate on top.
+    * All-integer arithmetic; a source that is nothing but duplicates
+    * of other sources' canonicals reports NULL inflation (0 kept
+    * tokens) rather than a division by zero, mirrored in the oracle. */
+  def dupInflation(docs: DataFrame, id: String, text: String,
+                   source: String): DataFrame = {
+    val base = docs.select(col(id), col(source),
+      md5(col(text)).as("__fp"),
+      size(Text.words(col(text))).cast("long").as("__toks"))
+    val canon = base.withColumn("__canonical",
+      min(col(id)).over(Window.partitionBy(col("__fp"))))
+    canon.groupBy(col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(id) =!= col("__canonical"), lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_docs"),
+        sum(col("__toks")).cast("long").as("tokens_total"),
+        sum(when(col(id) =!= col("__canonical"), col("__toks"))
+          .otherwise(lit(0L))).cast("long").as("tokens_dup"))
+      .withColumn("inflation",
+        when(col("tokens_total") > col("tokens_dup"),
+          round(col("tokens_total").cast("double") /
+            (col("tokens_total") - col("tokens_dup")).cast("double"), 6)))
+      .orderBy(col(source))
+  }
+
   /** (id, n_sh, shingle-hash) postings — the shared input of both
     * exact-Jaccard plans. Joining on the 59-bit md5 prefix, not the
     * raw shingle string: the exchange carries (id, int64) instead of

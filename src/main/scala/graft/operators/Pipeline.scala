@@ -593,6 +593,52 @@ object Pipeline {
     * (≤ strata × buckets rows); availability, quotas, thresholds and
     * realized counts all derive from that aggregate. Integer / single-
     * division arithmetic end to end, so both engines agree bit-for-bit. */
+  /** Zipf-law fit of the corpus term-frequency distribution — the
+    * corpus-card statistic next to x18's composition table: a least-
+    * squares slope/intercept of log-frequency vs log-rank over the top
+    * `topN` terms. Shape: one term-sized aggregate off the SHARED
+    * (id, w, tf) table, a TakeOrdered top-N (never a total-order
+    * exchange), then the fit runs over ≤ topN rows (the ts6 bounded-
+    * window class — row_number's global window sorts topN rows in one
+    * task). Cross-engine exactness: ln values are floor-quantized to
+    * 1e-6 micro-units BEFORE any sum (the x20/x23 pattern — the
+    * quantized values ARE the fit's definition, shared with the
+    * oracle), all five moment sums are exact int64 (|Σxy| ≤
+    * topN·ln(topN)·ln(Σtf)·10¹² ≪ 2⁶³), and the closing slope/
+    * intercept arithmetic is the same operand-ordered double formula
+    * on both engines. */
+  def zipfFit(docWord: DataFrame, topN: Int): DataFrame = {
+    val tc = docWord.groupBy(col("w"))
+      .agg(sum(col("tf")).cast("long").as("cnt"))
+    val tot = tc.agg(count(lit(1)).as("n_terms"),
+      sum(col("cnt")).cast("long").as("total_tokens"))
+    val top = tc.orderBy(col("cnt").desc, col("w")).limit(topN)
+    val rw = Window.orderBy(col("cnt").desc, col("w")) // ≤ topN rows
+    val q = top.withColumn("rank", row_number().over(rw))
+      .select(col("cnt"), col("rank"),
+        floor(log(col("rank").cast("double")) * lit(1000000.0))
+          .cast("long").as("xq"),
+        floor(log(col("cnt").cast("double")) * lit(1000000.0))
+          .cast("long").as("yq"))
+    val f = q.agg(
+      count(lit(1)).cast("long").as("n_top"),
+      sum(col("xq")).cast("long").as("sx"),
+      sum(col("yq")).cast("long").as("sy"),
+      sum(col("xq") * col("yq")).cast("long").as("sxy"),
+      sum(col("xq") * col("xq")).cast("long").as("sxx"),
+      max(when(col("rank") === 1, col("cnt"))).cast("long").as("top1"))
+    val n = col("n_top").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val slope = (n * col("sxy").cast("double") - sx * sy) /
+      (n * col("sxx").cast("double") - sx * sx)
+    f.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("n_top"),
+        round(slope, 6).as("zipf_slope"),
+        round((sy - slope * sx) / n / lit(1000000.0), 6).as("zipf_intercept"),
+        round(col("top1") / col("total_tokens").cast("double"), 6)
+          .as("top1_share"))
+  }
+
   def domainMixture(docs: DataFrame, stratum: String, id: String,
                     buckets: Int, samplePctNum: Int, samplePctDen: Int,
                     nStrata: Int): DataFrame = {

@@ -641,6 +641,74 @@ object TimeSeries {
       .select(col(id), col(series), col(value), col("z"))
   }
 
+  /** Seasonal (hour-of-day) anomaly profile per series: the classic
+    * seasonal-naive baseline — each (series, hour-of-day) slot gets its
+    * own decimal-exact mean/std (the ts19 machinery applied per
+    * seasonal slot), and the report counts how many observations sit
+    * ≥ `threshold`σ from THEIR slot's baseline. Two corpus scans: one
+    * slot-sized aggregate (≤ series×24 rows, map-side partial), one
+    * broadcast-join recount — the slot table never grows with the
+    * corpus, so the shape is two linear passes at any scale. Constant
+    * slots (std = 0) report zero anomalies rather than NaN-flagging
+    * every row (the ts19 guard, applied per slot). */
+  def seasonalAnomalies(df: DataFrame, series: String, ts: String,
+                        value: String, threshold: Double): DataFrame = {
+    val slotted = df.select(col(series), hour(col(ts)).as("hod"),
+      col(value).cast("double").as("__v"))
+    val stats = slotted.groupBy(col(series), col("hod"))
+      .agg(
+        (sum(dec(col("__v"))).cast("double") / count(lit(1))).as("mean"),
+        (sum((col("__v") * col("__v")).cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("ex2"))
+      .select(col(series), col("hod"), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    slotted.join(broadcast(stats), Seq(series, "hod"))
+      .groupBy(col(series), col("hod"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("std") > 0 &&
+            abs(round((col("__v") - col("mean")) / col("std"), 6)) >= threshold,
+          lit(1L)).otherwise(lit(0L))).as("n_anom"),
+        round(first(col("mean")), 6).as("mean_r"),
+        round(first(col("std")), 6).as("std_r"))
+      .withColumn("anom_rate",
+        round(col("n_anom") / col("n_events").cast("double"), 6))
+      .orderBy(col(series), col("hod"))
+  }
+
+  /** Per-key CUSUM drift (maximum drawup of the centered cumulative
+    * sum): rank keys by how far their series drifts from its own mean
+    * — the change-detection statistic max_t (C_t − min_{s≤t} C_s) with
+    * C_t = Σ (v − mean_key), reported for the top `k` keys. All
+    * arithmetic after the decimal-exact per-key mean is INTEGER:
+    * deviations are floor-quantized to 1e-6 micro-units BEFORE the
+    * running sum (the x20/x23 quantize-then-sum pattern), so the
+    * cumulative path, the prefix-min, and the drawup are exact int64
+    * at every partitioning. Shape: one key-sized aggregate, one window
+    * shuffle on the key (each key's rows sort within their own
+    * partition — no global order), and a TakeOrdered top-k (no
+    * total-order exchange). */
+  def cusumDrift(df: DataFrame, key: String, ts: String, tie: String,
+                 value: String, k: Int): DataFrame = {
+    val means = df.groupBy(col(key))
+      .agg((sum(dec(col(value))).cast("double") / count(lit(1))).as("__mean"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val cum = df.join(broadcast(means), key)
+      .withColumn("__dev_q6",
+        floor((col(value) - col("__mean")) * lit(1000000.0)).cast("long"))
+      .withColumn("__cum",
+        sum(col("__dev_q6")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__runmin",
+        min(col("__cum")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    cum.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__cum") - col("__runmin")).as("__drift_q6"))
+      .withColumn("drift", round(col("__drift_q6") / lit(1000000.0), 6))
+      .drop("__drift_q6")
+      .orderBy(col("drift").desc, col(key))
+      .limit(k)
+  }
+
   /** Counter-rate with reset detection (the Prometheus/TimescaleDB
     * `rate()`/`increase()` semantics): per key, each step contributes
     * `v - prev` when the counter moved forward, or `v` after a reset
