@@ -442,6 +442,12 @@ object SparkEntry {
     "ts32_cusum_drift" -> ((s, d) =>
       TimeSeries.cusumDrift(ev(s, d), "user_id", "ts", "event_id", "value", 20)),
 
+    // seasonality-strength variance ratio (NEW r14): ts31's slot
+    // moments rolled up to 1 − SS_resid/SS_total per series; per-slot
+    // residuals micro-quantized before the cross-slot sum
+    "ts33_seasonal_strength" -> ((s, d) =>
+      TimeSeries.seasonalStrength(ev(s, d), "event_type", "ts", "value")),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -622,10 +628,26 @@ object SparkEntry {
         "doc_id", "text", "source", "n_chars",
         Stopwords, BlockWords)),
 
+    // the epoch-capped repeat schedule over the CLEANED corpus would
+    // compose p1's pool; published here over the raw per-source token
+    // counts so the oracle replays one scan (the composed form is
+    // p1's mixture stage with this arithmetic)
+    "p2_mix_epochs" -> ((s, d) =>
+      graft.operators.Pipeline.mixEpochs(
+        Tables.documents(s, d), "source", "text", 4)),
+
     // ---- E. similarity search -------------------------------------------
     "a1_knn_brute" -> ((s, d) =>
       Ann.knnBrute(Tables.embeddings(s, d), "vec_id", "embedding",
         Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // metadata-filtered vector search (NEW r14): the predicate is the
+    // JOIN KEY (pre-filtering — exact recall by construction), not a
+    // residual filter on an unfiltered top-k; at lake scale the label
+    // column is the partition/bucket key and the scan itself prunes
+    "a16_filtered_knn" -> ((s, d) =>
+      Ann.filteredKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L), 10)),
 
     "a2_ann_lsh" -> ((s, d) =>
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -825,6 +847,28 @@ object SparkEntry {
           sum(Text.wsTokenCount(col("text"))).as("ws_tokens"),
           sum(Text.regexTokenCount(col("text"))).as("re_tokens"))
         .orderBy("source")),
+
+    // tokenizer-fertility report per LANGUAGE (NEW r14): subword-ish
+    // tokens per whitespace word — the tokenizer-equity statistic
+    // (high-fertility languages pay more compute per word); the
+    // per-doc "high fertility" cut (> 1.5) is integer
+    // cross-multiplication (2·re > 3·ws), the ratios are the only
+    // floats and are rounded once
+    "x27_token_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(Text.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(Text.regexTokenCount(col("text")).cast("long")).as("re_tokens"),
+          sum(when(Text.regexTokenCount(col("text")) * 2 >
+              Text.wsTokenCount(col("text")) * 3, lit(1L))
+            .otherwise(lit(0L))).as("high_fert_docs"))
+        .withColumn("fertility",
+          round(col("re_tokens").cast("double") / col("ws_tokens"), 6))
+        .withColumn("high_fert_frac",
+          round(col("high_fert_docs") / col("n_docs").cast("double"), 6))
+        .orderBy("lang")),
 
     // groupBy-min + re-join rather than min() OVER (PARTITION BY fp):
     // the aggregate is map-side partial (a hot fingerprint never funnels
@@ -1150,6 +1194,13 @@ object SparkEntry {
     "m5_phash_index" -> ((s, d) =>
       graft.multimodal.Binary.perceptualHashIndex(
         Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // stub-PCM frame energy (NEW r14): payload bytes as unsigned 8-bit
+    // samples, 256-sample frames, integer Σ(s−128)² energies; silence
+    // by integer cross-multiplication — the VAD/silence-trim report
+    "m8_audio_energy" -> ((s, d) =>
+      graft.multimodal.Binary.audioEnergy(
+        Tables.documents(s, d), "doc_id", "text", 256, 2000)),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -1980,6 +2031,32 @@ object SparkEntry {
           |  round(CAST(max(cum - runmin) AS BIGINT) / 1000000.0, 6) AS drift
           |FROM r2 GROUP BY 1
           |ORDER BY drift DESC, user_id LIMIT 20""".stripMargin,
+
+      // ts31's slot moments rolled up per series; per-slot residual
+      // contributions micro-quantized BEFORE the cross-slot sum so the
+      // report is partitioning-independent on both engines
+      "ts33_seasonal_strength" ->
+        """WITH sl AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+          |    count(*) AS n,
+          |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+          |    sum(CAST(value * value AS DECIMAL(28,6))) AS q
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, n, s, q,
+          |    CAST(floor((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+          |      * 1000000.0) AS BIGINT) AS ssr_q6
+          |  FROM sl),
+          |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+          |    count(*) AS n_slots, sum(s) AS st, sum(q) AS qt,
+          |    CAST(sum(ssr_q6) AS BIGINT) AS ssrq
+          |  FROM r GROUP BY 1)
+          |SELECT event_type, n_events, n_slots,
+          |  round(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n_events, 6) AS ss_total_r,
+          |  round(ssrq / 1000000.0, 6) AS ss_resid_r,
+          |  CASE WHEN (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n_events) > 0
+          |    THEN round(1.0 - (ssrq / 1000000.0) /
+          |      (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n_events), 6)
+          |    ELSE NULL END AS seasonal_strength
+          |FROM t ORDER BY event_type""".stripMargin,
 
       // sharded contiguous packing: same md5 shard + cumsum-before math
       "x7_pack_sequences" ->
@@ -2871,6 +2948,23 @@ object SparkEntry {
            |FROM flags f LEFT JOIN pk ON pk.doc_id = f.doc_id
            |GROUP BY f.source ORDER BY f.source""".stripMargin,
 
+      // epoch-capped repeat plan: exact ceiling division toward the
+      // largest source, cap 4 (Muennighoff 2023); one rounded share
+      "p2_mix_epochs" ->
+        """WITH per AS (SELECT source, count(*) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          |  FROM documents GROUP BY 1),
+          |e AS (SELECT source, n_docs, tokens,
+          |    CAST(least(4, ((SELECT max(tokens) FROM per) + tokens - 1) // tokens)
+          |      AS BIGINT) AS epochs
+          |  FROM per),
+          |f AS (SELECT source, n_docs, tokens, epochs,
+          |    CAST(tokens * epochs AS BIGINT) AS effective_tokens FROM e)
+          |SELECT source, n_docs, tokens, epochs, effective_tokens,
+          |  round(CAST(effective_tokens AS DOUBLE) /
+          |    CAST((SELECT sum(effective_tokens) FROM f) AS DOUBLE), 6) AS share
+          |FROM f ORDER BY source""".stripMargin,
+
       // first-seen novelty: n_copied = n_sh - (shingles first owned),
       // first ownership from the per-shingle min(doc_id) — mirrors
       // Pipeline.noveltyProfileFrom's vocabulary-only derivation
@@ -2933,6 +3027,22 @@ object SparkEntry {
           |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
           |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // a1 with the label predicate as a JOIN condition (pre-filtered
+      // search — the filtered twin ranks only same-label candidates)
+      "a16_filtered_knn" ->
+        """SELECT query_id, label, nn_id, cos, rank FROM (
+          |  SELECT query_id, label, nn_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS rank
+          |  FROM (
+          |    SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS nn_id,
+          |      round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+          |        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          |         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+          |    FROM embeddings q JOIN embeddings c
+          |      ON c.vec_id <> q.vec_id AND c.label = q.label
           |    WHERE q.vec_id IN (0, 1, 2, 3, 4)))
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
@@ -3255,6 +3365,22 @@ object SparkEntry {
           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
           |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // subword-ish tokens per whitespace word per language; the
+      // per-doc high-fertility cut is integer cross-multiplication
+      "x27_token_fertility" ->
+        """WITH d AS (SELECT lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+          |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(re) AS BIGINT) AS re_tokens,
+          |  CAST(sum(CASE WHEN re * 2 > ws * 3 THEN 1 ELSE 0 END) AS BIGINT) AS high_fert_docs,
+          |  round(CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS BIGINT), 6) AS fertility,
+          |  round(CAST(sum(CASE WHEN re * 2 > ws * 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    / CAST(count(*) AS DOUBLE), 6) AS high_fert_frac
+          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
       "x4_fingerprint" ->
         """SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canonical_id
@@ -3707,6 +3833,25 @@ object SparkEntry {
           |  st.min_ham
           |FROM hx LEFT JOIN st ON st.id = hx.doc_id
           |ORDER BY hx.doc_id""".stripMargin,
+
+      // stub-PCM frames: bytes as unsigned 8-bit samples, 256-sample
+      // frames, exact integer Σ(s−128)² energies; silence by integer
+      // cross-multiplication (e < thr·n)
+      "m8_audio_energy" ->
+        """WITH b AS (SELECT doc_id, (j - 1) // 256 AS frame,
+          |    ord(substr(text, j, 1)) - 128 AS dv
+          |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
+          |    FROM documents)),
+          |f AS (SELECT doc_id, frame, count(*) AS n,
+          |    CAST(sum(dv * dv) AS BIGINT) AS e
+          |  FROM b GROUP BY 1, 2)
+          |SELECT doc_id, count(*) AS n_frames,
+          |  CAST(sum(e) AS BIGINT) AS total_energy,
+          |  CAST(max(e) AS BIGINT) AS peak_energy,
+          |  CAST(sum(CASE WHEN e < 2000 * n THEN 1 ELSE 0 END) AS BIGINT) AS silent_frames,
+          |  round(CAST(sum(CASE WHEN e < 2000 * n THEN 1 ELSE 0 END) AS BIGINT)
+          |    / CAST(count(*) AS DOUBLE), 6) AS silent_frac
+          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -62,6 +62,36 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-FILTERED exact top-k cosine: each query ranks only the
+    * corpus vectors sharing its `meta` value — PRE-filtering, the
+    * filtered-vector-search semantics where recall is exact by
+    * construction (POST-filtering an unfiltered top-k silently returns
+    * < k or misses matches entirely when the filter is selective).
+    * The predicate is not a residual filter: it IS the join key
+    * (`corpus.meta == query.meta` replaces [[knnBrute]]'s crossJoin),
+    * so the scored volume is n·selectivity rows, not n — and at lake
+    * scale a corpus partitioned/bucketed by the filter column prunes
+    * the scan itself to the matching partitions before a single dot
+    * is computed. Same ranking/rounding machinery as [[knnBrute]]. */
+  def filteredKnn(emb: DataFrame, id: String, vec: String, meta: String,
+                  queryIds: Seq[Long], k: Int): DataFrame = {
+    val corpus = emb.select(col(id).as("nn_id"), col(meta).as("__m"),
+      col(vec).as("nn_vec"), Vec.normNative(col(vec)).as("nn_nrm"))
+    val queries = emb.filter(col(id).isin(queryIds: _*))
+      .select(col(id).as("query_id"), col(meta).as("__qm"),
+        col(vec).as("q_vec"), Vec.normNative(col(vec)).as("q_nrm"))
+    val scored = corpus.join(broadcast(queries), col("__m") === col("__qm"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("__qm").as("label"), col("nn_id"),
+        Vec.cosinePrenormed(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-dimension (min, max) corpus statistics — the SQ8 scalar
     * quantizer's training pass. ONE aggregate scan with 2·dims
     * map-side-partial min/max expressions (no explode: the exchange is

@@ -117,6 +117,46 @@ object Binary {
       .orderBy(source)
   }
 
+  /** Frame-energy profile over a stub-decoded PCM payload — the
+    * audio-side sibling of [[decodeMeta]]/[[frameSample]]: the payload's
+    * bytes are read as unsigned 8-bit PCM samples (THE STUB — in
+    * production this is the codec's sample buffer; nothing downstream
+    * changes), cut into fixed `frameSize`-sample frames, and each frame
+    * scores the integer energy Σ(s−128)² — the RMS-energy statistic a
+    * speech pipeline silence-trims and VAD-filters by. A frame is
+    * "silent" when its MEAN energy is below `silentMeanEnergy`, decided
+    * by integer cross-multiplication (energy < thr·n — no division).
+    * Shape: one positions explode (the tokens-sized postings family —
+    * sample values, never payload blobs, enter the exchange), a
+    * map-side-partial (doc, frame) aggregate, then a doc-sized rollup.
+    * All energies are exact int64 at any partitioning; the only float
+    * is the final rounded silent fraction. */
+  def audioEnergy(docs: DataFrame, id: String, text: String,
+                  frameSize: Int, silentMeanEnergy: Int): DataFrame = {
+    val len = length(col(text))
+    // len=0 must yield no rows (sequence(1,0) would count DOWN)
+    val idxs = when(len <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), len))
+    val samples = docs
+      .select(col(id), col(text).as("__t"), explode(idxs).as("__j"))
+      .select(col(id),
+        ((col("__j") - 1) / frameSize).cast("long").as("frame"),
+        (ascii(col("__t").substr(col("__j"), lit(1))) - 128).as("__dv"))
+    val frames = samples.groupBy(col(id), col("frame"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__dv") * col("__dv")).cast("long")).as("__e"))
+    frames.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("__e")).as("total_energy"),
+        max(col("__e")).as("peak_energy"),
+        sum(when(col("__e") < lit(silentMeanEnergy.toLong) * col("__n"),
+          lit(1L)).otherwise(lit(0L))).as("silent_frames"))
+      .withColumn("silent_frac",
+        round(col("silent_frames") / col("n_frames").cast("double"), 6))
+      .orderBy(col(id))
+  }
+
   /** WebDataset-style shard packing: assign each blob to a ~targetBytes
     * output shard by cumulative byte budget, per source — the manifest
     * build that turns a blob lake into the fixed-size tar shards a

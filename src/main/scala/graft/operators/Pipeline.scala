@@ -769,6 +769,39 @@ object Pipeline {
     * joined on the id, the mixture reduction is a (source, bucket)
     * aggregate, and packing is x7's bounded-shard cumsum. No new
     * corpus-level join beyond the stages themselves. */
+  /** Epoch-capped mixture plan — the repeat schedule a data-constrained
+    * training run publishes per source (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating a source up
+    * to ~4 epochs is nearly as good as fresh data; beyond that returns
+    * collapse). Each source is repeated toward parity with the LARGEST
+    * source: epochs = min(cap, ⌈max_tokens / tokens⌉), effective
+    * tokens = tokens·epochs, and the final mixture share is each
+    * source's effective fraction. The ceiling division is exact int64
+    * ((max + tok − 1) DIV tok — no float path); the only float is the
+    * one rounded share. Shape: one map-side-partial token aggregate
+    * over the corpus scan, then all planning arithmetic on the
+    * sources-sized table with the two scalar totals broadcast back —
+    * nothing downstream of the scan exceeds the output size. */
+  def mixEpochs(docs: DataFrame, source: String, text: String,
+                epochCap: Int): DataFrame = {
+    val per = docs.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.wsTokenCount(col(text)).cast("long")).as("tokens"))
+    val mx = per.agg(max(col("tokens")).as("__max"))
+    val planned = per.crossJoin(broadcast(mx))
+      .withColumn("epochs",
+        least(lit(epochCap.toLong),
+          expr("CAST((__max + tokens - 1) DIV tokens AS BIGINT)")))
+      .withColumn("effective_tokens", col("tokens") * col("epochs"))
+    val tot = planned.agg(sum(col("effective_tokens")).as("__tot"))
+    planned.crossJoin(broadcast(tot))
+      .select(col(source), col("n_docs"), col("tokens"), col("epochs"),
+        col("effective_tokens"),
+        round(col("effective_tokens").cast("double") /
+          col("__tot").cast("double"), 6).as("share"))
+      .orderBy(col(source))
+  }
+
   def curationPipelineFrom(docs: DataFrame, clusters: DataFrame,
                            postings: DataFrame, id: String, text: String,
                            source: String, nChars: String,

@@ -676,6 +676,51 @@ object TimeSeries {
       .orderBy(col(series), col("hod"))
   }
 
+  /** Seasonality-strength report per series — the variance-ratio
+    * statistic next to [[seasonalAnomalies]]'s per-slot profile: how
+    * much of a series' variance the hour-of-day seasonal baseline
+    * explains, strength = 1 − SS_resid/SS_total (STL's seasonal
+    * strength with the slot-mean baseline). Everything reduces to
+    * per-(series, slot) moment sums (n, Σv, Σv²) — ONE slot-sized
+    * aggregate off one scan, the ts31 shape — so SS_total comes from
+    * the decimal-exact series totals and SS_resid from the per-slot
+    * identity Σv² − (Σv)²/n. The ≤ 24 per-slot residual contributions
+    * are floor-quantized to 1e-6 micro-units BEFORE the cross-slot sum
+    * (a float sum over slots would be accumulation-order-dependent —
+    * the ts32 quantize-then-sum pattern), so the report is identical at
+    * any partitioning. Output is series-sized. */
+  def seasonalStrength(df: DataFrame, series: String, ts: String,
+                       value: String): DataFrame = {
+    val slotted = df.select(col(series), hour(col(ts)).as("hod"),
+      col(value).cast("double").as("__v"))
+    val slots = slotted.groupBy(col(series), col("hod"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__v"))).as("__s"),
+        sum((col("__v") * col("__v")).cast("decimal(28,6)")).as("__q"))
+    val perSlot = slots.withColumn("__ssr_q6",
+      floor((col("__q").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") /
+          col("__n")) * lit(1000000.0)).cast("long"))
+    perSlot.groupBy(col(series))
+      .agg(
+        sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_slots"),
+        sum(col("__s")).as("__st"),
+        sum(col("__q")).as("__qt"),
+        sum(col("__ssr_q6")).as("__ssrq"))
+      .withColumn("__sst",
+        col("__qt").cast("double") -
+          col("__st").cast("double") * col("__st").cast("double") /
+            col("n_events"))
+      .select(col(series), col("n_events"), col("n_slots"),
+        round(col("__sst"), 6).as("ss_total_r"),
+        round(col("__ssrq") / lit(1000000.0), 6).as("ss_resid_r"),
+        when(col("__sst") > 0,
+          round(lit(1.0) - (col("__ssrq") / lit(1000000.0)) / col("__sst"), 6))
+          .as("seasonal_strength"))
+      .orderBy(col(series))
+  }
+
   /** Per-key CUSUM drift (maximum drawup of the centered cumulative
     * sum): rank keys by how far their series drifts from its own mean
     * — the change-detection statistic max_t (C_t − min_{s≤t} C_s) with
