@@ -308,7 +308,17 @@ object ScaleProbe {
     // prose, the honesty item from the r13 synthetic-corpus note).
     val madOps: Seq[(String, DataFrame => Long)] = Seq(
       ("mad_outliers", ev => TimeSeries.madOutliers(
-        ev, "event_type", "value", 3).count()))
+        ev, "event_type", "value", 3).count()),
+      // r14 closing keys on events: the slot-moment family (ts31/ts33
+      // are one slot-sized aggregate + a broadcast/rollup — both
+      // should track the scan) and ts32 (mean aggregate + one window
+      // shuffle on the key — the ts3/ts18 class)
+      ("seasonal_anom", ev => TimeSeries.seasonalAnomalies(
+        ev, "event_type", "ts", "value", 3.0).count()),
+      ("seasonal_strength", ev => TimeSeries.seasonalStrength(
+        ev, "event_type", "ts", "value").count()),
+      ("cusum_drift", ev => TimeSeries.cusumDrift(
+        ev, "user_id", "ts", "event_id", "value", 20).count()))
     def bigramR13Form(docs: DataFrame): Long = {
       val t = split(col("text"), " ")
       val bgCol = explode(zip_with(
@@ -333,7 +343,22 @@ object ScaleProbe {
       ("bigram_lm", docs => graft.operators.Pipeline.bigramSurprisalFrom(
         docs, graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
         "doc_id", "text").count()),
-      ("bigram_lm_r13form", docs => bigramR13Form(docs)))
+      ("bigram_lm_r13form", docs => bigramR13Form(docs)),
+      // r14 closing keys on documents: d12/p2 are one map-side-partial
+      // aggregate each (d12 adds the md5-group window; both should
+      // track the scan); x26 rebuilds the doc-word table inline (the
+      // postings-family shuffle dominates — production consumes the
+      // SHARED table); m8 is the per-byte explode, the steepest
+      // volume multiplier in the suite (samples = bytes, not tokens)
+      ("dup_inflation", docs => graft.dedup.Dedup.dupInflation(
+        docs, "doc_id", "text", "source").count()),
+      ("mix_epochs", docs => graft.operators.Pipeline.mixEpochs(
+        docs, "source", "text", 4).count()),
+      ("zipf_fit", docs => graft.operators.Pipeline.zipfFit(
+        graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
+        1000).count()),
+      ("audio_energy", docs => graft.multimodal.Binary.audioEnergy(
+        docs, "doc_id", "text", 256, 2000).count()))
     val (nk1e, nk8e) = interleave(madOps, e1, e8)
     val (nk1d, nk8d) = interleave(bigramOps, d1, d8)
     val (nk1, nk8) = (nk1e ++ nk1d, nk8e ++ nk8d)

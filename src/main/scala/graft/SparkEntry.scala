@@ -312,6 +312,13 @@ object SparkEntry {
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
         "user_id", "ts", "event_id", "event_type")),
 
+    // retention-policy plan (NEW r14): pre-cutoff versions compact to
+    // the single latest carrier per key (dropping it would break every
+    // post-cutoff AS-OF), the reclaim report a TimescaleDB-style TTL
+    // policy publishes before drop_chunks; one conditional aggregate
+    "t17_ttl_compaction" -> ((s, d) =>
+      Temporal.ttlCompaction(ev(s, d), "user_id", "ts", ts(T1))),
+
     // bitemporal as-of: state at valid time T as KNOWN at append
     // sequence 500 (transaction-time axis = the monotone ingest id),
     // with the current-knowledge answer + late-correction flag from
@@ -447,6 +454,13 @@ object SparkEntry {
     // residuals micro-quantized before the cross-slot sum
     "ts33_seasonal_strength" -> ((s, d) =>
       TimeSeries.seasonalStrength(ev(s, d), "event_type", "ts", "value")),
+
+    // heartbeat/SLA uptime report (NEW r14): 12h expected cadence,
+    // outages when a gap exceeds 2·expected, downtime = µs beyond
+    // cadence — exact int64 until the one rounded uptime ratio
+    "ts34_heartbeat_gaps" -> ((s, d) =>
+      TimeSeries.heartbeatGaps(ev(s, d), "user_id", "ts", "event_id",
+        43200000000L)),
 
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
@@ -648,6 +662,28 @@ object SparkEntry {
     "a16_filtered_knn" -> ((s, d) =>
       Ann.filteredKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", Seq(0L, 1L, 2L, 3L, 4L), 10)),
+
+    // recall@k CURVE over the a4 IVF probe (NEW r14): a12's single
+    // recall@10 unrolled to k ∈ {1,5,10} — the operating-curve row a
+    // vector index publishes (is the probe good enough at the k the
+    // application actually uses?); pure consumer of the two shared
+    // bounded top-k legs, output is 3 rows at any corpus size
+    "a17_recall_curve" -> ((s, d) => {
+      val truth = Ann.knnBrute(Tables.embeddings(s, d), "vec_id",
+          "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("query_id"), col("nn_id"), col("rank").as("tr"))
+      val probe = ivfProbeTopk(s, d)
+        .select(col("query_id"), col("nn_id"), col("rank").as("ar"))
+      val j = truth.join(probe, Seq("query_id", "nn_id"), "left")
+      Seq(1, 5, 10).map { k =>
+        j.filter(col("tr") <= k)
+          .agg(countDistinct(col("query_id")).as("n_queries"),
+            sum(when(col("ar") <= k, lit(1L)).otherwise(lit(0L))).as("n_hit"))
+          .select(lit(k).as("k"), col("n_queries"), col("n_hit"),
+            round(col("n_hit") / (col("n_queries") * k).cast("double"), 6)
+              .as("recall_at_k"))
+      }.reduce(_ unionByName _).orderBy("k")
+    }),
 
     "a2_ann_lsh" -> ((s, d) =>
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2058,6 +2094,27 @@ object SparkEntry {
           |    ELSE NULL END AS seasonal_strength
           |FROM t ORDER BY event_type""".stripMargin,
 
+      // exact int64 µs gaps off one lag window; outage/downtime in
+      // CASE form so the first row's NULL gap contributes 0 on both
+      // engines; one rounded uptime ratio
+      "ts34_heartbeat_gaps" ->
+        """WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+          |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          |  FROM events)
+          |SELECT user_id, count(*) AS n_samples,
+          |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+          |  CAST(sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+          |  CAST(max(gap) AS BIGINT) AS longest_gap_us,
+          |  CAST(sum(CASE WHEN gap > 43200000000 THEN gap - 43200000000 ELSE 0 END)
+          |    AS BIGINT) AS downtime_us,
+          |  CASE WHEN max(us) - min(us) > 0 THEN
+          |    round(1.0 - CAST(sum(CASE WHEN gap > 43200000000
+          |        THEN gap - 43200000000 ELSE 0 END) AS BIGINT)
+          |      / CAST(max(us) - min(us) AS DOUBLE), 6)
+          |  ELSE NULL END AS uptime_frac
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
       // sharded contiguous packing: same md5 shard + cumsum-before math
       "x7_pack_sequences" ->
         """WITH t AS (SELECT doc_id,
@@ -3085,6 +3142,28 @@ object SparkEntry {
           |$bruteTruthCte
           |$recallSelect""".stripMargin,
 
+      // a12 unrolled to the k ∈ {1,5,10} operating curve: truth keeps
+      // its rank (trc), hits require BOTH ranks ≤ k; NULL probe ranks
+      // fall to the CASE's ELSE 0 on both engines
+      "a17_recall_curve" ->
+        s"""WITH $a4ProbeCtes,
+          |approx AS (${a4TopkSelect()}),
+          |trc AS (SELECT query_id, nn_id, rank AS tr FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+          |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |        ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+          |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          |    WHERE q.vec_id IN (0, 1, 2, 3, 4))
+          |  WHERE rank <= 10),
+          |j AS (SELECT t.query_id, t.tr, a.rank AS ar FROM trc t
+          |  LEFT JOIN approx a ON a.query_id = t.query_id AND a.nn_id = t.nn_id),
+          |ks AS (SELECT unnest([1, 5, 10]) AS k)
+          |SELECT k, count(DISTINCT query_id) AS n_queries,
+          |  CAST(sum(CASE WHEN ar <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(CAST(sum(CASE WHEN ar <= k THEN 1 ELSE 0 END) AS BIGINT)
+          |    / CAST(count(DISTINCT query_id) * k AS DOUBLE), 6) AS recall_at_k
+          |FROM j CROSS JOIN ks WHERE tr <= k GROUP BY k ORDER BY k""".stripMargin,
+
       "a5_range_search" ->
         s"""SELECT query_id, nn_id, cos FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -3535,6 +3614,23 @@ object SparkEntry {
           |  round(CAST(total_us AS DOUBLE)
           |    / (SELECT CAST(sum(total_us) AS DOUBLE) FROM a), 6) AS time_share
           |FROM a ORDER BY event_type""".stripMargin,
+
+      // pre-cutoff versions compact to the single latest carrier per
+      // key; conditional counts + a conditional max, one rounded ratio
+      "t17_ttl_compaction" ->
+        s"""WITH a AS (SELECT user_id, count(*) AS n_versions,
+           |    CAST(sum(CASE WHEN ts < TIMESTAMP '$T1' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+           |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$T1' THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+           |    epoch_us(max(CASE WHEN ts < TIMESTAMP '$T1' THEN ts END)) AS last_pre_us
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT *, CASE WHEN n_pre > 0 THEN 1 ELSE 0 END AS kept_pre FROM a)
+           |SELECT user_id, n_versions, n_pre, n_post, last_pre_us,
+           |  CAST(kept_pre AS BIGINT) AS kept_pre,
+           |  CAST(n_pre - kept_pre AS BIGINT) AS dropped,
+           |  CAST(kept_pre + n_post AS BIGINT) AS retained,
+           |  round(CAST(n_pre - kept_pre AS BIGINT)
+           |    / CAST(n_versions AS DOUBLE), 6) AS reclaim_frac
+           |FROM b ORDER BY user_id""".stripMargin,
 
       "t13_bitemporal" ->
         s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value

@@ -754,6 +754,39 @@ object TimeSeries {
       .limit(k)
   }
 
+  /** Heartbeat/SLA gap report per key — the uptime statistic a
+    * monitoring pipeline publishes over an expected-cadence signal
+    * (Prometheus's `up`/absent() family as a batch report): per key,
+    * inter-sample gaps from one lag window; a gap is an OUTAGE when it
+    * exceeds 2·expected (integer µs comparison), downtime is the µs
+    * beyond the expected cadence (Σ max(gap − E, 0)), and uptime is
+    * 1 − downtime/span. Everything stays exact int64 µs until the one
+    * rounded ratio; one window shuffle on the key, key-sized output.
+    * Keys with a single sample have no span and report NULL uptime. */
+  def heartbeatGaps(df: DataFrame, key: String, ts: String, tie: String,
+                    expectedUs: Long): DataFrame = {
+    // order on the projected µs column (monotone in ts) so the window
+    // runs after the timestamp is projected away
+    val w = Window.partitionBy(col(key)).orderBy(col("__us"), col(tie))
+    df.select(col(key), unix_micros(col(ts)).as("__us"), col(tie))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        sum(when(col("__gap") > 2 * expectedUs, lit(1L)).otherwise(lit(0L)))
+          .as("n_outages"),
+        max(col("__gap")).as("longest_gap_us"),
+        // CASE form, not greatest(): the first row's NULL gap must
+        // contribute 0 identically on both engines
+        sum(when(col("__gap") > expectedUs, col("__gap") - expectedUs)
+          .otherwise(lit(0L))).as("downtime_us"))
+      .withColumn("uptime_frac",
+        when(col("span_us") > 0,
+          round(lit(1.0) - col("downtime_us") / col("span_us").cast("double"), 6)))
+      .orderBy(col(key))
+  }
+
   /** Counter-rate with reset detection (the Prometheus/TimescaleDB
     * `rate()`/`increase()` semantics): per key, each step contributes
     * `v - prev` when the counter moved forward, or `v` after a reset

@@ -180,6 +180,36 @@ object Temporal {
       min(col(ts)).as("first_ts"),
       max(col(ts)).as("last_ts"))
 
+  /** TTL-compaction plan — the retention-policy report a versioned
+    * store publishes before dropping old versions (the reference runs
+    * on TimescaleDB, whose `drop_chunks`/retention policies do exactly
+    * this by time cutoff): versions BEFORE `cutoff` compact down to
+    * the single latest pre-cutoff version per key (the snapshot
+    * carrier — dropping it too would break every AS-OF query at or
+    * after its timestamp), everything after is retained verbatim.
+    * Reports per key the version counts, the carrier's timestamp, how
+    * many rows the policy reclaims, and the reclaimed fraction. ONE
+    * map-side-partial aggregate over one scan — conditional counts +
+    * a conditional max, no window, no second pass — so the plan costs
+    * the same whether a key carries 3 versions or 3 billion. */
+  def ttlCompaction(df: DataFrame, key: String, ts: String,
+                    cutoff: Column): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col(ts) < cutoff, lit(1L)).otherwise(lit(0L))).as("n_pre"),
+        max(when(col(ts) < cutoff, col(ts))).as("__last_pre"),
+        sum(when(col(ts) >= cutoff, lit(1L)).otherwise(lit(0L))).as("n_post"))
+      .withColumn("kept_pre", when(col("n_pre") > 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("dropped", col("n_pre") - col("kept_pre"))
+      .withColumn("retained", col("kept_pre") + col("n_post"))
+      .select(col(key), col("n_versions"), col("n_pre"), col("n_post"),
+        unix_micros(col("__last_pre")).as("last_pre_us"),
+        col("kept_pre"), col("dropped"), col("retained"),
+        round(col("dropped") / col("n_versions").cast("double"), 6)
+          .as("reclaim_frac"))
+      .orderBy(col(key))
+
   /** The reference's `POST /rollback` (app/main.py:152-247) as a pure,
     * append-only computation: for every record with versions after `at`,
     * the state to restore (its AS-OF `at` row) or a DELETE marker if the

@@ -118,6 +118,65 @@ class FilteredMixAudioSpec extends SparkSpec {
     assert(out.getAs[Double]("silent_frac") === 0.0)
   }
 
+  test("ttlCompaction: hand-derived carrier, drop counts, and reclaim fraction") {
+    // user 1: two pre-cutoff versions + one post -> carrier kept, one
+    // dropped, retained 2; user 2: all post -> nothing reclaimed;
+    // user 3: all pre -> compacts to the single carrier.
+    val cutoff = lit("2024-01-10 00:00:00").cast("timestamp")
+    val rows = Seq(
+      (1L, "2024-01-08 00:00:00"), (1L, "2024-01-09 00:00:00"),
+      (1L, "2024-01-11 00:00:00"),
+      (2L, "2024-01-12 00:00:00"),
+      (3L, "2024-01-05 00:00:00"), (3L, "2024-01-06 00:00:00"))
+    val df = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.temporal.Temporal.ttlCompaction(df, "user_id", "ts", cutoff)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_pre") === 2 &&
+      out(1L).getAs[Long]("dropped") === 1 &&
+      out(1L).getAs[Long]("retained") === 2)
+    assert(out(1L).getAs[Long]("last_pre_us") === 1704758400000000L) // 2024-01-09
+    assert(out(2L).getAs[Long]("dropped") === 0 &&
+      out(2L).isNullAt(out(2L).fieldIndex("last_pre_us")))
+    assert(out(3L).getAs[Long]("retained") === 1 &&
+      out(3L).getAs[Double]("reclaim_frac") === 0.5)
+  }
+
+  test("heartbeatGaps: hand-derived outage, downtime, uptime; single-sample guard") {
+    // E = 10s: user 1 at 0/5/40s -> gaps 5s, 35s; one outage (>2E),
+    // downtime 25s, span 40s -> uptime 0.375. user 2: one sample.
+    val rows = Seq((1L, 0L, 1L), (1L, 5000000L, 2L), (1L, 40000000L, 3L),
+      (2L, 0L, 4L))
+    val df = rows.toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.heartbeatGaps(df, "user_id", "ts", "event_id", 10000000L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_outages") === 1)
+    assert(out(1L).getAs[Long]("longest_gap_us") === 35000000L)
+    assert(out(1L).getAs[Long]("downtime_us") === 25000000L)
+    assert(out(1L).getAs[Double]("uptime_frac") === 0.375)
+    assert(out(2L).getAs[Long]("n_samples") === 1 &&
+      out(2L).getAs[Long]("n_outages") === 0 &&
+      out(2L).isNullAt(out(2L).fieldIndex("uptime_frac")))
+  }
+
+  test("a17 recall curve: 3 bounded rows, recall in [0,1], and @10 replays a12's mean") {
+    val out = SparkEntry.queries("a17_recall_curve")(spark, sfDir)
+      .collect().map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out.keySet === Set(1, 5, 10))
+    out.values.foreach { r =>
+      val k = r.getAs[Int]("k"); val nq = r.getAs[Long]("n_queries")
+      val hit = r.getAs[Long]("n_hit"); val rec = r.getAs[Double]("recall_at_k")
+      assert(hit >= 0 && hit <= nq * k)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    val a12 = SparkEntry.queries("a12_ivf_recall")(spark, sfDir)
+      .agg(sum(col("n_hit")), count(lit(1))).head()
+    val expected = math.rint(a12.getLong(0).toDouble / (a12.getLong(1) * 10) * 1e6) / 1e6
+    assert(out(10).getAs[Double]("recall_at_k") === expected,
+      "recall@10 must equal a12's micro-averaged recall")
+  }
+
   test("x27 fertility: entry output replays the integer cross-multiplied cut") {
     val out = SparkEntry.queries("x27_token_fertility")(spark, sfDir).cache()
     val docs = graft.sources.Tables.documents(spark, sfDir)
