@@ -462,6 +462,14 @@ object SparkEntry {
       TimeSeries.heartbeatGaps(ev(s, d), "user_id", "ts", "event_id",
         43200000000L)),
 
+    // lag-{1,2,3} autocorrelation per user (NEW r14): the regularity
+    // diagnostic completing ts31-33's decomposition — decimal-exact
+    // mean, milli-quantized deviations, exact decimal product sums;
+    // keyed on the high-cardinality user column (window parallel by
+    // construction), one window + two key-sized aggregates
+    "ts35_acf" -> ((s, d) =>
+      TimeSeries.acf(ev(s, d), "user_id", "ts", "event_id", "value", 3)),
+
     // ---- C. relational analytics ----------------------------------------
     "q1_pricing_summary" -> ((s, d) => Analytics.q1PricingSummary(s, d, "2000-09-02")),
     "q3_shipping_priority" -> ((s, d) =>
@@ -684,6 +692,15 @@ object SparkEntry {
               .as("recall_at_k"))
       }.reduce(_ unionByName _).orderBy("k")
     }),
+
+    // MMR-diversified top-5 from the exact top-20 pool (NEW r14):
+    // Carbonell & Goldstein 1998, λ=0.7 — the diversity re-rank a
+    // RAG stack runs so results are not near-copies; integer
+    // micro-cosine objective (λ₁₀·rel_µ − 3·red_µ), greedy unrolled
+    // into bounded per-query steps, oracle replays the same unroll
+    "a18_mmr_diversify" -> ((s, d) =>
+      Ann.mmrDiversify(Tables.embeddings(s, d), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 20, 5, 7)),
 
     "a2_ann_lsh" -> ((s, d) =>
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -988,6 +1005,16 @@ object SparkEntry {
         Tables.documents(s, d),
         graft.dedup.ClusterCache.docWordTf(s, d), "doc_id", "text")),
 
+    // top PMI collocations (NEW r14): bit-quantized pointwise mutual
+    // information over adjacent word pairs (Church & Hanks 1990) —
+    // bits() taken per operand BEFORE any product so the statistic
+    // never overflows at any corpus size; int64-keyed exchanges,
+    // unigram counts off the SHARED docWordTf table, bounded top-k
+    "x28_pmi_collocations" -> ((s, d) =>
+      graft.operators.Pipeline.pmiCollocations(
+        Tables.documents(s, d),
+        graft.dedup.ClusterCache.docWordTf(s, d), "doc_id", "text", 5, 20)),
+
     // per-source lexical drift vs the corpus (data-mixing diagnostic):
     // avg per-token rarity under the corpus code vs the source's own
     // code, integer bits end to end; div_bits above the log2(T/T_s)
@@ -1237,6 +1264,15 @@ object SparkEntry {
     "m8_audio_energy" -> ((s, d) =>
       graft.multimodal.Binary.audioEnergy(
         Tables.documents(s, d), "doc_id", "text", 256, 2000)),
+
+    // scene-cut detection over stub frame energies (NEW r14): the
+    // PySceneDetect/scdet content-detector shape — a cut where the
+    // mean frame energy jumps past the threshold (integer
+    // cross-multiplication, exact under the ragged last frame);
+    // 32-sample frames, per-asset windows on the high-cardinality id
+    "m9_scene_cuts" -> ((s, d) =>
+      graft.multimodal.Binary.sceneCuts(
+        Tables.documents(s, d), "doc_id", "text", 32, 700)),
   )
 
   /** Shared by t4/t8: wide-schema state diff between T1 and T2. */
@@ -2115,6 +2151,32 @@ object SparkEntry {
           |  ELSE NULL END AS uptime_frac
           |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+      // decimal-exact mean, milli-quantized deviations, exact HUGEINT
+      // product sums — tail leads contribute 0 via CASE on both engines
+      "ts35_acf" ->
+        """WITH m AS (SELECT user_id,
+          |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean
+          |  FROM events GROUP BY user_id),
+          |d AS (SELECT e.user_id,
+          |    CAST(floor((e.value - m.mean) * 1000.0) AS BIGINT) AS dv,
+          |    epoch_us(e.ts) AS us, e.event_id
+          |  FROM events e JOIN m USING (user_id)),
+          |l AS (SELECT user_id, dv,
+          |    lead(dv, 1) OVER w AS l1, lead(dv, 2) OVER w AS l2,
+          |    lead(dv, 3) OVER w AS l3
+          |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          |agg AS (SELECT user_id, count(*) AS n_events,
+          |    sum(CAST(dv AS HUGEINT) * dv) AS den,
+          |    sum(CASE WHEN l1 IS NOT NULL THEN CAST(dv AS HUGEINT) * l1 ELSE 0 END) AS n1,
+          |    sum(CASE WHEN l2 IS NOT NULL THEN CAST(dv AS HUGEINT) * l2 ELSE 0 END) AS n2,
+          |    sum(CASE WHEN l3 IS NOT NULL THEN CAST(dv AS HUGEINT) * l3 ELSE 0 END) AS n3
+          |  FROM l GROUP BY user_id)
+          |SELECT user_id, n_events,
+          |  CASE WHEN den > 0 THEN round(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf1,
+          |  CASE WHEN den > 0 THEN round(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf2,
+          |  CASE WHEN den > 0 THEN round(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf3
+          |FROM agg ORDER BY user_id""".stripMargin,
+
       // sharded contiguous packing: same md5 shard + cumsum-before math
       "x7_pack_sequences" ->
         """WITH t AS (SELECT doc_id,
@@ -2227,6 +2289,30 @@ object SparkEntry {
           |  round(coalesce(CAST(sc.sum_bits AS DOUBLE) / sc.n_bigrams, 0.0), 6) AS avg_bits
           |FROM documents d LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // bit-quantized PMI: bits() per operand BEFORE any product
+      // (overflow-free at any scale); same md5-int64 keys and min(bg)
+      // display payload as the Spark plan
+      "x28_pmi_collocations" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |toks AS (SELECT unnest(t) AS w FROM w),
+          |wc AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT AS wh,
+          |    count(*) AS cnt FROM toks GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM wc),
+          |bgf AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+          |  FROM w WHERE len(t) >= 2),
+          |bgc AS (SELECT ('0x' || substr(md5(bg), 1, 15))::BIGINT AS bgh,
+          |    ('0x' || substr(md5(split_part(bg, ' ', 1)), 1, 15))::BIGINT AS ah,
+          |    ('0x' || substr(md5(split_part(bg, ' ', 2)), 1, 15))::BIGINT AS th,
+          |    count(*) AS n_ab, min(bg) AS bigram
+          |  FROM bgf GROUP BY 1, 2, 3 HAVING count(*) >= 5)
+          |SELECT g.bigram, g.n_ab, a.cnt AS n_a, b.cnt AS n_b,
+          |  CAST(length(bin(g.n_ab)) + length(bin(tot.n_tok))
+          |    - length(bin(a.cnt)) - length(bin(b.cnt)) AS BIGINT) AS pmi_bits
+          |FROM bgc g JOIN wc a ON g.ah = a.wh JOIN wc b ON g.th = b.wh
+          |CROSS JOIN tot
+          |ORDER BY pmi_bits DESC, g.n_ab DESC, g.bigram ASC
+          |LIMIT 20""".stripMargin,
 
       // per-source rarity under the corpus code vs the source's own
       // code — the x11 bit quantization aggregated by source, all
@@ -3164,6 +3250,62 @@ object SparkEntry {
           |    / CAST(count(DISTINCT query_id) * k AS DOUBLE), 6) AS recall_at_k
           |FROM j CROSS JOIN ks WHERE tr <= k GROUP BY k ORDER BY k""".stripMargin,
 
+      // the SAME unrolled greedy as Ann.mmrDiversify: integer
+      // micro-cosine objective mmr10 = 7·rel − 3·max-red, chained
+      // CTE steps (pool/pairs once, then 4 argmax stages over the
+      // ≤20-row per-query pool); final mmr = exact int / 1e7
+      "a18_mmr_diversify" -> {
+        val poolSql =
+          s"""pool AS (SELECT query_id, nn_id, cos,
+             |    CAST(round(cos * 1000000) AS BIGINT) AS rel
+             |  FROM (SELECT query_id, nn_id, cos,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos DESC, nn_id) AS rk
+             |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+             |        ${cosSql("q.embedding", "c.embedding")} AS cos
+             |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             |      WHERE q.vec_id IN (0, 1, 2, 3, 4)))
+             |  WHERE rk <= 20),
+             |pairs AS (SELECT a.query_id, a.nn_id AS ai, b.nn_id AS bi,
+             |    CAST(round(${cosSql("av.embedding", "bv.embedding")} * 1000000)
+             |      AS BIGINT) AS pm
+             |  FROM pool a JOIN pool b
+             |    ON a.query_id = b.query_id AND a.nn_id <> b.nn_id
+             |  JOIN embeddings av ON av.vec_id = a.nn_id
+             |  JOIN embeddings bv ON bv.vec_id = b.nn_id)""".stripMargin
+        def stepSql(i: Int): String = {
+          val prev = (1 until i).map(j => s"SELECT query_id, nn_id FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""ch$i AS ($prev),
+             |s$i AS (SELECT query_id, $i AS pick_rank, nn_id, cos, rel, mmr10
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY mmr10 DESC, rel DESC, nn_id) AS rn
+             |    FROM (SELECT c.query_id, c.nn_id, c.cos, c.rel,
+             |        7 * c.rel - 3 * r.red AS mmr10
+             |      FROM pool c
+             |      JOIN (SELECT p.query_id, p.ai AS nn_id, max(p.pm) AS red
+             |          FROM pairs p JOIN ch$i s
+             |            ON p.query_id = s.query_id AND p.bi = s.nn_id
+             |          GROUP BY 1, 2) r
+             |        ON r.query_id = c.query_id AND r.nn_id = c.nn_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM ch$i s
+             |        WHERE s.query_id = c.query_id AND s.nn_id = c.nn_id)))
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH $poolSql,
+           |s1 AS (SELECT query_id, 1 AS pick_rank, nn_id, cos, rel,
+           |    7 * rel AS mmr10
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rel DESC, nn_id) AS rn FROM pool)
+           |  WHERE rn = 1),
+           |${(2 to 5).map(stepSql).mkString(",\n")},
+           |allp AS (${(1 to 5).map(i => s"SELECT * FROM s$i")
+              .mkString(" UNION ALL ")})
+           |SELECT query_id, pick_rank, nn_id, cos,
+           |  CAST(mmr10 AS DOUBLE) / 1e7 AS mmr
+           |FROM allp ORDER BY query_id, pick_rank""".stripMargin
+      },
+
       "a5_range_search" ->
         s"""SELECT query_id, nn_id, cos FROM (
            |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -3948,6 +4090,36 @@ object SparkEntry {
           |  round(CAST(sum(CASE WHEN e < 2000 * n THEN 1 ELSE 0 END) AS BIGINT)
           |    / CAST(count(*) AS DOUBLE), 6) AS silent_frac
           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // same 32-sample frame energies; cut by integer
+      // cross-multiplication, scenes = running cut sum, two roll-ups
+      "m9_scene_cuts" ->
+        """WITH b AS (SELECT doc_id, (j - 1) // 32 AS frame,
+          |    ord(substr(text, j, 1)) - 128 AS dv
+          |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
+          |    FROM documents)),
+          |f AS (SELECT doc_id, frame, count(*) AS n,
+          |    CAST(sum(dv * dv) AS BIGINT) AS e
+          |  FROM b GROUP BY 1, 2),
+          |g AS (SELECT doc_id, frame, e, n,
+          |    lag(e) OVER w AS pe, lag(n) OVER w AS pn
+          |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+          |c AS (SELECT doc_id, frame,
+          |    CASE WHEN pe IS NOT NULL AND abs(e * pn - pe * n) > 700 * n * pn
+          |      THEN 1 ELSE 0 END AS cut
+          |  FROM g),
+          |sc AS (SELECT doc_id, frame, cut,
+          |    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame
+          |      ROWS UNBOUNDED PRECEDING) AS scene
+          |  FROM c),
+          |seg AS (SELECT doc_id, scene, count(*) AS slen,
+          |    min(CASE WHEN cut = 1 THEN frame END) AS cutfr
+          |  FROM sc GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames,
+          |  CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+          |  CAST(max(slen) AS BIGINT) AS longest_scene,
+          |  CAST(min(cutfr) AS BIGINT) AS first_cut_frame
+          |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

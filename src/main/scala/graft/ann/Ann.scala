@@ -92,6 +92,88 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998 maximal
+    * marginal relevance) — the re-rank every RAG/retrieval stack runs
+    * so the k results are not k near-copies: greedily pick, from a
+    * relevance pool, the candidate maximizing
+    *
+    *   mmr(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)
+    *
+    * where S is the already-picked set. The pool is [[knnBrute]]'s
+    * exact top-`poolK` (any retrieval leg slots in — the pool, not
+    * the corpus, is what MMR ever touches), vectors re-attached by a
+    * broadcast join.
+    *
+    * Cross-engine exactness: both similarities are the round-6 cosine
+    * lifted to int64 MICRO-units, λ = lambdaTenths/10, and the MMR
+    * objective is pure integer cross-multiplication —
+    * mmr_µ10 = λ₁₀·rel_µ − (10−λ₁₀)·red_µ — so the greedy argmax
+    * (ties: rel_µ DESC, nn_id ASC) is decided on exact integers;
+    * the only floats out are the display round(…/1e7, 7).
+    *
+    * Shape: selection is inherently sequential in `selectK`, so the
+    * greedy UNROLLS into selectK−1 chained bounded steps — each an
+    * anti-join + pairs-max aggregate + per-query argmax window over
+    * ≤ poolK rows PER QUERY (per-query parallel at any query count;
+    * nothing driver-sized). The pool and its ≤ poolK² per-query pair
+    * table are localCheckpoint-materialized once — selectK plans
+    * re-deriving them would rerun the corpus leg each step. The
+    * DuckDB oracle replays the SAME unrolled greedy as chained CTEs:
+    * two independent derivations of each pick. */
+  def mmrDiversify(emb: DataFrame, id: String, vec: String,
+                   queryIds: Seq[Long], poolK: Int, selectK: Int,
+                   lambdaTenths: Int): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK, s"selectK in [1,$poolK]")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "λ₁₀ in [0,10]")
+    val vecs = emb.select(col(id).as("nn_id"), col(vec).as("__v"),
+      Vec.normNative(col(vec)).as("__nrm"))
+    val pool = knnBrute(emb, id, vec, queryIds, poolK)
+      .join(broadcast(vecs), Seq("nn_id"))
+      .select(col("query_id"), col("nn_id"), col("cos"),
+        round(col("cos") * 1e6).cast("long").as("__rel"),
+        col("__v"), col("__nrm"))
+      .localCheckpoint()
+    val a = pool.select(col("query_id"), col("nn_id").as("__ai"),
+      col("__v").as("__av"), col("__nrm").as("__an"))
+    val b = pool.select(col("query_id"), col("nn_id").as("__bi"),
+      col("__v").as("__bv"), col("__nrm").as("__bn"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("__ai") =!= col("__bi"))
+      .select(col("query_id"), col("__ai"), col("__bi"),
+        round(Vec.cosinePrenormed(col("__av"), col("__bv"),
+          col("__an"), col("__bn")) * 1e6).cast("long").as("__pm"))
+      .localCheckpoint()
+    val slim = pool.select(col("query_id"), col("nn_id"), col("cos"),
+      col("__rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__mmr10").desc, col("__rel").desc, col("nn_id").asc)
+    def argmax(cand: DataFrame, rank: Int): DataFrame = cand
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), lit(rank).as("pick_rank"), col("nn_id"),
+        col("cos"), col("__rel"), col("__mmr10"))
+    val first = argmax(
+      slim.withColumn("__mmr10", lit(lambdaTenths.toLong) * col("__rel")), 1)
+    val picked = (2 to selectK).foldLeft(first) { (sel, step) =>
+      val chosen = sel.select(col("query_id"), col("nn_id").as("__bi"))
+      val cand = slim.join(chosen.withColumnRenamed("__bi", "nn_id"),
+          Seq("query_id", "nn_id"), "left_anti")
+        .join(pairs.join(chosen, Seq("query_id", "__bi"))
+            .groupBy(col("query_id"), col("__ai").as("nn_id"))
+            .agg(max(col("__pm")).as("__red")),
+          Seq("query_id", "nn_id"))
+        .withColumn("__mmr10",
+          lit(lambdaTenths.toLong) * col("__rel") -
+            lit((10 - lambdaTenths).toLong) * col("__red"))
+      sel.unionByName(argmax(cand, step))
+    }
+    picked
+      .select(col("query_id"), col("pick_rank"), col("nn_id"), col("cos"),
+        // exact int64 / 1e7 — IEEE-identical on both engines, no round
+        (col("__mmr10").cast("double") / lit(1e7)).as("mmr"))
+      .orderBy(col("query_id"), col("pick_rank"))
+  }
+
   /** Per-dimension (min, max) corpus statistics — the SQ8 scalar
     * quantizer's training pass. ONE aggregate scan with 2·dims
     * map-side-partial min/max expressions (no explode: the exchange is

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
@@ -133,18 +134,7 @@ object Binary {
     * is the final rounded silent fraction. */
   def audioEnergy(docs: DataFrame, id: String, text: String,
                   frameSize: Int, silentMeanEnergy: Int): DataFrame = {
-    val len = length(col(text))
-    // len=0 must yield no rows (sequence(1,0) would count DOWN)
-    val idxs = when(len <= 0, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), len))
-    val samples = docs
-      .select(col(id), col(text).as("__t"), explode(idxs).as("__j"))
-      .select(col(id),
-        ((col("__j") - 1) / frameSize).cast("long").as("frame"),
-        (ascii(col("__t").substr(col("__j"), lit(1))) - 128).as("__dv"))
-    val frames = samples.groupBy(col(id), col("frame"))
-      .agg(count(lit(1)).as("__n"),
-        sum((col("__dv") * col("__dv")).cast("long")).as("__e"))
+    val frames = frameEnergies(docs, id, text, frameSize)
     frames.groupBy(col(id))
       .agg(
         count(lit(1)).as("n_frames"),
@@ -154,6 +144,74 @@ object Binary {
           lit(1L)).otherwise(lit(0L))).as("silent_frames"))
       .withColumn("silent_frac",
         round(col("silent_frames") / col("n_frames").cast("double"), 6))
+      .orderBy(col(id))
+  }
+
+  /** The (id, frame, __n, __e) frame-energy table [[audioEnergy]] and
+    * [[sceneCuts]] both roll up: stub-PCM samples (bytes as unsigned
+    * 8-bit, centered at 128 — THE STUB; production swaps in the
+    * codec's sample/pixel buffer) cut into `frameSize`-sample frames,
+    * each carrying its exact integer energy Σ(s−128)² and sample
+    * count. One positions explode (sample values, never payload
+    * blobs, enter the exchange) + a map-side-partial aggregate. */
+  private def frameEnergies(docs: DataFrame, id: String, text: String,
+                            frameSize: Int): DataFrame = {
+    val len = length(col(text))
+    // len=0 must yield no rows (sequence(1,0) would count DOWN)
+    val idxs = when(len <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), len))
+    val samples = docs
+      .select(col(id), col(text).as("__t"), explode(idxs).as("__j"))
+      .select(col(id),
+        ((col("__j") - 1) / frameSize).cast("long").as("frame"),
+        (ascii(col("__t").substr(col("__j"), lit(1))) - 128).as("__dv"))
+    samples.groupBy(col(id), col("frame"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__dv") * col("__dv")).cast("long")).as("__e"))
+  }
+
+  /** Scene-cut detection over stub-decoded frame energies — the
+    * content-detector shape every video curation pipeline runs
+    * (FFmpeg `scdet` / PySceneDetect: a cut where the mean inter-frame
+    * delta jumps past a threshold), here over [[frameEnergies]]'s
+    * stub frames so the plumbing — per-payload ordered frame pass,
+    * cut flags, scene segmentation, per-asset report — is real and
+    * oracle-checkable while the decode stays the documented stub.
+    *
+    * A frame opens a new scene when its MEAN energy moved more than
+    * `meanDeltaThr` from the previous frame's, decided by integer
+    * cross-multiplication (|e·n_prev − e_prev·n| > thr·n·n_prev — no
+    * division, exact under the ragged last frame). Scene ids are the
+    * running cut-flag sum; the longest-scene length needs the
+    * (id, scene) roll-up before the per-asset one.
+    *
+    * Shape: the frame table (tokens-family explode + partial agg),
+    * TWO windows partitioned by the asset id (lag + running sum —
+    * frames-per-asset is bounded by payload size, and the partition
+    * key is the high-cardinality id, so every window task holds one
+    * asset's frames), then two bounded aggregates. Single-frame
+    * assets report zero cuts and a 1-frame scene. */
+  def sceneCuts(docs: DataFrame, id: String, text: String,
+                frameSize: Int, meanDeltaThr: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("frame"))
+    val flagged = frameEnergies(docs, id, text, frameSize)
+      .withColumn("__pe", lag(col("__e"), 1).over(w))
+      .withColumn("__pn", lag(col("__n"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__pe").isNotNull &&
+          abs(col("__e") * col("__pn") - col("__pe") * col("__n")) >
+            lit(meanDeltaThr.toLong) * col("__n") * col("__pn"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__scene",
+        sum(col("__cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val scenes = flagged.groupBy(col(id), col("__scene"))
+      .agg(count(lit(1)).as("__slen"),
+        min(when(col("__cut") === 1, col("frame"))).as("__cutfr"))
+    scenes.groupBy(col(id))
+      .agg(sum(col("__slen")).as("n_frames"),
+        (count(lit(1)) - 1).as("n_cuts"),
+        max(col("__slen")).as("longest_scene"),
+        min(col("__cutfr")).as("first_cut_frame"))
       .orderBy(col(id))
   }
 

@@ -379,6 +379,59 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** Top-k PMI collocations — the keyword/phrase-extraction pass
+    * (Church & Hanks 1990) that sits next to x5's raw bigram counts
+    * and x23's bigram LM: rank adjacent word pairs by how much more
+    * often they co-occur than their unigram frequencies predict,
+    *
+    *   pmi_bits = bits(n_ab) + bits(N) − bits(n_a) − bits(n_b)
+    *
+    * the x11/x17 bit-length quantization of log2(n_ab·N/(n_a·n_b))
+    * with the corpus token count N as the shared normalizer — each
+    * operand takes bits() BEFORE any product, so the statistic is
+    * overflow-free pure int addition at ANY corpus size (n_ab·N
+    * alone would overflow int64 near 1e13 tokens). A float log PMI
+    * would be libm-dependent; the integer form ties coarsely, so the
+    * rank order is pinned by (pmi_bits, n_ab DESC, bigram ASC).
+    *
+    * Shape: one scan → bigram explode keyed on md5Prefix60 int64s
+    * (the x23 exchange-narrowing; the display string rides the
+    * VOCABULARY-sized aggregate as a min() payload, never the
+    * tokens-sized exchange), unigram counts derived from the SHARED
+    * (id, w, tf) table, two vocab-sized int64 equi-joins (head/tail),
+    * one broadcast total, TakeOrdered top-k — the ranked set never
+    * leaves a bounded heap. `minCount` prunes the hapax tail (the
+    * classic PMI degenerate: two words seen once, together — perfect
+    * PMI, zero evidence) before the joins, so the joined volume is
+    * the frequent-bigram table, not the bigram vocabulary. */
+  def pmiCollocations(docs: DataFrame, docWord: DataFrame,
+                      id: String, text: String,
+                      minCount: Int, k: Int): DataFrame = {
+    val bg = docs.select(explode(Text.bigrams(col(text))).as("bg"))
+      .select(Text.md5Prefix60(col("bg")).as("bgh"),
+        Text.md5Prefix60(substring_index(col("bg"), " ", 1)).as("ah"),
+        Text.md5Prefix60(substring_index(col("bg"), " ", -1)).as("th"),
+        col("bg"))
+      .groupBy(col("bgh"), col("ah"), col("th"))
+      .agg(count(lit(1)).as("n_ab"), min(col("bg")).as("bigram"))
+      .filter(col("n_ab") >= minCount)
+    // aggregated BY HASH (not by word) so a 60-bit collision merges
+    // counts identically on both engines instead of fanning the join
+    val wc = docWord.select(Text.md5Prefix60(col("w")).as("wh"), col("tf"))
+      .groupBy(col("wh")).agg(sum(col("tf")).as("cnt"))
+    val total = docWord.agg(sum(col("tf")).as("n_tok"))
+    bg
+      .join(wc.select(col("wh").as("ah"), col("cnt").as("n_a")), Seq("ah"))
+      .join(wc.select(col("wh").as("th"), col("cnt").as("n_b")), Seq("th"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        (length(bin(col("n_ab"))) + length(bin(col("n_tok"))) -
+          length(bin(col("n_a"))) - length(bin(col("n_b"))))
+          .cast("long").as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("n_ab").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-SOURCE lexical-drift report — the data-mixing diagnostic that
     * sits next to x12 (mixture quotas) and x18 (composition counts):
     * for each source, the average per-token rarity of its vocabulary

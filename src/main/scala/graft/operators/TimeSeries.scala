@@ -960,4 +960,54 @@ object TimeSeries {
       .orderBy(user)
   }
 
+  /** Lag-{1..maxLag} autocorrelation per key — the regularity
+    * diagnostic that completes the ts31–ts33 decomposition family
+    * (seasonal slots say WHERE the cycle sits; the ACF says whether
+    * successive samples predict each other at all): the standard
+    * biased estimator r_k = Σ_t d_t·d_{t+k} / Σ_t d_t², with
+    * d = x − x̄ per key.
+    *
+    * Cross-engine exactness follows the ts32 discipline: the mean is
+    * the one decimal-exact sum/count division, deviations are
+    * floor-quantized to int64 MILLI-units before any cross-row
+    * product (milli, not micro, so a product of two deviations stays
+    * ≤ ~1e12 and the decimal(38,0) sums are exact integers at any
+    * partitioning — the q6 scale cancels out of the ratio), and the
+    * only IEEE operation is the final ratio + round(6).
+    *
+    * Shape: one key-sized mean aggregate broadcast back, ONE window
+    * shuffle on the key carrying maxLag `lead`s, one key-sized
+    * aggregate. Keyed on a high-cardinality column (user), never the
+    * handful-of-groups series column — every window partition is one
+    * key's rows, the parallel-by-construction layout ([[rankSuite]]'s
+    * adversary does not arise). Tail leads past the series end
+    * contribute 0 via CASE, identically on both engines. */
+  def acf(df: DataFrame, key: String, ts: String, tie: String,
+          value: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag in [1,8], got $maxLag")
+    val means = df.groupBy(col(key))
+      .agg((sum(dec(col(value))).cast("double") / count(lit(1))).as("__mean"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val dev = df.join(broadcast(means), key)
+      .withColumn("__d",
+        floor((col(value) - col("__mean")) * lit(1000.0)).cast("long"))
+    val withLeads = (1 to maxLag).foldLeft(dev) { (acc, k) =>
+      acc.withColumn(s"__l$k", lead(col("__d"), k).over(w))
+    }
+    val aggs =
+      count(lit(1)).as("n_events") +:
+      sum((col("__d") * col("__d")).cast("decimal(38,0)")).as("__den") +:
+      (1 to maxLag).map(k =>
+        sum(when(col(s"__l$k").isNotNull,
+            (col("__d") * col(s"__l$k")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__num$k"))
+    val out = withLeads.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val acfCols = (1 to maxLag).map(k =>
+      when(col("__den") > 0,
+        round(col(s"__num$k").cast("double") / col("__den").cast("double"), 6))
+        .as(s"acf$k"))
+    out.select(col(key) +: col("n_events") +: acfCols: _*)
+      .orderBy(col(key))
+  }
+
 }
