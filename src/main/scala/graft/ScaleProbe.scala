@@ -318,7 +318,12 @@ object ScaleProbe {
       ("seasonal_strength", ev => TimeSeries.seasonalStrength(
         ev, "event_type", "ts", "value").count()),
       ("cusum_drift", ev => TimeSeries.cusumDrift(
-        ev, "user_id", "ts", "event_id", "value", 20).count()))
+        ev, "user_id", "ts", "event_id", "value", 20).count()),
+      // ts35: one broadcast mean join + ONE user-keyed window carrying
+      // 3 leads + a key-sized aggregate — the cusum class; should
+      // track the scan
+      ("acf", ev => TimeSeries.acf(
+        ev, "user_id", "ts", "event_id", "value", 3).count()))
     def bigramR13Form(docs: DataFrame): Long = {
       val t = split(col("text"), " ")
       val bgCol = explode(zip_with(
@@ -358,7 +363,20 @@ object ScaleProbe {
         graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
         1000).count()),
       ("audio_energy", docs => graft.multimodal.Binary.audioEnergy(
-        docs, "doc_id", "text", 256, 2000).count()))
+        docs, "doc_id", "text", 256, 2000).count()),
+      // x28: the x23 bigram-postings exchange + two vocab joins and a
+      // bounded TakeOrdered — should track bigram_lm's curve
+      ("pmi_colloc", docs => graft.operators.Pipeline.pmiCollocations(
+        docs, graft.operators.Pipeline.docWordTable(docs, "doc_id", "text"),
+        "doc_id", "text", 5, 20).count()),
+      // m9: the m8 per-byte explode + two id-partitioned windows over
+      // bounded per-asset frames — the same steep samples-volume
+      // multiplier, windows adding no cross-asset exchange
+      ("scene_cuts", docs => graft.multimodal.Binary.sceneCuts(
+        docs, "doc_id", "text", 32, 700).count()))
+    // a18 (MMR) is deliberately absent: its only corpus-dependent term
+    // is a1's brute scan (covered by the ANN sweeps); the greedy is
+    // bounded at poolK rows/query by construction (R14LateOpsSpec)
     val (nk1e, nk8e) = interleave(madOps, e1, e8)
     val (nk1d, nk8d) = interleave(bigramOps, d1, d8)
     val (nk1, nk8) = (nk1e ++ nk1d, nk8e ++ nk8d)
