@@ -127,11 +127,17 @@ object Ann {
     require(lambdaTenths >= 0 && lambdaTenths <= 10, "λ₁₀ in [0,10]")
     val vecs = emb.select(col(id).as("nn_id"), col(vec).as("__v"),
       Vec.normNative(col(vec)).as("__nrm"))
+    // pool/pairs/picks all hash-partitioned on query_id (one partition
+    // per query at this query count, queries-proportional at scale):
+    // every per-step join clusters on query_id, so the greedy's 5
+    // bounded jobs run exchange-free over the checkpointed tables
+    val nParts = math.max(1, queryIds.size)
     val pool = knnBrute(emb, id, vec, queryIds, poolK)
       .join(broadcast(vecs), Seq("nn_id"))
       .select(col("query_id"), col("nn_id"), col("cos"),
         round(col("cos") * 1e6).cast("long").as("__rel"),
         col("__v"), col("__nrm"))
+      .repartition(nParts, col("query_id"))
       .localCheckpoint()
     val a = pool.select(col("query_id"), col("nn_id").as("__ai"),
       col("__v").as("__av"), col("__nrm").as("__an"))
@@ -152,8 +158,15 @@ object Ann {
       .filter(col("__rn") === 1)
       .select(col("query_id"), lit(rank).as("pick_rank"), col("nn_id"),
         col("cos"), col("__rel"), col("__mmr10"))
+    // each pick is localCheckpoint-materialized (a queries-sized job):
+    // without the cut, step k's plan embeds step k−1's TWICE (once as
+    // the anti-join side, once in the union) — 2^k tree blowup whose
+    // analysis/codegen cost dwarfs the bounded data (measured 7.3s vs
+    // 1.0s at sf0.1 for selectK=5). With it every step is a flat plan
+    // over the two checkpointed tables + tiny pick leaves.
     val first = argmax(
       slim.withColumn("__mmr10", lit(lambdaTenths.toLong) * col("__rel")), 1)
+      .localCheckpoint()
     val picked = (2 to selectK).foldLeft(first) { (sel, step) =>
       val chosen = sel.select(col("query_id"), col("nn_id").as("__bi"))
       val cand = slim.join(chosen.withColumnRenamed("__bi", "nn_id"),
@@ -165,7 +178,7 @@ object Ann {
         .withColumn("__mmr10",
           lit(lambdaTenths.toLong) * col("__rel") -
             lit((10 - lambdaTenths).toLong) * col("__red"))
-      sel.unionByName(argmax(cand, step))
+      sel.unionByName(argmax(cand, step).localCheckpoint())
     }
     picked
       .select(col("query_id"), col("pick_rank"), col("nn_id"), col("cos"),
