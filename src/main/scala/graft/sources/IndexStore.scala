@@ -57,9 +57,19 @@ object IndexStore {
       .exists(v => v == "0" || v.equalsIgnoreCase("off") ||
         v.equalsIgnoreCase("false"))
 
+  /** Bucket count for written index tables. Joins/aggregations on the
+    * bucket key inherit the table's bucket count as their parallelism
+    * (bucketed scans are never AQE-split), so this must match the
+    * compute width: the original 8 capped every loaded-index join at
+    * 8 tasks on the 32-thread box — measured 4x on d11's pair join at
+    * sf1 (34.5s loaded vs 8.3s built; 34.5 ≈ 8.3 · 32/8). Default 32
+    * = the session's shuffle-partition width; at lake scale set
+    * GRAFT_INDEX_BUCKETS to the corpus-appropriate count (hundreds+ —
+    * same sizing rule as shuffle partitions). Already-written tables
+    * keep their recorded bucket spec until re-primed. */
   def buckets: Int =
     sys.props.get("GRAFT_INDEX_BUCKETS").orElse(sys.env.get("GRAFT_INDEX_BUCKETS"))
-      .map(_.toInt).getOrElse(8)
+      .map(_.toInt).getOrElse(32)
 
   /** Deterministic per-(corpus dir, artifact) table name: dir basename
     * for readability + full-path hash for uniqueness. */
@@ -158,13 +168,28 @@ object IndexStore {
   }
 
   /** The cache getters' hook: loaded table when [[enabled]] and
-    * present, else `build` (the caller persists the built fallback;
-    * loaded tables need no MEMORY_AND_DISK copy — the bucketed files
-    * ARE the cache, and caching would hide their partitioning from
-    * the planner). */
+    * present, else `build`.
+    *
+    * The LOADED branch is persisted MEMORY_AND_DISK, mirroring every
+    * getter's built branch. r13/r14 first shipped it UNPERSISTED on
+    * the theory that the bucketed files are the cache and caching
+    * would hide their partitioning from the planner — true, but the
+    * measured trade flips hard at scale: warm multi-scan consumers
+    * (x16's adaptive router, d4's pair join, d11's two pair legs)
+    * re-read bucketed parquet on every scan, and the sf1 bench read
+    * 202s/150 in load mode vs ~89s/131 warm-RAM build mode (x16
+    * alone 65s vs its 21-30s RAM band; sf0.1's +0.4s "tax" was the
+    * small-scale edge of a 2-3x-per-consumer cost). The in-RAM copy
+    * re-pays the r13 warm behavior; the join shuffles it re-adds are
+    * the ones build mode always had. Cold first touch reads the
+    * parquet once either way — INDEX_AB's cold-load win stands.
+    * Direct `load`/`spark.table` reads (IndexStoreSpec's bucket
+    * pruning) stay unpersisted and keep the bucketed scan. */
   def loadOr(spark: SparkSession, dir: String, artifact: String)
             (build: => DataFrame): DataFrame =
-    if (enabled && exists(spark, dir, artifact)) load(spark, dir, artifact)
+    if (enabled && exists(spark, dir, artifact))
+      load(spark, dir, artifact)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else build
 
   /** [[loadOr]] plus WRITE-THROUGH on a miss — the self-priming hook
@@ -176,7 +201,9 @@ object IndexStore {
     * session-cached (stderr note), never fails the query. */
   def loadOrWrite(spark: SparkSession, dir: String, artifact: String,
                   bucketKey: Option[String])(build: => DataFrame): DataFrame =
-    if (enabled && exists(spark, dir, artifact)) load(spark, dir, artifact)
+    if (enabled && exists(spark, dir, artifact))
+      load(spark, dir, artifact)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else {
       val df = build
       if (enabled) {

@@ -78,7 +78,20 @@ class IndexStoreSpec extends SparkSpec {
       // fall back to a non-bucketed scan (autoBucketedScan) and skip
       // pruning — pin the bucketed scan the way a probe session would
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val probedCells = bProbed.map(_(1).asInstanceOf[Long]).toSeq.sorted
+      // the getters above PERSISTED the loaded tables (the r14 warm
+      // fix), and Spark's cache manager would substitute the cached
+      // full-scan for any later query over the same table — the plan
+      // string would then carry the cache-time "32 out of 32", hiding
+      // the pruning under test. Drop the caches so the probes below
+      // hit the real bucketed parquet scan.
+      freshCaches()
+      // pin the pruning MECHANIC with a NARROW probe (2 cells → ≤ 2
+      // buckets selected): the full production probe covers most of
+      // sf0.001's ~32 cells, so at 32 buckets it legitimately hashes
+      // into every bucket and `selected < total` would be pinned to a
+      // hash accident, not to pruning
+      val probedCells = bProbed.map(_(1).asInstanceOf[Long])
+        .toSeq.distinct.sorted.take(2)
       def selected(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
         val plan = df.queryExecution.executedPlan.toString
         val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
@@ -110,7 +123,10 @@ class IndexStoreSpec extends SparkSpec {
       assert(rows(CellIndexCache.embeddingsWithCell(spark, sfDir)) == bCells)
       assert(rows(CellIndexCache.scaledPairs(spark, sfDir)) == bPairs)
       assert(rows(ClusterCache.documents(spark, sfDir)) == bClus)
-      // the re-registered table is bucketed again (pruning still on)
+      // the re-registered table is bucketed again (pruning still on);
+      // drop the getter caches first for the same cache-substitution
+      // reason as above
+      freshCaches()
       val (selC2, totC2) = selected(
         IndexStore.load(spark, sfDir, "cells")
           .filter(col("cell").isin(probedCells: _*)))
