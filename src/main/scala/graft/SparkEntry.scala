@@ -541,10 +541,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "d4_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairsFrom(
-        graft.dedup.ClusterCache.postings(s, d, 3), 0.12,
-        dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
-        statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3)))
+      graft.dedup.ClusterCache.jaccardPairs(s, d, 3, 0.12)
         .orderBy("id_a", "id_b")),
 
     // cosine ≥ τ pairs over CORPUS-PROPORTIONAL coarse cells (k ≈ n/64
@@ -630,10 +627,7 @@ object SparkEntry {
     "d11_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallBands(
         graft.dedup.ClusterCache.minhashPairs(s, d),
-        Dedup.ngramJaccardPairsFrom(
-          graft.dedup.ClusterCache.postings(s, d, 3), 0.12,
-          dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
-          statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3))))),
+        graft.dedup.ClusterCache.jaccardPairs(s, d, 3, 0.12))),
 
     // ---- P. composed end-to-end pipeline ---------------------------------
     // the whole-corpus curation chain (exact dedup -> near-dup

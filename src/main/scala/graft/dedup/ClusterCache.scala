@@ -16,7 +16,9 @@ import graft.util.SessionCache
   */
 object ClusterCache {
   private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
+  private case class JKey(session: Int, dir: String, n: Int, tauBp: Int)
   private val pairCache = SessionCache.forDf[Key]
+  private val jpairCache = SessionCache.forDf[JKey]
   private val cache = SessionCache.forDf[Key]
   private val postingsCache = SessionCache.forDf[Key]
   private val dfCache = SessionCache.forDf[Key]
@@ -100,6 +102,37 @@ object ClusterCache {
     statsCache.getOrBuild(Key(System.identityHashCode(spark), dir, n, 0, 0))(
       Dedup.dfSkewStats(shingleDf(spark, dir, n)))
 
+  /** τ-stamped artifact name for [[jaccardPairs]] — τ in basis points
+    * (0.12 → t1200), d4's parameter-stamping rule: a different τ is a
+    * different table, never a silently-reused one. */
+  def jaccardPairsArtifact(n: Int, tau: Double): String =
+    s"jpairs_n${n}_t${math.round(tau * 10000)}"
+
+  /** The shared EXACT n-gram Jaccard verified-pair table
+    * (id_a, id_b, shared, jaccard ≥ τ) over [[postings]] — durable and
+    * τ-stamped, so the adaptive postings join (the costliest dedup
+    * computation after the LSH build: 8.4s at sf1 for the τ=0.12
+    * table) runs once per (corpus, τ) and every consumer — d4's pair
+    * report, d11's recall truth leg — is a pure reader of the bucketed
+    * table. Every τ self-primes via [[graft.sources.IndexStore
+    * .loadOrWrite]]'s write-through (the RetrievalCache
+    * parameter-stamped-candidate pattern): first touch builds and
+    * writes, later sessions load; a corpus-content change invalidates
+    * the fingerprinted manifest and forces a rebuild. */
+  def jaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+                   tau: Double = 0.12): DataFrame =
+    jpairCache.getOrBuild(
+        JKey(System.identityHashCode(spark), dir, n,
+          math.round(tau * 10000).toInt)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          jaccardPairsArtifact(n, tau), Some("id_a")) {
+        Dedup.ngramJaccardPairsFrom(postings(spark, dir, n), tau,
+            dfcPre = Some(shingleDf(spark, dir, n)),
+            statsPre = Some(dfSkewStats(spark, dir, n)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
@@ -131,7 +164,8 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, postingsCache, dfCache, docWordCache, docLenCache)
+    Seq(cache, pairCache, jpairCache, postingsCache, dfCache, docWordCache,
+        docLenCache)
       .foreach(_.clear())
     statsCache.clear()
   }

@@ -988,18 +988,25 @@ object TimeSeries {
     val means = df.groupBy(col(key))
       .agg((sum(dec(col(value))).cast("double") / count(lit(1))).as("__mean"))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    // narrow BEFORE the window: the shuffle carries exactly
+    // (key, ts, tie, __d), not the full event width
     val dev = df.join(broadcast(means), key)
-      .withColumn("__d",
-        floor((col(value) - col("__mean")) * lit(1000.0)).cast("long"))
+      .select(col(key), col(ts), col(tie),
+        floor((col(value) - col("__mean")) * lit(1000.0)).cast("long")
+          .as("__d"))
     val withLeads = (1 to maxLag).foldLeft(dev) { (acc, k) =>
       acc.withColumn(s"__l$k", lead(col("__d"), k).over(w))
     }
+    // products in decimal(38,0), NOT long: long*long overflows once
+    // |d| > ~3.0e9 milli-units; decimal(38,0) holds any long*long
+    // product exactly (max 8.5e37 < 1e38) and matches the oracle's
+    // HUGEINT widening instead of silently wrapping
+    def dd(c: Column) = c.cast("decimal(38,0)")
     val aggs =
       count(lit(1)).as("n_events") +:
-      sum((col("__d") * col("__d")).cast("decimal(38,0)")).as("__den") +:
+      sum(dd(col("__d")) * dd(col("__d"))).as("__den") +:
       (1 to maxLag).map(k =>
-        sum(when(col(s"__l$k").isNotNull,
-            (col("__d") * col(s"__l$k")).cast("decimal(38,0)"))
+        sum(when(col(s"__l$k").isNotNull, dd(col("__d")) * dd(col(s"__l$k")))
           .otherwise(lit(0).cast("decimal(38,0)"))).as(s"__num$k"))
     val out = withLeads.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     val acfCols = (1 to maxLag).map(k =>

@@ -138,6 +138,44 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs: tau-stamped names, write-through self-prime, loaded == built") {
+    // tau rides in the table name (the d4 parameter-stamping rule)
+    assert(ClusterCache.jaccardPairsArtifact(3, 0.12)
+      != ClusterCache.jaccardPairsArtifact(3, 0.5))
+    assert(ClusterCache.jaccardPairsArtifact(3, 0.12) == "jpairs_n3_t1200")
+
+    // build-mode reference (pure session build, no durable table)
+    sys.props(IndexStore.EnvFlag) = "0"
+    freshCaches()
+    val built = rows(ClusterCache.jaccardPairs(spark, sfDir, 3, 0.12))
+    assert(built.nonEmpty)
+
+    // load mode, artifact absent: first touch must WRITE THROUGH
+    sys.props.remove(IndexStore.EnvFlag)
+    freshCaches()
+    val art = ClusterCache.jaccardPairsArtifact(3, 0.12)
+    val name = IndexStore.tableName(sfDir, art)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+    try {
+      assert(!IndexStore.exists(spark, sfDir, art))
+      assert(rows(ClusterCache.jaccardPairs(spark, sfDir, 3, 0.12)) == built)
+      assert(IndexStore.exists(spark, sfDir, art), "write-through did not prime")
+      // fresh caches: the getter now serves the LOADED table, bit-equal
+      freshCaches()
+      assert(rows(ClusterCache.jaccardPairs(spark, sfDir, 3, 0.12)) == built)
+      // d11/d4 stay green as pure consumers of the loaded artifact
+      val d11 = SparkEntry.queries("d11_lsh_recall")(spark, sfDir).collect()
+      assert(d11.nonEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+      freshCaches()
+    }
+  }
+
   test("primeIfMissing writes only missing; stale corpus fingerprint forces rebuild") {
     import java.nio.file.{Files, Paths}
     sys.props.remove(IndexStore.EnvFlag) // the r14 default: auto-load
