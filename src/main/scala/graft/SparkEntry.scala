@@ -40,6 +40,14 @@ object SparkEntry {
   private val A2Probe = 3
   private val A2Tables = 16
   private val A2Seed = 42L
+  // a18 MMR constants, shared by the Spark wiring and the oracle SQL
+  // (the A2Planes pattern): λ₁₀ splits the integer objective into
+  // λ₁₀·rel − (10−λ₁₀)·red on BOTH engines, so changing any of these
+  // moves query and oracle together
+  private val MmrPoolK = 20
+  private val MmrSelectK = 5
+  private val MmrLambdaTenths = 7
+  private val MmrQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
   // x13's blocklist (all present in the synthetic 31-word vocabulary,
   // so the density test discriminates instead of flagging everything).
   // Shared by the entry and the oracle SQL so a retune cannot
@@ -694,7 +702,7 @@ object SparkEntry {
     // into bounded per-query steps, oracle replays the same unroll
     "a18_mmr_diversify" -> ((s, d) =>
       Ann.mmrDiversify(Tables.embeddings(s, d), "vec_id", "embedding",
-        Seq(0L, 1L, 2L, 3L, 4L), 20, 5, 7)),
+        MmrQueryIds, MmrPoolK, MmrSelectK, MmrLambdaTenths)),
 
     "a2_ann_lsh" -> ((s, d) =>
       Ann.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -3245,10 +3253,14 @@ object SparkEntry {
           |FROM j CROSS JOIN ks WHERE tr <= k GROUP BY k ORDER BY k""".stripMargin,
 
       // the SAME unrolled greedy as Ann.mmrDiversify: integer
-      // micro-cosine objective mmr10 = 7·rel − 3·max-red, chained
-      // CTE steps (pool/pairs once, then 4 argmax stages over the
-      // ≤20-row per-query pool); final mmr = exact int / 1e7
+      // micro-cosine objective mmr10 = λ₁₀·rel − (10−λ₁₀)·max-red,
+      // chained CTE steps (pool/pairs once, then selectK−1 argmax
+      // stages over the ≤poolK-row per-query pool); final mmr = exact
+      // int / 1e7. All constants interpolated from the shared Mmr*
+      // vals so the oracle cannot desynchronize from the Spark plan.
       "a18_mmr_diversify" -> {
+        val lam = MmrLambdaTenths
+        val oneMinusLam = 10 - MmrLambdaTenths
         val poolSql =
           s"""pool AS (SELECT query_id, nn_id, cos,
              |    CAST(round(cos * 1000000) AS BIGINT) AS rel
@@ -3258,8 +3270,8 @@ object SparkEntry {
              |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
              |        ${cosSql("q.embedding", "c.embedding")} AS cos
              |      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-             |      WHERE q.vec_id IN (0, 1, 2, 3, 4)))
-             |  WHERE rk <= 20),
+             |      WHERE q.vec_id IN (${MmrQueryIds.mkString(", ")})))
+             |  WHERE rk <= $MmrPoolK),
              |pairs AS (SELECT a.query_id, a.nn_id AS ai, b.nn_id AS bi,
              |    CAST(round(${cosSql("av.embedding", "bv.embedding")} * 1000000)
              |      AS BIGINT) AS pm
@@ -3275,7 +3287,7 @@ object SparkEntry {
              |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
              |      ORDER BY mmr10 DESC, rel DESC, nn_id) AS rn
              |    FROM (SELECT c.query_id, c.nn_id, c.cos, c.rel,
-             |        7 * c.rel - 3 * r.red AS mmr10
+             |        $lam * c.rel - $oneMinusLam * r.red AS mmr10
              |      FROM pool c
              |      JOIN (SELECT p.query_id, p.ai AS nn_id, max(p.pm) AS red
              |          FROM pairs p JOIN ch$i s
@@ -3288,12 +3300,12 @@ object SparkEntry {
         }
         s"""WITH $poolSql,
            |s1 AS (SELECT query_id, 1 AS pick_rank, nn_id, cos, rel,
-           |    7 * rel AS mmr10
+           |    $lam * rel AS mmr10
            |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY rel DESC, nn_id) AS rn FROM pool)
            |  WHERE rn = 1),
-           |${(2 to 5).map(stepSql).mkString(",\n")},
-           |allp AS (${(1 to 5).map(i => s"SELECT * FROM s$i")
+           |${(2 to MmrSelectK).map(stepSql).mkString(",\n")},
+           |allp AS (${(1 to MmrSelectK).map(i => s"SELECT * FROM s$i")
               .mkString(" UNION ALL ")})
            |SELECT query_id, pick_rank, nn_id, cos,
            |  CAST(mmr10 AS DOUBLE) / 1e7 AS mmr

@@ -111,26 +111,33 @@ object Ann {
     * (ties: rel_µ DESC, nn_id ASC) is decided on exact integers;
     * the only floats out are the display round(…/1e7, 7).
     *
-    * Shape: selection is inherently sequential in `selectK`, so the
-    * greedy UNROLLS into selectK−1 chained bounded steps — each an
-    * anti-join + pairs-max aggregate + per-query argmax window over
-    * ≤ poolK rows PER QUERY (per-query parallel at any query count;
-    * nothing driver-sized). The pool and its ≤ poolK² per-query pair
-    * table are localCheckpoint-materialized once — selectK plans
-    * re-deriving them would rerun the corpus leg each step. The
-    * DuckDB oracle replays the SAME unrolled greedy as chained CTEs:
-    * two independent derivations of each pick. */
+    * Shape: selection is inherently sequential in `selectK`, but the
+    * sequence is FOLDED into one per-query pass: the pool's ≤ poolK²
+    * pair similarities collapse to a per-query map, the candidates to
+    * a per-query (rel DESC, nn_id ASC)-sorted array, and the greedy
+    * runs as a single `aggregate` HOF over the step sequence — the
+    * accumulator (picked (index, mmr) list) is a lambda VARIABLE, so
+    * the plan carries ONE step expression, not selectK−1 chained
+    * subplans. Per-query work is the same bounded
+    * selectK·poolK·|picked| integer loop the unrolled form paid, but
+    * the job count drops from ~selectK+2 launches to 2 (measured
+    * 2.13s → see NOTES_r15; the r14 unrolled form with per-pick
+    * localCheckpoints was itself the fix for a 7.3s plan-blowup
+    * form). Interpreted-HOF cost is bounded by poolK²·selectK per
+    * QUERY — queries-proportional, never corpus-proportional. The
+    * DuckDB oracle replays the SAME greedy as chained CTEs: two
+    * independent derivations of each pick. */
   def mmrDiversify(emb: DataFrame, id: String, vec: String,
                    queryIds: Seq[Long], poolK: Int, selectK: Int,
                    lambdaTenths: Int): DataFrame = {
     require(selectK >= 1 && selectK <= poolK, s"selectK in [1,$poolK]")
     require(lambdaTenths >= 0 && lambdaTenths <= 10, "λ₁₀ in [0,10]")
+    val lam = lit(lambdaTenths.toLong)
+    val oml = lit((10 - lambdaTenths).toLong)
     val vecs = emb.select(col(id).as("nn_id"), col(vec).as("__v"),
       Vec.normNative(col(vec)).as("__nrm"))
-    // pool/pairs/picks all hash-partitioned on query_id (one partition
-    // per query at this query count, queries-proportional at scale):
-    // every per-step join clusters on query_id, so the greedy's 5
-    // bounded jobs run exchange-free over the checkpointed tables
+    // one materialized job: the corpus leg (brute top-poolK + vector
+    // re-attach), partitioned by query_id
     val nParts = math.max(1, queryIds.size)
     val pool = knnBrute(emb, id, vec, queryIds, poolK)
       .join(broadcast(vecs), Seq("nn_id"))
@@ -143,47 +150,59 @@ object Ann {
       col("__v").as("__av"), col("__nrm").as("__an"))
     val b = pool.select(col("query_id"), col("nn_id").as("__bi"),
       col("__v").as("__bv"), col("__nrm").as("__bn"))
-    val pairs = a.join(b, Seq("query_id"))
+    // ≤ poolK² pair micro-cosines per query, folded to ONE map column
+    // (key "ai:bi") — the same codegen'd cosinePrenormed expression as
+    // the unrolled form, exactness unchanged
+    val pmm = a.join(b, Seq("query_id"))
       .filter(col("__ai") =!= col("__bi"))
-      .select(col("query_id"), col("__ai"), col("__bi"),
+      .select(col("query_id"), concat_ws(":", col("__ai"), col("__bi")).as("__k"),
         round(Vec.cosinePrenormed(col("__av"), col("__bv"),
           col("__an"), col("__bn")) * 1e6).cast("long").as("__pm"))
-      .localCheckpoint()
-    val slim = pool.select(col("query_id"), col("nn_id"), col("cos"),
-      col("__rel"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__mmr10").desc, col("__rel").desc, col("nn_id").asc)
-    def argmax(cand: DataFrame, rank: Int): DataFrame = cand
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), lit(rank).as("pick_rank"), col("nn_id"),
-        col("cos"), col("__rel"), col("__mmr10"))
-    // each pick is localCheckpoint-materialized (a queries-sized job):
-    // without the cut, step k's plan embeds step k−1's TWICE (once as
-    // the anti-join side, once in the union) — 2^k tree blowup whose
-    // analysis/codegen cost dwarfs the bounded data (measured 7.3s vs
-    // 1.0s at sf0.1 for selectK=5). With it every step is a flat plan
-    // over the two checkpointed tables + tiny pick leaves.
-    val first = argmax(
-      slim.withColumn("__mmr10", lit(lambdaTenths.toLong) * col("__rel")), 1)
-      .localCheckpoint()
-    val picked = (2 to selectK).foldLeft(first) { (sel, step) =>
-      val chosen = sel.select(col("query_id"), col("nn_id").as("__bi"))
-      val cand = slim.join(chosen.withColumnRenamed("__bi", "nn_id"),
-          Seq("query_id", "nn_id"), "left_anti")
-        .join(pairs.join(chosen, Seq("query_id", "__bi"))
-            .groupBy(col("query_id"), col("__ai").as("nn_id"))
-            .agg(max(col("__pm")).as("__red")),
-          Seq("query_id", "nn_id"))
-        .withColumn("__mmr10",
-          lit(lambdaTenths.toLong) * col("__rel") -
-            lit((10 - lambdaTenths).toLong) * col("__red"))
-      sel.unionByName(argmax(cand, step).localCheckpoint())
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("__k"), col("__pm"))))
+        .as("__pmm"))
+    // candidates, array-sorted by the argmax tie order (rel DESC,
+    // nn_id ASC) so "first strictly-greater wins" over positions IS
+    // the unrolled window's (mmr10 DESC, rel DESC, nn_id ASC)
+    val cs = pool.groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct((-col("__rel")).as("nr"),
+        col("nn_id"), col("__rel").as("rel"), col("cos")))).as("__cs"))
+    val joined = cs.join(pmm, Seq("query_id"), "left")
+    val csC = col("__cs")
+    def cAt(i: Column) = element_at(csC, i + 1)
+    val minL = lit(Long.MinValue)
+    // one greedy step: argmax over unpicked positions of
+    // λ₁₀·rel − (10−λ₁₀)·max_{picked} pm, appended to the accumulator
+    // (sentinel i = −1 when no candidate remains: acc unchanged)
+    def step(acc: Column): Column = {
+      val avail = filter(sequence(lit(0), size(csC) - 1),
+        x => !exists(acc, p => p.getField("i") === x))
+      val best = aggregate(avail,
+        struct(lit(-1).as("i"), minL.as("m")),
+        (bst, x) => {
+          val red = aggregate(acc, minL, (r, p) => greatest(r,
+            element_at(col("__pmm"), concat_ws(":",
+              cAt(x).getField("nn_id"), cAt(p.getField("i")).getField("nn_id")))))
+          val m = lam * cAt(x).getField("rel") - oml * red
+          when(m > bst.getField("m"), struct(x.as("i"), m.as("m")))
+            .otherwise(bst)
+        })
+      when(best.getField("i") === -1, acc)
+        .otherwise(concat(acc, array(best)))
     }
-    picked
-      .select(col("query_id"), col("pick_rank"), col("nn_id"), col("cos"),
+    val firstAcc = array(struct(lit(0).as("i"),
+      (lam * cAt(lit(0)).getField("rel")).as("m")))
+    val picked =
+      if (selectK == 1) firstAcc
+      else aggregate(sequence(lit(2), lit(selectK)), firstAcc,
+        (acc, _) => step(acc))
+    joined
+      .select(col("query_id"), csC, posexplode(picked).as(Seq("__pos", "__p")))
+      .select(col("query_id"), (col("__pos") + 1).as("pick_rank"),
+        cAt(col("__p").getField("i")).getField("nn_id").as("nn_id"),
+        cAt(col("__p").getField("i")).getField("cos").as("cos"),
         // exact int64 / 1e7 — IEEE-identical on both engines, no round
-        (col("__mmr10").cast("double") / lit(1e7)).as("mmr"))
+        (col("__p").getField("m").cast("double") / lit(1e7)).as("mmr"))
       .orderBy(col("query_id"), col("pick_rank"))
   }
 

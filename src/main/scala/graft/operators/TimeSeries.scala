@@ -27,6 +27,16 @@ object TimeSeries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
 
+  /** Group-cardinality bound for the cutoff-selection quantile
+    * operators ([[exactQuantiles]], [[madOutliers]]): their selection
+    * maps are driver-literal per group — output-sized state, which is
+    * only the right trade for per-SERIES reports. 10⁴ groups ≈ a few
+    * MB of literal plan (the measured practical edge); beyond it the
+    * honest answers are approx_percentile or a distributed rank
+    * construction, and the operators fail fast with ≤ this many rows
+    * collected rather than building a driver-sized plan. */
+  val MaxQuantileGroups = 10000
+
   /** Tumbling-window aggregate: per (series, day-bucket) count/sum/avg. */
   def tumblingDaily(df: DataFrame, series: String, ts: String, value: String): DataFrame =
     df.groupBy(col(series), date_format(col(ts), "yyyy-MM-dd").as("day"))
@@ -284,13 +294,25 @@ object TimeSeries {
     val t = df.select(col(group).as("__g"), col(value).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
     val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
-    // action 1: per-group approx cutoffs (bounded GK sketch state)
+    // action 1: per-group approx cutoffs (bounded GK sketch state).
+    // GUARDED group cardinality: the selection maps are driver-literal
+    // per group (O(groups × parts) plan state — same class as the
+    // operator's own per-group report), which is only right for
+    // per-SERIES reports (ts9/ts30/s5: ≤ dozens of groups). The
+    // limit(MaxGroups+1) bounds the driver collect itself, so a
+    // 10⁶-group caller fails fast here with ≤ MaxGroups+1 rows
+    // materialized — never a driver-sized plan.
+    val cutsRaw = t.groupBy(col("__g"))
+      .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
+      .limit(MaxQuantileGroups + 1).collect().toSeq
+    require(cutsRaw.length <= MaxQuantileGroups,
+      s"exactQuantiles: more than $MaxQuantileGroups groups in '$group' — " +
+        "the cutoff-selection state is O(groups × parts) on the driver, " +
+        "sized for per-series reports. For high-cardinality groups use " +
+        "approx_percentile, or rankSuite's distributed construction.")
     val cutsByGroup: Seq[(Any, Seq[Double])] =
-      t.groupBy(col("__g"))
-        .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-        .collect().toSeq
-        .map(r => (r.get(0),
-          Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
+      cutsRaw.map(r => (r.get(0),
+        Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
     val rows = selectQuantiles(t, cutsByGroup, ps)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(group, gType) +:
@@ -430,10 +452,17 @@ object TimeSeries {
       .filter(col("__v").isNotNull && col("__g").isNotNull)
     val parts = 32
     val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
-    // action 1: value cutoffs — shared by BOTH medians below
-    val cutsByGroup: Seq[(Any, Seq[Double])] = t.groupBy(col("__g"))
+    // action 1: value cutoffs — shared by BOTH medians below; group
+    // cardinality guarded like exactQuantiles (limit bounds the
+    // collect itself, so the guard never materializes unbounded state)
+    val cutsRaw = t.groupBy(col("__g"))
       .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-      .collect().toSeq
+      .limit(MaxQuantileGroups + 1).collect().toSeq
+    require(cutsRaw.length <= MaxQuantileGroups,
+      s"madOutliers: more than $MaxQuantileGroups series in '$series' — " +
+        "selection state is O(series × parts) on the driver, sized for " +
+        "per-series reports; use approx_percentile for high cardinality.")
+    val cutsByGroup: Seq[(Any, Seq[Double])] = cutsRaw
       .map(r => (r.get(0),
         Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
     if (cutsByGroup.isEmpty)

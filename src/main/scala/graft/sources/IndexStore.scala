@@ -60,16 +60,19 @@ object IndexStore {
   /** Bucket count for written index tables. Joins/aggregations on the
     * bucket key inherit the table's bucket count as their parallelism
     * (bucketed scans are never AQE-split), so this must match the
-    * compute width: the original 8 capped every loaded-index join at
+    * compute width: a fixed 8 capped every loaded-index join at
     * 8 tasks on the 32-thread box — measured 4x on d11's pair join at
-    * sf1 (34.5s loaded vs 8.3s built; 34.5 ≈ 8.3 · 32/8). Default 32
-    * = the session's shuffle-partition width; at lake scale set
-    * GRAFT_INDEX_BUCKETS to the corpus-appropriate count (hundreds+ —
-    * same sizing rule as shuffle partitions). Already-written tables
-    * keep their recorded bucket spec until re-primed. */
-  def buckets: Int =
+    * sf1 (34.5s loaded vs 8.3s built; 34.5 ≈ 8.3 · 32/8). Default =
+    * the WRITING session's shuffle-partition width (which Bench/Verify
+    * set to SPARK_GRAFT_CPUS — so the count tracks the box, 32 here,
+    * 3 at the CPUS3 gate, hundreds on a cluster: the same sizing rule
+    * as shuffle partitions). GRAFT_INDEX_BUCKETS overrides when the
+    * write box and the read fleet differ. Already-written tables keep
+    * their recorded bucket spec until re-primed. */
+  def buckets(spark: SparkSession): Int =
     sys.props.get("GRAFT_INDEX_BUCKETS").orElse(sys.env.get("GRAFT_INDEX_BUCKETS"))
-      .map(_.toInt).getOrElse(32)
+      .map(_.toInt)
+      .getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Deterministic per-(corpus dir, artifact) table name: dir basename
     * for readability + full-path hash for uniqueness. */
@@ -237,7 +240,7 @@ object IndexStore {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", location(spark, name).toString)
     bucketKey match {
-      case Some(k) => w.bucketBy(buckets, k).sortBy(k).saveAsTable(name)
+      case Some(k) => w.bucketBy(buckets(spark), k).sortBy(k).saveAsTable(name)
       case None    => w.saveAsTable(name)
     }
     // cross-session manifest (see registerIfNeeded)
@@ -245,7 +248,7 @@ object IndexStore {
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(mp, true)
     try out.write(
-      (df.schema.json + "\n" + bucketKey.map(k => s"$k,$buckets").getOrElse("") +
+      (df.schema.json + "\n" + bucketKey.map(k => s"$k,${buckets(spark)}").getOrElse("") +
         "\n" + corpusFingerprint(spark, dir))
         .getBytes("UTF-8"))
     finally out.close()

@@ -96,6 +96,27 @@ class QuantileSelectSpec extends SparkSpec {
     assert(x("a") == ((2L, 2.0)) && x("b") == ((1L, 2.0)))
   }
 
+  test("group-cardinality guard fails fast on a 1e5-group corpus") {
+    // the guard must fire from a LIMIT-bounded collect — never a
+    // driver-sized selection plan: 100k distinct groups, one row each
+    val wide = spark.range(100000L)
+      .select(concat(lit("g"), col("id")).as("g"),
+        (col("id") % 97).cast("double").as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.exactQuantiles(wide, "g", "v", Seq(0.5))
+    }
+    assert(e1.getMessage.contains(s"${TimeSeries.MaxQuantileGroups} groups"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.madOutliers(wide, "g", "v")
+    }
+    assert(e2.getMessage.contains("series"))
+    // at the bound, the operator still runs (output-sized state OK)
+    val ok = spark.range(50L)
+      .select(concat(lit("g"), col("id")).as("g"),
+        (col("id") % 7).cast("double").as("v"))
+    assert(TimeSeries.exactQuantiles(ok, "g", "v", Seq(0.5)).count() == 50L)
+  }
+
   test("production paths carry no built-in percentile aggregate") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     for (name <- Seq("ts9_percentiles", "ts30_mad_outliers", "s5_hist_quantiles")) {
