@@ -327,6 +327,17 @@ object SparkEntry {
     "t17_ttl_compaction" -> ((s, d) =>
       Temporal.ttlCompaction(ev(s, d), "user_id", "ts", ts(T1))),
 
+    // the physical reclaim of t17's plan: post-cutoff versions verbatim
+    // + per key the latest pre-cutoff version (the AS-OF carrier) —
+    // asOf(vacuumed, t) == asOf(full, t) for all t >= cutoff
+    "t18_vacuum" -> ((s, d) =>
+      Temporal.vacuum(
+        ev(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id", ts(T1))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"), col("row_kind"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
     // bitemporal as-of: state at valid time T as KNOWN at append
     // sequence 500 (transaction-time axis = the monotone ingest id),
     // with the current-knowledge answer + late-correction flag from
@@ -968,6 +979,16 @@ object SparkEntry {
         "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3,
         postings = Some(graft.dedup.ClusterCache.postings(s, d)))),
 
+    // x8's hits joined back to sources: which sources ship contaminated
+    // data and how much token mass decontamination removes from each
+    "x29_contamination_report" -> ((s, d) =>
+      graft.operators.Pipeline.contaminationReport(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        pmod(col("doc_id"), lit(20)) === 0,
+        graft.operators.Pipeline.decontaminate(Tables.documents(s, d),
+          "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3,
+          postings = Some(graft.dedup.ClusterCache.postings(s, d))))),
+
     // Gopher repetition filters: top-bigram char fraction + duplicate
     // trigram fraction (Rae et al. 2021, appendix A1.1)
     "x9_repetition" -> ((s, d) =>
@@ -1176,6 +1197,14 @@ object SparkEntry {
     // percentiles alongside as the error report
     "s5_hist_quantiles" -> ((s, d) =>
       graft.functions.Sketch.histQuantiles(
+        ev(s, d).select("event_type", "value"), "event_type", "value",
+        buckets = HistBuckets)),
+
+    // cross-shard sketch MERGE: per-shard (event_type) fixed-range
+    // histograms summed bucket-wise into the global quantile report —
+    // the exchange is shards x buckets counters, never values
+    "s6_sketch_merge" -> ((s, d) =>
+      graft.functions.Sketch.histMergedQuantiles(
         ev(s, d).select("event_type", "value"), "event_type", "value",
         buckets = HistBuckets)),
 
@@ -2210,6 +2239,38 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // x29: x8's hit set (same CTEs) rolled up per source with token
+      // mass — which sources ship contaminated data and how much the
+      // decontamination pass removes
+      "x29_contamination_report" ->
+        """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+          |sh AS (SELECT doc_id, list_distinct(
+          |    CASE WHEN len(words) < 3 THEN [text]
+          |         ELSE [array_to_string(words[i:i+2], ' ')
+          |               for i in range(1, len(words) - 1)] END) AS shingles
+          |  FROM w),
+          |e AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shingle FROM sh),
+          |b AS (SELECT doc_id AS bench_id, shingle FROM e WHERE doc_id % 20 = 0),
+          |c AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0),
+          |o AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+          |  FROM c JOIN b USING (shingle) GROUP BY 1, 2 HAVING count(*) >= 3),
+          |hits AS (SELECT DISTINCT doc_id FROM o),
+          |base AS (SELECT d.doc_id, d.source,
+          |    len(string_split(d.text, ' ')) AS toks,
+          |    CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          |  FROM documents d LEFT JOIN hits h USING (doc_id)
+          |  WHERE d.doc_id % 20 <> 0)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+          |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+          |  CAST(sum(CASE WHEN hit = 1 THEN toks ELSE 0 END) AS BIGINT)
+          |    AS tokens_contaminated,
+          |  round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS doc_rate,
+          |  CASE WHEN sum(toks) > 0 THEN
+          |    round(sum(CASE WHEN hit = 1 THEN toks ELSE 0 END)
+          |      / CAST(sum(toks) AS DOUBLE), 6) END AS token_rate
+          |FROM base GROUP BY source ORDER BY source""".stripMargin,
 
       "x9_repetition" ->
         """WITH w AS (SELECT doc_id, length(text) AS n_chars,
@@ -3780,6 +3841,20 @@ object SparkEntry {
            |    / CAST(n_versions AS DOUBLE), 6) AS reclaim_frac
            |FROM b ORDER BY user_id""".stripMargin,
 
+      // t18: post-cutoff rows verbatim + the per-key latest pre-cutoff
+      // carrier — the retained set a vacuum rewrite keeps
+      "t18_vacuum" ->
+        s"""WITH live AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |    event_type, value, 'LIVE' AS row_kind
+           |  FROM events WHERE ts >= TIMESTAMP '$T1'),
+           |carrier AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |    event_type, value, 'CARRIER' AS row_kind
+           |  FROM events WHERE ts < TIMESTAMP '$T1'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts DESC, event_id DESC) = 1)
+           |SELECT * FROM live UNION ALL SELECT * FROM carrier
+           |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
       "t13_bitemporal" ->
         s"""WITH k AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
            |  FROM events WHERE ts <= TIMESTAMP '$T' AND event_id <= $KnownAtSeq
@@ -3995,6 +4070,31 @@ object SparkEntry {
           |  round(gmin + CAST(b99 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p99_est, p99_exact
           |FROM s JOIN ex USING (event_type) CROSS JOIN mm
           |ORDER BY event_type""".stripMargin,
+
+      // s6: per-shard sketches summed bucket-wise, then the s5 global
+      // quantile-bucket arithmetic over the merged histogram
+      "s6_sketch_merge" ->
+        s"""WITH mm AS (SELECT min(value) AS gmin, max(value) AS gmax FROM events),
+          |b AS (SELECT event_type,
+          |    CAST(CASE WHEN gmax = gmin THEN 0
+          |      ELSE least(floor((value - gmin) / (gmax - gmin) * $HistBuckets), ${HistBuckets - 1}) END AS INT) AS bucket
+          |  FROM events, mm),
+          |sk AS (SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+          |m AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM sk GROUP BY 1),
+          |w AS (SELECT bucket,
+          |    sum(c) OVER (ORDER BY bucket) AS cum,
+          |    sum(c) OVER () AS n FROM m),
+          |s AS (SELECT CAST(max(n) AS BIGINT) AS n,
+          |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS b50,
+          |    min(CASE WHEN cum >= ceil(0.9 * n) THEN bucket END) AS b90,
+          |    min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99
+          |  FROM w),
+          |sh AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_shards FROM sk)
+          |SELECT n, n_shards,
+          |  round(gmin + CAST(b50 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p50_est,
+          |  round(gmin + CAST(b90 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p90_est,
+          |  round(gmin + CAST(b99 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p99_est
+          |FROM s CROSS JOIN mm CROSS JOIN sh""".stripMargin,
 
       "x16_containment" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

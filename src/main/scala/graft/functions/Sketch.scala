@@ -368,6 +368,62 @@ object Sketch {
       .orderBy(group)
   }
 
+  /** Per-SHARD fixed-range histogram sketches — the distributable half
+    * of [[histMergedQuantiles]]: one (shard, bucket, count) row set per
+    * shard over a SHARED global [gmin, gmax] range (`mm` must carry
+    * gmin/gmax; min/max are themselves associative, so at lake scale
+    * the range comes from per-shard min/max merged the same way). The
+    * sketch is the constant-size state each shard ships: buckets
+    * counters, mergeable by plain addition. */
+  def histShardSketches(df: DataFrame, shard: String, value: String,
+                        mm: DataFrame, buckets: Int): DataFrame = {
+    val v = col(value)
+    val bucket = when(col("gmax") === col("gmin"), lit(0)).otherwise(
+      least(floor((v - col("gmin")) / (col("gmax") - col("gmin")) * buckets),
+        lit(buckets - 1))).cast("int")
+    df.crossJoin(broadcast(mm))
+      .groupBy(col(shard), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Cross-shard histogram-sketch MERGE + global quantile estimates —
+    * [[histQuantiles]] reframed as the two-phase op a sharded lake
+    * actually runs: each shard publishes its [[histShardSketches]] row
+    * set, the merge is ONE bucket-keyed sum (associative and
+    * commutative — any merge tree gives the same histogram, the
+    * property the spec pins against the flat single-pass build), and
+    * the global p50/p90/p99 estimates read the ≤ `buckets`-row merged
+    * table. Nothing value-sized ever crosses a shard boundary: the
+    * exchange is shards × buckets counter rows. Returns ONE row
+    * (n, n_shards, p50_est, p90_est, p99_est). */
+  def histMergedQuantiles(df: DataFrame, shard: String, value: String,
+                          buckets: Int = 256): DataFrame = {
+    val mm = df.agg(min(col(value)).as("gmin"), max(col(value)).as("gmax"))
+    val sketches = histShardSketches(df, shard, value, mm, buckets)
+    val merged = sketches.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ≤ buckets rows: the single-partition window is bounded by
+    // construction (the rankSuite adversary cannot arise)
+    val cum = merged.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(merged.agg(sum(col("__c")).as("__n"))))
+    def qBucket(q: Double): Column =
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__b")))
+    def estOf(b: Column): Column = round(col("gmin") +
+      (b + 1).cast("double") * (col("gmax") - col("gmin")) / lit(buckets.toDouble), 6)
+    val nShards = sketches.select(col(shard)).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    cum.agg(max(col("__n")).as("n"),
+        qBucket(0.5).as("__b50"), qBucket(0.9).as("__b90"),
+        qBucket(0.99).as("__b99"))
+      .crossJoin(broadcast(mm)).crossJoin(broadcast(nShards))
+      .select(col("n"), col("n_shards"),
+        estOf(col("__b50")).as("p50_est"),
+        estOf(col("__b90")).as("p90_est"),
+        estOf(col("__b99")).as("p99_est"))
+  }
+
   /** Top-k estimate report from a (possibly drained-from-a-stream)
     * grid + a candidate table carrying (key, exact). */
   private[graft] def cmsFinalize(grid: DataFrame, cand: DataFrame, key: String,

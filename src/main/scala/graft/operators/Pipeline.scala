@@ -215,6 +215,38 @@ object Pipeline {
       .orderBy(id)
   }
 
+  /** Contamination REPORT — [[decontaminate]]'s hit set joined back to
+    * sources: the per-source accounting a pipeline publishes next to
+    * the doc-level hits (which sources ship contaminated data, and how
+    * much token mass the decontamination pass removes from each). Per
+    * source over the NON-bench corpus: doc and token totals,
+    * contaminated docs/tokens, and the two rates. One doc-sized left
+    * join of the (already tiny) hit set against a (id, source, token
+    * count) projection — the text column collapses to one int before
+    * any exchange — then a source-sized aggregate; token_rate is
+    * null-guarded like d12's inflation. */
+  def contaminationReport(docs: DataFrame, id: String, text: String,
+                          source: String, isBench: Column,
+                          hits: DataFrame): DataFrame = {
+    val base = docs.filter(!isBench)
+      .select(col(id), col(source),
+        size(Text.words(col(text))).cast("long").as("__toks"))
+    base.join(hits.select(col(id), lit(1L).as("__hit")), Seq(id), "left")
+      .groupBy(col(source))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_contaminated"),
+        sum(col("__toks")).cast("long").as("tokens_total"),
+        sum(when(col("__hit") === 1L, col("__toks")).otherwise(lit(0L)))
+          .cast("long").as("tokens_contaminated"))
+      .withColumn("doc_rate",
+        round(col("n_contaminated") / col("n_docs").cast("double"), 6))
+      .withColumn("token_rate",
+        when(col("tokens_total") > 0,
+          round(col("tokens_contaminated") / col("tokens_total").cast("double"), 6)))
+      .orderBy(col(source))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
     * the character fraction covered by the most frequent word bigram
     * and the duplicate word-trigram fraction — the standard repetition

@@ -210,6 +210,39 @@ object Temporal {
           .as("reclaim_frac"))
       .orderBy(col(key))
 
+  /** VACUUM — the physical reclaim of [[ttlCompaction]]'s plan (the
+    * destructive half of the retention story the reference's stack
+    * implies: TimescaleDB `drop_chunks` actually deletes, next to
+    * `POST /rollback`'s append-only compensation — app/main.py:152):
+    * returns the RETAINED version set a rewrite would keep — every
+    * post-cutoff version verbatim (row_kind LIVE) plus, per key, the
+    * single latest pre-cutoff version (row_kind CARRIER: the AS-OF
+    * snapshot carrier; dropping it too would break every AS-OF read
+    * at or after its timestamp). By construction
+    * asOf(vacuum(df), t) == asOf(df, t) for every t ≥ cutoff — the
+    * invariant the spec pins.
+    *
+    * Shape: the LIVE branch is a map-only filter (no shuffle at all);
+    * the CARRIER branch aggregates ONLY the pre-cutoff rows (max_by
+    * over the (ts, tie) order, one shuffle of the pre-cutoff slice) —
+    * a retention pass over years of history pays one aggregate on the
+    * cold slice and a pass-through on the hot one, never a window
+    * over the full chain. */
+  def vacuum(df: DataFrame, key: String, ts: String, tie: String,
+             cutoff: Column): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    val payload = struct(others.map(col): _*)
+    val live = df.filter(col(ts) >= cutoff)
+      .select(col(key) +: others.map(col): _*)
+      .withColumn("row_kind", lit("LIVE"))
+    val carrier = df.filter(col(ts) < cutoff)
+      .groupBy(col(key))
+      .agg(max_by(payload, struct(col(ts), col(tie))).as("__s"))
+      .select(col(key) +: others.map(c => col(s"__s.$c").as(c)): _*)
+      .withColumn("row_kind", lit("CARRIER"))
+    live.unionByName(carrier)
+  }
+
   /** The reference's `POST /rollback` (app/main.py:152-247) as a pure,
     * append-only computation: for every record with versions after `at`,
     * the state to restore (its AS-OF `at` row) or a DELETE marker if the
