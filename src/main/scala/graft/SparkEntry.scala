@@ -1122,10 +1122,7 @@ object SparkEntry {
     // snippet/quote inclusion where Jaccard stays low because the
     // host is much larger than the contained doc
     "x16_containment" -> ((s, d) =>
-      Dedup.containmentPairsFrom(
-          graft.dedup.ClusterCache.postings(s, d, 3), 0.6,
-          dfcPre = Some(graft.dedup.ClusterCache.shingleDf(s, d, 3)),
-          statsPre = Some(graft.dedup.ClusterCache.dfSkewStats(s, d, 3)))
+      graft.dedup.ClusterCache.containmentPairs(s, d, 3, 0.6)
         .orderBy("id_a", "id_b")),
 
     // BM25 top-10 retrieval for the benchmark probe set over the SHARED

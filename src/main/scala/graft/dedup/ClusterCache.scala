@@ -19,6 +19,7 @@ object ClusterCache {
   private case class JKey(session: Int, dir: String, n: Int, tauBp: Int)
   private val pairCache = SessionCache.forDf[Key]
   private val jpairCache = SessionCache.forDf[JKey]
+  private val cpairCache = SessionCache.forDf[JKey]
   private val cache = SessionCache.forDf[Key]
   private val postingsCache = SessionCache.forDf[Key]
   private val dfCache = SessionCache.forDf[Key]
@@ -133,6 +134,32 @@ object ClusterCache {
       }
     }
 
+  /** τ-stamped artifact name for [[containmentPairs]] — same rule as
+    * [[jaccardPairsArtifact]], distinct prefix (the measures differ). */
+  def containmentPairsArtifact(n: Int, tau: Double): String =
+    s"cpairs_n${n}_t${math.round(tau * 10000)}"
+
+  /** The shared EXACT n-gram CONTAINMENT verified-pair table over
+    * [[postings]] — x16's adaptive postings join is the suite's single
+    * most expensive computation at sf1 (its documented 21–48s band),
+    * and like [[jaccardPairs]] it is a pure function of (corpus, n, τ):
+    * durable, τ-stamped, write-through self-priming. x16 becomes a
+    * reader of the bucketed table after first touch; build mode and
+    * the INDEX_AB artifacts keep measuring the build itself. */
+  def containmentPairs(spark: SparkSession, dir: String, n: Int = 3,
+                       tau: Double = 0.6): DataFrame =
+    cpairCache.getOrBuild(
+        JKey(System.identityHashCode(spark), dir, n,
+          math.round(tau * 10000).toInt)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          containmentPairsArtifact(n, tau), Some("id_a")) {
+        Dedup.containmentPairsFrom(postings(spark, dir, n), tau,
+            dfcPre = Some(shingleDf(spark, dir, n)),
+            statsPre = Some(dfSkewStats(spark, dir, n)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
@@ -164,8 +191,8 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, jpairCache, postingsCache, dfCache, docWordCache,
-        docLenCache)
+    Seq(cache, pairCache, jpairCache, cpairCache, postingsCache, dfCache,
+        docWordCache, docLenCache)
       .foreach(_.clear())
     statsCache.clear()
   }

@@ -176,6 +176,32 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: write-through self-prime, loaded == built") {
+    assert(ClusterCache.containmentPairsArtifact(3, 0.6) == "cpairs_n3_t6000")
+    sys.props(IndexStore.EnvFlag) = "0"
+    freshCaches()
+    val built = rows(ClusterCache.containmentPairs(spark, sfDir, 3, 0.6))
+    assert(built.nonEmpty)
+    sys.props.remove(IndexStore.EnvFlag)
+    freshCaches()
+    val art = ClusterCache.containmentPairsArtifact(3, 0.6)
+    val name = IndexStore.tableName(sfDir, art)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+    try {
+      assert(rows(ClusterCache.containmentPairs(spark, sfDir, 3, 0.6)) == built)
+      assert(IndexStore.exists(spark, sfDir, art), "write-through did not prime")
+      freshCaches()
+      assert(rows(ClusterCache.containmentPairs(spark, sfDir, 3, 0.6)) == built)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+      freshCaches()
+    }
+  }
+
   test("primeIfMissing writes only missing; stale corpus fingerprint forces rebuild") {
     import java.nio.file.{Files, Paths}
     sys.props.remove(IndexStore.EnvFlag) // the r14 default: auto-load
