@@ -1116,7 +1116,9 @@ object SparkEntry {
     // 4-window of word-3-gram hashes; pairs sharing >= 2 fingerprints
     // (guarantee: any shared run of >= 6 tokens shares a fingerprint)
     "x15_winnow_pairs" -> ((s, d) =>
-      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text", 3, 4, 2)),
+      // re-ordered here: the LOADED artifact returns scan order
+      graft.dedup.ClusterCache.winnowPairs(s, d, 3, 4, 2)
+        .orderBy("id_a", "id_b")),
 
     // asymmetric n-gram containment (doc-in-doc detection): catches
     // snippet/quote inclusion where Jaccard stays low because the

@@ -17,9 +17,11 @@ import graft.util.SessionCache
 object ClusterCache {
   private case class Key(session: Int, dir: String, n: Int, perms: Int, bands: Int)
   private case class JKey(session: Int, dir: String, n: Int, tauBp: Int)
+  private case class WKey(session: Int, dir: String, k: Int, w: Int, m: Int)
   private val pairCache = SessionCache.forDf[Key]
   private val jpairCache = SessionCache.forDf[JKey]
   private val cpairCache = SessionCache.forDf[JKey]
+  private val wpairCache = SessionCache.forDf[WKey]
   private val cache = SessionCache.forDf[Key]
   private val postingsCache = SessionCache.forDf[Key]
   private val dfCache = SessionCache.forDf[Key]
@@ -160,6 +162,26 @@ object ClusterCache {
       }
     }
 
+  /** Parameter-stamped artifact name for [[winnowPairs]]. */
+  def winnowPairsArtifact(k: Int, w: Int, minShared: Int): String =
+    s"wpairs_k${k}_w${w}_m$minShared"
+
+  /** The shared winnowing-fingerprint pair table over `dir`'s
+    * documents — x15's postings equi-join, a pure function of
+    * (corpus, k, w, minShared): durable, parameter-stamped,
+    * write-through self-priming like [[jaccardPairs]]. */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int, w: Int,
+                  minShared: Int): DataFrame =
+    wpairCache.getOrBuild(
+        WKey(System.identityHashCode(spark), dir, k, w, minShared)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          winnowPairsArtifact(k, w, minShared), Some("id_a")) {
+        Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text",
+            k, w, minShared)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
@@ -191,8 +213,8 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, jpairCache, cpairCache, postingsCache, dfCache,
-        docWordCache, docLenCache)
+    Seq(cache, pairCache, jpairCache, cpairCache, wpairCache, postingsCache,
+        dfCache, docWordCache, docLenCache)
       .foreach(_.clear())
     statsCache.clear()
   }
