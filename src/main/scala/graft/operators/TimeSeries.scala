@@ -33,8 +33,8 @@ object TimeSeries {
     * only the right trade for per-SERIES reports. 10⁴ groups ≈ a few
     * MB of literal plan (the measured practical edge); beyond it the
     * honest answers are approx_percentile or a distributed rank
-    * construction, and the operators fail fast with ≤ this many rows
-    * collected rather than building a driver-sized plan. */
+    * construction, and the operators fail at the first (group-row-
+    * sized) collect rather than building a driver-sized plan. */
   val MaxQuantileGroups = 10000
 
   /** Tumbling-window aggregate: per (series, day-bucket) count/sum/avg. */
@@ -298,13 +298,18 @@ object TimeSeries {
     // GUARDED group cardinality: the selection maps are driver-literal
     // per group (O(groups × parts) plan state — same class as the
     // operator's own per-group report), which is only right for
-    // per-SERIES reports (ts9/ts30/s5: ≤ dozens of groups). The
-    // limit(MaxGroups+1) bounds the driver collect itself, so a
-    // 10⁶-group caller fails fast here with ≤ MaxGroups+1 rows
-    // materialized — never a driver-sized plan.
+    // per-SERIES reports (ts9/ts30/s5: ≤ dozens of groups). The guard
+    // runs AFTER a plain parallel collect, deliberately: a
+    // limit-bounded take either runs Spark's incremental executeTake
+    // (4 sequential jobs at 32 partitions, +0.6-0.9s per action at
+    // sf1) or — coalesced to dodge that — serializes the final GK
+    // sketch merge into one task; both lose. The collect itself is
+    // group-row-sized (~300B/group: a 10⁵-group caller materializes
+    // ~30MB then fails the require), and the driver-sized LITERAL
+    // PLAN — the actual scale hazard — is never built.
     val cutsRaw = t.groupBy(col("__g"))
       .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-      .limit(MaxQuantileGroups + 1).collect().toSeq
+      .collect().toSeq
     require(cutsRaw.length <= MaxQuantileGroups,
       s"exactQuantiles: more than $MaxQuantileGroups groups in '$group' — " +
         "the cutoff-selection state is O(groups × parts) on the driver, " +
@@ -453,11 +458,11 @@ object TimeSeries {
     val parts = 32
     val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
     // action 1: value cutoffs — shared by BOTH medians below; group
-    // cardinality guarded like exactQuantiles (limit bounds the
-    // collect itself, so the guard never materializes unbounded state)
+    // cardinality guarded like exactQuantiles (plain parallel collect,
+    // require after — see the trade recorded there)
     val cutsRaw = t.groupBy(col("__g"))
       .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-      .limit(MaxQuantileGroups + 1).collect().toSeq
+      .collect().toSeq
     require(cutsRaw.length <= MaxQuantileGroups,
       s"madOutliers: more than $MaxQuantileGroups series in '$series' — " +
         "selection state is O(series × parts) on the driver, sized for " +

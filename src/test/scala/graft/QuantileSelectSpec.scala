@@ -97,8 +97,9 @@ class QuantileSelectSpec extends SparkSpec {
   }
 
   test("group-cardinality guard fails fast on a 1e5-group corpus") {
-    // the guard must fire from a LIMIT-bounded collect — never a
-    // driver-sized selection plan: 100k distinct groups, one row each
+    // the guard fires after the group-row-sized cutoff collect —
+    // never building the driver-sized selection plan: 100k distinct
+    // groups, one row each (~30MB collected, then require)
     val wide = spark.range(100000L)
       .select(concat(lit("g"), col("id")).as("g"),
         (col("id") % 97).cast("double").as("v"))
