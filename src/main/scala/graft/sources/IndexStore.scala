@@ -20,6 +20,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - `minhash`    (id_a, id_b)               bucketed by `id_a`
   *  - `clusters`   (doc_id, cluster_id)       bucketed by `doc_id`
   *  - `docwordtf`  (doc_id, w, tf)            bucketed by `w`
+  *  - `jpairs`/`cpairs`/`wpairs`               τ/param-stamped verified-pair
+  *    tables (d4/d11, x16, x15)                bucketed by `id_a`
   *
   * The bucket keys are each artifact's probe/join key, so a search
   * session gets the two properties the at-scale claims assume
@@ -264,7 +266,7 @@ object IndexStore {
                           n: Int, perms: Int, bands: Int)
       : Seq[(String, () => DataFrame, Option[String])] = {
     import graft.ann.CellIndexCache
-    import graft.dedup.ClusterCache
+    import graft.dedup.{ClusterCache, Dedup}
     import org.apache.spark.sql.functions.{col, expr}
     Seq(
       ("cells", () => CellIndexCache.embeddingsWithCell(spark, dir),
@@ -292,7 +294,27 @@ object IndexStore {
         Some("doc_id")),
       ("docwordtf", () => ClusterCache.docWordTf(spark, dir), Some("w")),
       ("doclengths", () => ClusterCache.docLengths(spark, dir),
-        Some("doc_id")))
+        Some("doc_id")),
+      // the verified-pair family (r15): RAW builders, not the getters —
+      // the getters write through on a miss (loadOrWrite), so routing
+      // them through primeIfMissing would double-write; built here they
+      // prime once and the getters load. Parameters match the committed
+      // consumers (d4/d11 τ=0.12, x16 τ=0.6, x15 k3/w4/m2); other
+      // parameterizations still self-prime via the getters' write-through.
+      (ClusterCache.jaccardPairsArtifact(n, 0.12),
+        () => Dedup.ngramJaccardPairsFrom(ClusterCache.postings(spark, dir, n),
+          0.12, dfcPre = Some(ClusterCache.shingleDf(spark, dir, n)),
+          statsPre = Some(ClusterCache.dfSkewStats(spark, dir, n))),
+        Some("id_a")),
+      (ClusterCache.containmentPairsArtifact(n, 0.6),
+        () => Dedup.containmentPairsFrom(ClusterCache.postings(spark, dir, n),
+          0.6, dfcPre = Some(ClusterCache.shingleDf(spark, dir, n)),
+          statsPre = Some(ClusterCache.dfSkewStats(spark, dir, n))),
+        Some("id_a")),
+      (ClusterCache.winnowPairsArtifact(3, 4, 2),
+        () => Dedup.winnowPairs(graft.sources.Tables.documents(spark, dir),
+          "doc_id", "text", 3, 4, 2),
+        Some("id_a")))
   }
 
   /** Build and persist ALL index artifacts for `dir`'s corpus,

@@ -51,7 +51,7 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 14 && names.forall(spark.catalog.tableExists))
+    assert(names.length == 17 && names.forall(spark.catalog.tableExists))
     // flag REMOVED = the r14 default: auto-load, no env needed
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
@@ -217,7 +217,7 @@ class IndexStoreSpec extends SparkSpec {
     var primed: Seq[String] = Nil
     try {
       primed = IndexStore.primeIfMissing(spark, tmp)
-      assert(primed.length == 14, s"expected all 14 written, got $primed")
+      assert(primed.length == 17, s"expected all 17 written, got $primed")
       // everything present + valid -> second prime writes NOTHING
       assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
       assert(IndexStore.exists(spark, tmp, "docwordtf"))
