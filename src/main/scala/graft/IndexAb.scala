@@ -19,7 +19,9 @@ object IndexAb {
   private val Queries = Seq("a3_ivf_coarse", "a4_ivf_nprobe", "a9_ivfpq",
     "a10_index_stats", "d5_embedding_neardup", "d6_dup_clusters",
     "d7_dedup_survivors", "d8_semantic_dedup", "d10_source_overlap",
-    "d4_ngram_jaccard", "x16_containment", "x19_novelty")
+    "d4_ngram_jaccard", "x16_containment", "x19_novelty",
+    // r15 verified-pair-family consumers
+    "d11_lsh_recall", "x15_winnow_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
