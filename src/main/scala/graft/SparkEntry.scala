@@ -603,23 +603,18 @@ object SparkEntry {
     // one junk cluster (and makes any engine's closure materialize
     // |component|² reachability) — the edge bar for clustering must
     // sit above the noise band.
-    "d8_semantic_dedup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      // = nearDupPairsScaledIndexed at tau=0.4: the tau filter
-      // commutes with the pair aggregation (cosine constant per pair
-      // across meeting cells; CoarseCellSpec pins the equivalence)
-      val pairs = graft.ann.CellIndexCache.scaledPairs(s, d)
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(emb.select(col("vec_id")), pairs, "vec_id")
+    "d8_semantic_dedup" -> ((s, d) =>
+      // CC over scaledPairs at tau=0.4 (the tau filter commutes with
+      // the pair aggregation — CoarseCellSpec pins the equivalence),
+      // served from the durable tau-stamped cluster assignment
+      graft.ann.CellIndexCache.semanticClusters(s, d, 0.4)
         .groupBy(col("cluster_id"))
         .agg(
           count(lit(1)).as("n_members"),
           concat_ws(",",
             Dedup.collectMinK(col("vec_id"), 10).cast("array<string>"))
             .as("member_ids"))
-        .orderBy(col("cluster_id"))
-    }),
+        .orderBy(col("cluster_id"))),
 
     // duplicated-SPAN coverage (Lee et al. 2022 ExactSubstr at word-
     // 5-gram granularity): corpus-repeated n-grams mark their token
@@ -1053,7 +1048,9 @@ object SparkEntry {
     "x25_dsir_weights" -> ((s, d) =>
       graft.operators.Pipeline.dsirWeights(
         Tables.documents(s, d), "doc_id", "text", "source",
-        col("lang") === "en")),
+        col("lang") === "en",
+        featsPre = Some(graft.dedup.ClusterCache.dsirFeats(
+          s, d, 4096, "langen", col("lang") === "en")))),
 
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =

@@ -78,6 +78,36 @@ object CellIndexCache {
       }
     }
 
+  private val sclusterCache = SessionCache.forDf[(Int, String, Int)]
+
+  /** τ-stamped artifact name for [[semanticClusters]]. */
+  def semanticClustersArtifact(tau: Double): String =
+    s"sclusters_t${math.round(tau * 10000)}"
+
+  /** The SEMANTIC dup-cluster assignment (vec_id, cluster_id) —
+    * connected components over [[scaledPairs]] filtered at `tau` — as
+    * a durable τ-stamped artifact (the dedup ClusterCache pattern
+    * applied to the embedding side): the O(log n) star-contraction
+    * rounds are the costliest per-session work left in the d8 path
+    * and are a pure function of (corpus, τ), so they run once per
+    * corpus and every later session loads the bucketed assignment.
+    * Write-through self-priming; fingerprint-invalidated. */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       tau: Double): DataFrame =
+    sclusterCache.getOrBuild(
+        (System.identityHashCode(spark), dir, math.round(tau * 10000).toInt)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          semanticClustersArtifact(tau), Some("cluster_id")) {
+        import org.apache.spark.sql.functions.col
+        graft.dedup.Dedup.connectedComponents(
+            Tables.embeddings(spark, dir).select(col("vec_id")),
+            scaledPairs(spark, dir).filter(col("cos") >= tau)
+              .select(col("id_a"), col("id_b")),
+            "vec_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   private val withCellCache = SessionCache.forDf[(Int, String)]
 
   /** The embeddings table with its primary coarse-cell column
@@ -217,5 +247,6 @@ object CellIndexCache {
     Seq(pairsCache, withCellCache, centroidCache, groupCentroidCache,
         pqCodebookCache, pqCodesCache,
         rawPqCodebookCache, rawPqCodesCache).foreach(_.clear())
+    sclusterCache.clear()
   }
 }

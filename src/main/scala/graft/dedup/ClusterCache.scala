@@ -22,6 +22,7 @@ object ClusterCache {
   private val jpairCache = SessionCache.forDf[JKey]
   private val cpairCache = SessionCache.forDf[JKey]
   private val wpairCache = SessionCache.forDf[WKey]
+  private val dsirCache = SessionCache.forDf[(Int, String, Int, String)]
   private val cache = SessionCache.forDf[Key]
   private val postingsCache = SessionCache.forDf[Key]
   private val dfCache = SessionCache.forDf[Key]
@@ -182,6 +183,30 @@ object ClusterCache {
       }
     }
 
+  /** Parameter-stamped artifact name for [[dsirFeats]] — `predStamp`
+    * identifies the target predicate (the RetrievalCache rule: what
+    * the name can't derive, the caller stamps). */
+  def dsirFeatsArtifact(buckets: Int, predStamp: String): String =
+    s"dsirfeats_b${buckets}_p$predStamp"
+
+  /** The shared DSIR hashed-feature aggregate (id, source, target
+    * flag, bucket, tf) over `dir`'s documents — x25's dominant cost
+    * (the uni+bigram explode + aggregation), durable and stamped by
+    * (buckets, predicate id). Write-through self-priming. */
+  def dsirFeats(spark: SparkSession, dir: String, buckets: Int,
+                predStamp: String,
+                targetPred: org.apache.spark.sql.Column): DataFrame =
+    dsirCache.getOrBuild(
+        (System.identityHashCode(spark), dir, buckets, predStamp)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          dsirFeatsArtifact(buckets, predStamp), Some("b")) {
+        graft.operators.Pipeline.dsirFeatTable(
+            Tables.documents(spark, dir), "doc_id", "text", "source",
+            targetPred, buckets)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
@@ -213,8 +238,8 @@ object ClusterCache {
 
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
-    Seq(cache, pairCache, jpairCache, cpairCache, wpairCache, postingsCache,
-        dfCache, docWordCache, docLenCache)
+    Seq(cache, pairCache, jpairCache, cpairCache, wpairCache, dsirCache,
+        postingsCache, dfCache, docWordCache, docLenCache)
       .foreach(_.clear())
     statsCache.clear()
   }

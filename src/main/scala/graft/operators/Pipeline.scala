@@ -554,18 +554,32 @@ object Pipeline {
     * aggregate (bucket-bounded — raw from everything, target from the
     * target-flagged rows); one broadcast join back (buckets rows);
     * per-doc then per-source aggregation. No window, no collect. */
-  def dsirWeights(docs: DataFrame, id: String, text: String,
-                  source: String, targetPred: Column,
-                  buckets: Int = 4096): DataFrame = {
+  /** The (id, source, target-flag, bucket, tf) hashed-feature
+    * aggregate BOTH of [[dsirWeights]]' language models derive from —
+    * factored out so it can be served as a durable artifact
+    * ([[graft.dedup.ClusterCache.dsirFeats]]): it is the operator's
+    * dominant cost (the uni+bigram explode + aggregation over the
+    * corpus) and a pure function of (corpus, buckets, predicate). */
+  def dsirFeatTable(docs: DataFrame, id: String, text: String,
+                    source: String, targetPred: Column,
+                    buckets: Int): DataFrame = {
     val f = explode(Text.words(col(text))).as("f")
     val f2 = explode(Text.bigrams(col(text))).as("f")
-    val feats = docs.select(col(id), col(source), targetPred.as("__t"), f)
+    docs.select(col(id), col(source), targetPred.as("__t"), f)
       .unionByName(docs.select(col(id), col(source), targetPred.as("__t"), f2))
       .select(col(id), col(source), col("__t"),
         pmod(Text.md5Prefix60(col("f")), lit(buckets.toLong)).as("b"))
       .groupBy(col(id), col(source), col("__t"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // both LMs derive from this same aggregate
+  }
+
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  source: String, targetPred: Column,
+                  buckets: Int = 4096,
+                  featsPre: Option[DataFrame] = None): DataFrame = {
+    val feats = featsPre.getOrElse(
+      dsirFeatTable(docs, id, text, source, targetPred, buckets)
+        .localCheckpoint()) // both LMs derive from this same aggregate
     val lm = feats.groupBy(col("b")).agg(
       sum(col("tf")).as("raw_cnt"),
       sum(when(col("__t"), col("tf")).otherwise(0L)).as("tgt_cnt"))

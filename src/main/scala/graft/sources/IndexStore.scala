@@ -314,7 +314,19 @@ object IndexStore {
       (ClusterCache.winnowPairsArtifact(3, 4, 2),
         () => Dedup.winnowPairs(graft.sources.Tables.documents(spark, dir),
           "doc_id", "text", 3, 4, 2),
-        Some("id_a")))
+        Some("id_a")),
+      (CellIndexCache.semanticClustersArtifact(0.4),
+        () => Dedup.connectedComponents(
+          graft.sources.Tables.embeddings(spark, dir).select(col("vec_id")),
+          CellIndexCache.scaledPairs(spark, dir)
+            .filter(col("cos") >= 0.4).select(col("id_a"), col("id_b")),
+          "vec_id"),
+        Some("cluster_id")),
+      (ClusterCache.dsirFeatsArtifact(4096, "langen"),
+        () => graft.operators.Pipeline.dsirFeatTable(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+          "source", col("lang") === "en", 4096),
+        Some("b")))
   }
 
   /** Build and persist ALL index artifacts for `dir`'s corpus,

@@ -51,7 +51,7 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 17 && names.forall(spark.catalog.tableExists))
+    assert(names.length == 19 && names.forall(spark.catalog.tableExists))
     // flag REMOVED = the r14 default: auto-load, no env needed
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
@@ -202,6 +202,36 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("semanticClusters + dsirFeats: write-through self-prime, loaded == built") {
+    sys.props(IndexStore.EnvFlag) = "0"
+    freshCaches()
+    val pred = col("lang") === "en"
+    val builtC = rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4))
+    val builtF = rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred))
+    assert(builtC.nonEmpty && builtF.nonEmpty)
+    sys.props.remove(IndexStore.EnvFlag)
+    freshCaches()
+    val arts = Seq(CellIndexCache.semanticClustersArtifact(0.4),
+      ClusterCache.dsirFeatsArtifact(4096, "langen"))
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    def drop(): Unit = arts.foreach { a =>
+      val name = IndexStore.tableName(sfDir, a)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+    }
+    drop()
+    try {
+      assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
+      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred)) == builtF)
+      assert(arts.forall(IndexStore.exists(spark, sfDir, _)),
+        "write-through did not prime")
+      freshCaches()
+      assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
+      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred)) == builtF)
+    } finally { drop(); freshCaches() }
+  }
+
   test("primeIfMissing writes only missing; stale corpus fingerprint forces rebuild") {
     import java.nio.file.{Files, Paths}
     sys.props.remove(IndexStore.EnvFlag) // the r14 default: auto-load
@@ -217,7 +247,7 @@ class IndexStoreSpec extends SparkSpec {
     var primed: Seq[String] = Nil
     try {
       primed = IndexStore.primeIfMissing(spark, tmp)
-      assert(primed.length == 17, s"expected all 17 written, got $primed")
+      assert(primed.length == 19, s"expected all 19 written, got $primed")
       // everything present + valid -> second prime writes NOTHING
       assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
       assert(IndexStore.exists(spark, tmp, "docwordtf"))
