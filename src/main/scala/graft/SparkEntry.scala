@@ -327,6 +327,13 @@ object SparkEntry {
     "t17_ttl_compaction" -> ((s, d) =>
       Temporal.ttlCompaction(ev(s, d), "user_id", "ts", ts(T1))),
 
+    // the reconciliation audit of the two: t17's planned retained
+    // count per key vs the actual row count of t18's output
+    "t19_retention_audit" -> ((s, d) =>
+      Temporal.retentionAudit(
+        ev(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
+        "user_id", "ts", "event_id", ts(T1))),
+
     // the physical reclaim of t17's plan: post-cutoff versions verbatim
     // + per key the latest pre-cutoff version (the AS-OF carrier) —
     // asOf(vacuumed, t) == asOf(full, t) for all t >= cutoff
@@ -3836,6 +3843,31 @@ object SparkEntry {
            |  round(CAST(n_pre - kept_pre AS BIGINT)
            |    / CAST(n_versions AS DOUBLE), 6) AS reclaim_frac
            |FROM b ORDER BY user_id""".stripMargin,
+
+      // t19: t17's planned retained count reconciled against t18's
+      // actual output rows, per key
+      "t19_retention_audit" ->
+        s"""WITH a AS (SELECT user_id, count(*) AS n_versions,
+           |    CAST(sum(CASE WHEN ts < TIMESTAMP '$T1' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+           |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$T1' THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+           |  FROM events GROUP BY 1),
+           |p AS (SELECT user_id, n_versions,
+           |    CAST(n_pre - CASE WHEN n_pre > 0 THEN 1 ELSE 0 END AS BIGINT) AS dropped,
+           |    CAST(CASE WHEN n_pre > 0 THEN 1 ELSE 0 END + n_post AS BIGINT) AS retained
+           |  FROM a),
+           |live AS (SELECT user_id, count(*) AS c FROM events
+           |  WHERE ts >= TIMESTAMP '$T1' GROUP BY 1),
+           |carrier AS (SELECT user_id, 1 AS c FROM (SELECT user_id,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events WHERE ts < TIMESTAMP '$T1') WHERE rn = 1),
+           |act AS (SELECT user_id,
+           |    CAST(coalesce(l.c, 0) + coalesce(cr.c, 0) AS BIGINT) AS actual_retained
+           |  FROM (SELECT DISTINCT user_id FROM events) u
+           |  LEFT JOIN live l USING (user_id) LEFT JOIN carrier cr USING (user_id))
+           |SELECT p.user_id, p.n_versions, p.dropped, p.retained,
+           |  act.actual_retained, p.retained = act.actual_retained AS consistent
+           |FROM p JOIN act USING (user_id) ORDER BY p.user_id""".stripMargin,
 
       // t18: post-cutoff rows verbatim + the per-key latest pre-cutoff
       // carrier — the retained set a vacuum rewrite keeps

@@ -243,6 +243,26 @@ object Temporal {
     live.unionByName(carrier)
   }
 
+  /** Retention reconciliation AUDIT — the dry-run diff a destructive
+    * retention pass publishes before/after running: per key,
+    * [[ttlCompaction]]'s PLANNED retained count next to the ACTUAL
+    * row count of [[vacuum]]'s output, with a consistency flag. On
+    * correct inputs every row reads consistent=true (the spec pins
+    * it, and pins a detected inconsistency on a corrupted vacuum
+    * output); at 100 TB this is the audit row a pipeline writes to
+    * its run log next to rollback_logs. One aggregate per side +
+    * one key-sized join. */
+  def retentionAudit(df: DataFrame, key: String, ts: String, tie: String,
+                     cutoff: Column): DataFrame = {
+    val plan = ttlCompaction(df, key, ts, cutoff)
+      .select(col(key), col("n_versions"), col("dropped"), col("retained"))
+    val actual = vacuum(df, key, ts, tie, cutoff)
+      .groupBy(col(key)).agg(count(lit(1)).as("actual_retained"))
+    plan.join(actual, Seq(key))
+      .withColumn("consistent", col("retained") === col("actual_retained"))
+      .orderBy(col(key))
+  }
+
   /** The reference's `POST /rollback` (app/main.py:152-247) as a pure,
     * append-only computation: for every record with versions after `at`,
     * the state to restore (its AS-OF `at` row) or a DELETE marker if the

@@ -59,6 +59,32 @@ class R15OpsSpec extends SparkSpec {
     assert(plan == physical && physical == 5L)
   }
 
+  test("retentionAudit: consistent on correct inputs, flags a corrupted vacuum") {
+    val audit = Temporal.retentionAudit(chain, "k", "ts", "tie", tsl(cutoff))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toList
+    // plan == actual everywhere: k1 retained 3 (carrier+2 live),
+    // k2 retained 1 (carrier), k3 retained 1 (live)
+    assert(audit == List((1L, 3L, 3L, true), (2L, 1L, 1L, true),
+      (3L, 1L, 1L, true)))
+    // a corrupted physical output (lost carrier for k2) must surface
+    val plan = Temporal.ttlCompaction(chain, "k", "ts", tsl(cutoff))
+      .select(col("k"), col("n_versions"), col("dropped"), col("retained"))
+    val corrupted = Temporal.vacuum(chain, "k", "ts", "tie", tsl(cutoff))
+      .filter(!(col("k") === 2L && col("row_kind") === "CARRIER"))
+      .groupBy(col("k")).agg(count(lit(1)).as("actual_retained"))
+    val flagged = plan.join(corrupted, Seq("k"))
+      .withColumn("consistent", col("retained") === col("actual_retained"))
+      .filter(!col("consistent")).select("k").collect().map(_.getLong(0))
+    assert(flagged.isEmpty) // k2 vanished entirely from the inner join...
+    // ...which the full audit catches as a MISSING key:
+    val keysInAudit = plan.join(corrupted, Seq("k"), "left")
+      .filter(col("actual_retained").isNull ||
+        col("retained") =!= col("actual_retained"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keysInAudit == Set(2L))
+  }
+
   // ---- s6 histogram-sketch merge ----------------------------------------
 
   private val vals = Seq(
