@@ -1057,7 +1057,7 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", "source",
         col("lang") === "en",
         featsPre = Some(graft.dedup.ClusterCache.dsirFeats(
-          s, d, 4096, "langen", col("lang") === "en")))),
+          s, d, 4096, col("lang") === "en")))),
 
     // integer-quantized TF-IDF top terms (keyword extraction): x11's
     // bit-length trick applied to document frequency — score =

@@ -180,9 +180,17 @@ object Ann {
       val best = aggregate(avail,
         struct(lit(-1).as("i"), minL.as("m")),
         (bst, x) => {
+          // a missing pair lookup (possible only if the all-pairs-
+          // present pool invariant breaks: duplicate nn_ids, a changed
+          // map build) must fail LOUDLY — greatest() would silently
+          // skip the NULL, leave red at Long.MinValue and let
+          // oml*MinValue wrap into garbage mmr ordering (ADVICE r15)
           val red = aggregate(acc, minL, (r, p) => greatest(r,
-            element_at(col("__pmm"), concat_ws(":",
-              cAt(x).getField("nn_id"), cAt(p.getField("i")).getField("nn_id")))))
+            coalesce(element_at(col("__pmm"), concat_ws(":",
+              cAt(x).getField("nn_id"), cAt(p.getField("i")).getField("nn_id"))),
+              raise_error(concat(lit("mmr pair map missing key "),
+                concat_ws(":", cAt(x).getField("nn_id"),
+                  cAt(p.getField("i")).getField("nn_id")))).cast("long"))))
           val m = lam * cAt(x).getField("rel") - oml * red
           when(m > bst.getField("m"), struct(x.as("i"), m.as("m")))
             .otherwise(bst)

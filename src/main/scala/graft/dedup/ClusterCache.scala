@@ -183,29 +183,42 @@ object ClusterCache {
       }
     }
 
-  /** Parameter-stamped artifact name for [[dsirFeats]] — `predStamp`
-    * identifies the target predicate (the RetrievalCache rule: what
-    * the name can't derive, the caller stamps). */
-  def dsirFeatsArtifact(buckets: Int, predStamp: String): String =
-    s"dsirfeats_b${buckets}_p$predStamp"
+  /** Parameter-stamped artifact name for [[dsirFeats]] — the predicate
+    * stamp is DERIVED from the predicate's normalized column string
+    * (md5 prefix of Column.toString, e.g. "=(lang, 'en')"), never
+    * caller-supplied: a caller reusing a label with a different
+    * predicate can't silently load the wrong feature table (the
+    * fingerprint only invalidates on corpus change, so the name must
+    * bind the predicate). NOT the bridge Expression's `.sql` — the
+    * lazy ColumnNode wrapper renders every predicate as the same
+    * generic "columnnodeexpression()". */
+  def dsirFeatsArtifact(buckets: Int,
+                        pred: org.apache.spark.sql.Column): String = {
+    val norm = pred.toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"dsirfeats_b${buckets}_p$h"
+  }
 
   /** The shared DSIR hashed-feature aggregate (id, source, target
     * flag, bucket, tf) over `dir`'s documents — x25's dominant cost
     * (the uni+bigram explode + aggregation), durable and stamped by
-    * (buckets, predicate id). Write-through self-priming. */
+    * (buckets, predicate-SQL hash). Write-through self-priming. */
   def dsirFeats(spark: SparkSession, dir: String, buckets: Int,
-                predStamp: String,
-                targetPred: org.apache.spark.sql.Column): DataFrame =
+                targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val stamp = dsirFeatsArtifact(buckets, targetPred)
     dsirCache.getOrBuild(
-        (System.identityHashCode(spark), dir, buckets, predStamp)) {
+        (System.identityHashCode(spark), dir, buckets, stamp)) {
       graft.sources.IndexStore.loadOrWrite(spark, dir,
-          dsirFeatsArtifact(buckets, predStamp), Some("b")) {
+          stamp, Some("b")) {
         graft.operators.Pipeline.dsirFeatTable(
             Tables.documents(spark, dir), "doc_id", "text", "source",
             targetPred, buckets)
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
     }
+  }
 
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),

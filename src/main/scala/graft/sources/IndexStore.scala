@@ -149,6 +149,21 @@ object IndexStore {
     val parts = manifest.split("\n", 3)
     if (parts.length < 3) return false
     if (parts(2).trim != corpusFingerprint(spark, dir)) return false
+    // width-staleness (ADVICE r15): a bucketed artifact primed by a
+    // low-parallelism session (e.g. the CPUS=3 gate writing 3 buckets)
+    // would cap every later wide session's loaded-index joins at the
+    // writer's width — bucketed scans are never AQE-split. Treat a
+    // GROSS mismatch (recorded < 1/4 of this session's write width) as
+    // stale: the getter rebuilds and re-primes at the current width.
+    // The reverse (wide table, narrow reader) stays valid.
+    parts(1).trim.split(",") match {
+      case Array(_, b) if b.nonEmpty && b.forall(_.isDigit) &&
+          b.toInt * 4 < buckets(spark) =>
+        System.err.println(s"[indexstore] $name recorded ${b.toInt} buckets " +
+          s"<< session width ${buckets(spark)} — treating as stale, will re-prime")
+        return false
+      case _ =>
+    }
     val schema = org.apache.spark.sql.types.DataType.fromJson(parts(0))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val cluster = parts(1).trim match {
@@ -322,7 +337,7 @@ object IndexStore {
             .filter(col("cos") >= 0.4).select(col("id_a"), col("id_b")),
           "vec_id"),
         Some("cluster_id")),
-      (ClusterCache.dsirFeatsArtifact(4096, "langen"),
+      (ClusterCache.dsirFeatsArtifact(4096, col("lang") === "en"),
         () => graft.operators.Pipeline.dsirFeatTable(
           graft.sources.Tables.documents(spark, dir), "doc_id", "text",
           "source", col("lang") === "en", 4096),

@@ -251,14 +251,23 @@ object Temporal {
     * it, and pins a detected inconsistency on a corrupted vacuum
     * output); at 100 TB this is the audit row a pipeline writes to
     * its run log next to rollback_logs. One aggregate per side +
-    * one key-sized join. */
+    * one key-sized join.
+    *
+    * `actualRows` lets the caller audit a PHYSICAL vacuum output
+    * (possibly corrupted) instead of the recomputed plan; the join is
+    * LEFT with actual_retained coalesced to 0 so a key whose rows
+    * vanished entirely reads consistent=false instead of silently
+    * dropping out of the audit. */
   def retentionAudit(df: DataFrame, key: String, ts: String, tie: String,
-                     cutoff: Column): DataFrame = {
+                     cutoff: Column,
+                     actualRows: Option[DataFrame] = None): DataFrame = {
     val plan = ttlCompaction(df, key, ts, cutoff)
       .select(col(key), col("n_versions"), col("dropped"), col("retained"))
-    val actual = vacuum(df, key, ts, tie, cutoff)
-      .groupBy(col(key)).agg(count(lit(1)).as("actual_retained"))
-    plan.join(actual, Seq(key))
+    val actual = actualRows.getOrElse(vacuum(df, key, ts, tie, cutoff))
+      .groupBy(col(key)).agg(count(lit(1)).as("__ar"))
+    plan.join(actual, Seq(key), "left")
+      .withColumn("actual_retained", coalesce(col("__ar"), lit(0L)))
+      .drop("__ar")
       .withColumn("consistent", col("retained") === col("actual_retained"))
       .orderBy(col(key))
   }

@@ -206,13 +206,19 @@ class IndexStoreSpec extends SparkSpec {
     sys.props(IndexStore.EnvFlag) = "0"
     freshCaches()
     val pred = col("lang") === "en"
+    // the artifact name binds the predicate: a different predicate can
+    // never load this table (ADVICE r15: the stamp was caller-supplied)
+    assert(ClusterCache.dsirFeatsArtifact(4096, pred) !=
+      ClusterCache.dsirFeatsArtifact(4096, col("lang") === "de"))
+    assert(ClusterCache.dsirFeatsArtifact(4096, pred) ==
+      ClusterCache.dsirFeatsArtifact(4096, col("lang") === "en"))
     val builtC = rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4))
-    val builtF = rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred))
+    val builtF = rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred))
     assert(builtC.nonEmpty && builtF.nonEmpty)
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
     val arts = Seq(CellIndexCache.semanticClustersArtifact(0.4),
-      ClusterCache.dsirFeatsArtifact(4096, "langen"))
+      ClusterCache.dsirFeatsArtifact(4096, pred))
     val whDir = spark.conf.get("spark.sql.warehouse.dir")
       .replaceFirst("^file:", "")
     def drop(): Unit = arts.foreach { a =>
@@ -223,12 +229,12 @@ class IndexStoreSpec extends SparkSpec {
     drop()
     try {
       assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
-      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred)) == builtF)
+      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred)) == builtF)
       assert(arts.forall(IndexStore.exists(spark, sfDir, _)),
         "write-through did not prime")
       freshCaches()
       assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
-      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, "langen", pred)) == builtF)
+      assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred)) == builtF)
     } finally { drop(); freshCaches() }
   }
 
@@ -292,5 +298,39 @@ class IndexStoreSpec extends SparkSpec {
       }
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
+  }
+
+  test("width-staleness: a grossly under-bucketed artifact re-primes (ADVICE r15)") {
+    val df = spark.range(100).toDF("k")
+      .select(col("k"), (col("k") % 7).as("v"))
+    val art = "widthtest"
+    val name = IndexStore.tableName(sfDir, art)
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val whDir = spark.conf.get("spark.sql.warehouse.dir")
+        .replaceFirst("^file:", "")
+      scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+    }
+    drop()
+    try {
+      sys.props("GRAFT_INDEX_BUCKETS") = "1"
+      IndexStore.write(df, sfDir, art, Some("k"))
+      spark.sql(s"DROP TABLE $name") // fresh-JVM simulation (files stay)
+      // a same-width (or mildly wider) session keeps serving it
+      assert(IndexStore.exists(spark, sfDir, art))
+      spark.sql(s"DROP TABLE $name")
+      sys.props("GRAFT_INDEX_BUCKETS") = "2"
+      assert(IndexStore.exists(spark, sfDir, art)) // 1*4 >= 2: valid
+      spark.sql(s"DROP TABLE $name")
+      // a 4x+ wider session treats it as stale (never capped at the
+      // narrow writer's width) ...
+      sys.props("GRAFT_INDEX_BUCKETS") = "8"
+      assert(!IndexStore.exists(spark, sfDir, art))
+      // ... and loadOrWrite re-primes at the session width
+      assert(IndexStore.loadOrWrite(spark, sfDir, art, Some("k"))(df)
+        .count() == 100)
+      spark.sql(s"DROP TABLE $name")
+      assert(IndexStore.exists(spark, sfDir, art)) // recorded 8 now
+    } finally { sys.props.remove("GRAFT_INDEX_BUCKETS"); drop() }
   }
 }

@@ -67,22 +67,17 @@ class R15OpsSpec extends SparkSpec {
     // k2 retained 1 (carrier), k3 retained 1 (live)
     assert(audit == List((1L, 3L, 3L, true), (2L, 1L, 1L, true),
       (3L, 1L, 1L, true)))
-    // a corrupted physical output (lost carrier for k2) must surface
-    val plan = Temporal.ttlCompaction(chain, "k", "ts", tsl(cutoff))
-      .select(col("k"), col("n_versions"), col("dropped"), col("retained"))
+    // a corrupted physical output (k2's only retained row — its
+    // carrier — lost entirely) must surface as consistent=false with
+    // actual_retained 0, not silently drop out of the audit: the
+    // operator's join is LEFT with actual_retained coalesced to 0
     val corrupted = Temporal.vacuum(chain, "k", "ts", "tie", tsl(cutoff))
       .filter(!(col("k") === 2L && col("row_kind") === "CARRIER"))
-      .groupBy(col("k")).agg(count(lit(1)).as("actual_retained"))
-    val flagged = plan.join(corrupted, Seq("k"))
-      .withColumn("consistent", col("retained") === col("actual_retained"))
-      .filter(!col("consistent")).select("k").collect().map(_.getLong(0))
-    assert(flagged.isEmpty) // k2 vanished entirely from the inner join...
-    // ...which the full audit catches as a MISSING key:
-    val keysInAudit = plan.join(corrupted, Seq("k"), "left")
-      .filter(col("actual_retained").isNull ||
-        col("retained") =!= col("actual_retained"))
-      .select("k").collect().map(_.getLong(0)).toSet
-    assert(keysInAudit == Set(2L))
+    val flagged = Temporal.retentionAudit(chain, "k", "ts", "tie",
+        tsl(cutoff), actualRows = Some(corrupted))
+      .filter(!col("consistent"))
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toList
+    assert(flagged == List((2L, 0L)))
   }
 
   // ---- s6 histogram-sketch merge ----------------------------------------
