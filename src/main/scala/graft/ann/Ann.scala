@@ -601,32 +601,34 @@ object Ann {
     * of the 6-dp cosines, order-independent. Empty clusters drop out
     * of the update naturally (deterministically in both engines). */
   def kmeans(emb: DataFrame, id: String, vec: String, k: Int,
-             rounds: Int): DataFrame = {
-    val corpus = emb.select(col(id).cast("long").as("v_id"),
-      col(vec).cast("array<double>").as("v"))
-    // argmax as a groupBy max_by, not a window: the per-row window
-    // form sorts corpus×k rows (each dragging the 64-double vector
-    // through the sort) and cannot partial-aggregate; max_by combines
-    // map-side — the exchange carries one row per vector, k× less, no
-    // sort (the x4 groupBy-over-window precedent). Ordering key
-    // (cos, −c_cell) reproduces the window's (cos DESC, c_cell ASC)
-    // argmax with its tie-break exactly, and is unique per candidate
-    // (c_cell is distinct within a vector's k rows), so max_by is
-    // deterministic and the DuckDB oracle's row_number form matches
-    // digit-for-digit.
-    def assign(cent: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cent))
-        .select(col("v_id"), col("v"), col("c_cell"),
-          round(Vec.cosine(col("v"), col("c_vec")), 6).as("cos"))
-        .groupBy(col("v_id"))
-        .agg(max_by(struct(col("c_cell"), col("cos"), col("v")),
-          struct(col("cos"), (-col("c_cell")).as("nc"))).as("__b"))
-        .select(col("v_id"), col("__b.v").as("v"),
-          col("__b.c_cell").as("c_cell"), col("__b.cos").as("cos"))
+             rounds: Int, centsPre: Option[DataFrame] = None): DataFrame = {
+    val corpus = kmeansCorpus(emb, id, vec)
+    // trained centroids: a pure, deterministic function of
+    // (corpus, k, rounds) — seeded + decimal-exact, so a session can
+    // load them from a durable artifact (centsPre, the
+    // CellIndexCache.kmeansCentroids table: doubles round-trip parquet
+    // bit-exactly) instead of re-paying `rounds`+1 corpus scans
+    val cent = centsPre.getOrElse(kmeansCentroids(emb, id, vec, k, rounds))
+    kmeansAssign(corpus, cent)
+      .groupBy(col("c_cell").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("v_id")).as("min_member"),
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The Lloyd TRAINING half of [[kmeans]]: `rounds` seeded centroid
+    * updates, returned as the (c_cell, c_vec) table. Deterministic
+    * (seeds = the k smallest ids; decimal-exact order-independent
+    * means), so the result is a corpus-pure index artifact. */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String, k: Int,
+                      rounds: Int): DataFrame = {
+    val corpus = kmeansCorpus(emb, id, vec)
     var cent = corpus.filter(col("v_id") < k)
       .select(col("v_id").as("c_cell"), col("v").as("c_vec"))
     for (_ <- 1 to rounds) {
-      cent = assign(cent)
+      cent = kmeansAssign(corpus, cent)
         .select(col("c_cell"), posexplode(col("v")).as(Seq("i", "cv0")))
         .groupBy(col("c_cell"), col("i"))
         .agg((sum(col("cv0").cast("decimal(38,12)")).cast("double") /
@@ -635,14 +637,32 @@ object Ann {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
           s => s.getField("cv")).as("c_vec"))
     }
-    assign(cent)
-      .groupBy(col("c_cell").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        min(col("v_id")).as("min_member"),
-        round(sum(col("cos").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("avg_cos"))
-      .orderBy(col("cluster_id"))
+    cent
   }
+
+  private def kmeansCorpus(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id).cast("long").as("v_id"),
+      col(vec).cast("array<double>").as("v"))
+
+  // argmax as a groupBy max_by, not a window: the per-row window
+  // form sorts corpus×k rows (each dragging the 64-double vector
+  // through the sort) and cannot partial-aggregate; max_by combines
+  // map-side — the exchange carries one row per vector, k× less, no
+  // sort (the x4 groupBy-over-window precedent). Ordering key
+  // (cos, −c_cell) reproduces the window's (cos DESC, c_cell ASC)
+  // argmax with its tie-break exactly, and is unique per candidate
+  // (c_cell is distinct within a vector's k rows), so max_by is
+  // deterministic and the DuckDB oracle's row_number form matches
+  // digit-for-digit.
+  private def kmeansAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .select(col("v_id"), col("v"), col("c_cell"),
+        round(Vec.cosine(col("v"), col("c_vec")), 6).as("cos"))
+      .groupBy(col("v_id"))
+      .agg(max_by(struct(col("c_cell"), col("cos"), col("v")),
+        struct(col("cos"), (-col("c_cell")).as("nc"))).as("__b"))
+      .select(col("v_id"), col("__b.v").as("v"),
+        col("__b.c_cell").as("c_cell"), col("__b.cos").as("cos"))
 
   /** IVF-style top-k within the query's coarse cell (`cell` column). */
   def knnBlocked(emb: DataFrame, id: String, vec: String, cell: String,

@@ -108,6 +108,31 @@ object CellIndexCache {
       }
     }
 
+  /** Parameter-stamped artifact name for [[kmeansCentroids]]. */
+  def kmeansCentroidsArtifact(k: Int, rounds: Int): String =
+    s"kmcents_k${k}_r$rounds"
+
+  private val kmCentCache = SessionCache.forDf[(Int, String, Int, Int)]
+
+  /** a7's trained Lloyd centroids (c_cell, c_vec) as a durable
+    * parameter-stamped artifact: the training is deterministic
+    * (seeded, decimal-exact means — [[Ann.kmeansCentroids]]) and
+    * corpus-pure, so a warm session loads the k-row table instead of
+    * re-running rounds+1 corpus scans (the costliest non-drain batch
+    * key at sf1 pre-r16). Plain table (k rows — nothing to bucket);
+    * write-through self-priming; fingerprint-invalidated. */
+  def kmeansCentroids(spark: SparkSession, dir: String, k: Int,
+                      rounds: Int): DataFrame =
+    kmCentCache.getOrBuild(
+        (System.identityHashCode(spark), dir, k, rounds)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir,
+          kmeansCentroidsArtifact(k, rounds), None) {
+        Ann.kmeansCentroids(Tables.embeddings(spark, dir),
+            "vec_id", "embedding", k, rounds)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   private val withCellCache = SessionCache.forDf[(Int, String)]
 
   /** The embeddings table with its primary coarse-cell column
@@ -248,5 +273,6 @@ object CellIndexCache {
         pqCodebookCache, pqCodesCache,
         rawPqCodebookCache, rawPqCodesCache).foreach(_.clear())
     sclusterCache.clear()
+    kmCentCache.clear()
   }
 }

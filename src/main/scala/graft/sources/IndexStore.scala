@@ -341,7 +341,12 @@ object IndexStore {
         () => graft.operators.Pipeline.dsirFeatTable(
           graft.sources.Tables.documents(spark, dir), "doc_id", "text",
           "source", col("lang") === "en", 4096),
-        Some("b")))
+        Some("b")),
+      (CellIndexCache.kmeansCentroidsArtifact(8, 2),
+        () => graft.ann.Ann.kmeansCentroids(
+          graft.sources.Tables.embeddings(spark, dir),
+          "vec_id", "embedding", 8, 2),
+        None))
   }
 
   /** Build and persist ALL index artifacts for `dir`'s corpus,

@@ -51,7 +51,7 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 19 && names.forall(spark.catalog.tableExists))
+    assert(names.length == 20 && names.forall(spark.catalog.tableExists))
     // flag REMOVED = the r14 default: auto-load, no env needed
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
@@ -253,7 +253,7 @@ class IndexStoreSpec extends SparkSpec {
     var primed: Seq[String] = Nil
     try {
       primed = IndexStore.primeIfMissing(spark, tmp)
-      assert(primed.length == 19, s"expected all 19 written, got $primed")
+      assert(primed.length == 20, s"expected all 20 written, got $primed")
       // everything present + valid -> second prime writes NOTHING
       assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
       assert(IndexStore.exists(spark, tmp, "docwordtf"))
@@ -298,6 +298,37 @@ class IndexStoreSpec extends SparkSpec {
       }
       scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
     }
+  }
+
+  test("kmeansCentroids: write-through self-prime, loaded == built, a7 transfers") {
+    assert(CellIndexCache.kmeansCentroidsArtifact(8, 2) == "kmcents_k8_r2")
+    sys.props(IndexStore.EnvFlag) = "0"
+    freshCaches()
+    val built = rows(CellIndexCache.kmeansCentroids(spark, sfDir, 8, 2))
+    val builtA7 = rows(SparkEntry.queries("a7_kmeans")(spark, sfDir))
+    assert(built.nonEmpty && builtA7.nonEmpty)
+    sys.props.remove(IndexStore.EnvFlag)
+    freshCaches()
+    val art = CellIndexCache.kmeansCentroidsArtifact(8, 2)
+    val name = IndexStore.tableName(sfDir, art)
+    val whDir = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      scala.reflect.io.Directory(new java.io.File(whDir, name)).deleteRecursively()
+    }
+    drop()
+    try {
+      // write-through self-prime on first touch; doubles round-trip
+      // parquet bit-exactly so loaded == built
+      assert(rows(CellIndexCache.kmeansCentroids(spark, sfDir, 8, 2)) == built)
+      assert(IndexStore.exists(spark, sfDir, art), "write-through did not prime")
+      freshCaches()
+      assert(rows(CellIndexCache.kmeansCentroids(spark, sfDir, 8, 2)) == built)
+      // the production query over the LOADED centroids is row-identical
+      // → the committed oracle-green verdict transfers
+      assert(rows(SparkEntry.queries("a7_kmeans")(spark, sfDir)) == builtA7)
+    } finally { drop(); freshCaches() }
   }
 
   test("width-staleness: a grossly under-bucketed artifact re-primes (ADVICE r15)") {
