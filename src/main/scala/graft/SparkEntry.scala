@@ -80,6 +80,10 @@ object SparkEntry {
   // fixed absolute cut drifted 5% -> 91% across the same two scales.
   private val X21ThetaNum = 7
   private val X21ThetaDen = 10
+  // x30's drift flag threshold: |weekly mean − first-week baseline|
+  // > 0.02 in integer micro units (both means are 6-dp multiples, so
+  // the comparison is exact on both engines)
+  private val X30DriftMicro = 20000L
 
   private def ts(s: String) = lit(s).cast("timestamp")
   private def ev(spark: SparkSession, dir: String): DataFrame =
@@ -987,6 +991,24 @@ object SparkEntry {
         "doc_id", "text", 3, pmod(col("doc_id"), lit(20)) === 0, 3,
         postings = Some(graft.dedup.ClusterCache.postings(s, d)))),
 
+    // per-source quality drift over ingest weeks: x2's score joined to
+    // the serving log (event -> doc_id = event_id mod |docs|, footer
+    // count), weekly mean vs the source's first-week baseline, drift
+    // in exact integer micro units with a threshold flag — the
+    // curation-monitoring report (the temporal axis applied to the
+    // documents pipeline)
+    "x30_quality_drift" -> ((s, d) => {
+      val ws = Text.words(col("text"))
+      val dq = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Text.qualityScore(size(ws), size(array_distinct(ws)),
+            Text.stopwordHits(ws, Stopwords), col("n_chars")).as("quality"))
+      graft.operators.Pipeline.qualityDrift(dq, "doc_id", "source",
+        "quality", ev(s, d), "event_id", "ts",
+        graft.sources.ParquetStats.rowCount(s, s"$d/documents.parquet"),
+        X30DriftMicro)
+    }),
+
     // x8's hits joined back to sources: which sources ship contaminated
     // data and how much token mass decontamination removes from each
     "x29_contamination_report" -> ((s, d) =>
@@ -1216,6 +1238,18 @@ object SparkEntry {
       graft.functions.Sketch.histMergedQuantiles(
         ev(s, d).select("event_type", "value"), "event_type", "value",
         buckets = HistBuckets)),
+
+    // cross-shard KMV UNION merge: every event_type shard publishes
+    // its bottom-k sketch of distinct (user, day) cohorts; the global
+    // distinct estimate is computed from the shard sketches alone
+    // (merged sample + min-theta) — s3's sketch as a mergeable op,
+    // the s6 pattern; shards x k longs cross the merge, never values
+    "s7_kmv_union" -> ((s, d) =>
+      graft.functions.Sketch.kmvMergedDistinct(
+        ev(s, d).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
+        "event_type", col("ud"), k = KmvK)),
 
     // STREAMING HyperLogLog: the stream carries only the register
     // table (state = days x 16, constant at any event volume);
@@ -2248,6 +2282,36 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // x30: x2's quality score joined to the serving log
+      // (doc_id = event_id mod |documents|), weekly per-source mean
+      // vs the source's first-week baseline; drift in exact integer
+      // micro units (difference of two 6-dp multiples)
+      "x30_quality_drift" ->
+        s"""WITH q AS (SELECT doc_id, source,
+          |    round(0.4 * least(n_distinct::DOUBLE / n_words * 2.0, 1.0)
+          |        + 0.3 * least(stop_hits::DOUBLE / n_words * 5.0, 1.0)
+          |        + 0.3 * least((n_chars::DOUBLE / n_words) / 8.0, 1.0), 6) AS quality
+          |  FROM (SELECT doc_id, source, n_chars, len(words) AS n_words,
+          |      len(list_distinct(words)) AS n_distinct,
+          |      len(list_filter(words, w -> w IN ('the', 'a'))) AS stop_hits
+          |    FROM (SELECT doc_id, source, n_chars,
+          |        string_split(text, ' ') AS words FROM documents))),
+          |sv AS (SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+          |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week FROM events),
+          |a AS (SELECT q.source, sv.week, count(*) AS n_served,
+          |    round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+          |      / count(*), 6) AS avg_quality
+          |  FROM sv JOIN q USING (doc_id) GROUP BY 1, 2),
+          |b AS (SELECT source, week, n_served, avg_quality,
+          |    first_value(avg_quality) OVER (PARTITION BY source ORDER BY week)
+          |      AS baseline_quality
+          |  FROM a)
+          |SELECT source, week, n_served, avg_quality, baseline_quality,
+          |  CAST(round((avg_quality - baseline_quality) * 1e6) AS BIGINT) AS drift_micro,
+          |  abs(CAST(round((avg_quality - baseline_quality) * 1e6) AS BIGINT))
+          |    > $X30DriftMicro AS drifted
+          |FROM b ORDER BY source, week""".stripMargin,
 
       // x29: x8's hit set (same CTEs) rolled up per source with token
       // mass — which sources ship contaminated data and how much the
@@ -4129,6 +4193,41 @@ object SparkEntry {
           |  round(gmin + CAST(b90 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p90_est,
           |  round(gmin + CAST(b99 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p99_est
           |FROM s CROSS JOIN mm CROSS JOIN sh""".stripMargin,
+
+      // s7: s3's KMV sketch as a cross-shard MERGE — per event_type
+      // bottom-k sketches of distinct (user, day); the union row is
+      // computed from the shard samples alone (merged distinct sample
+      // + min-theta), exact counts alongside as the error report
+      "s7_kmv_union" ->
+        s"""WITH gh AS (SELECT DISTINCT event_type AS g,
+          |    ('0x' || substr(md5(user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+          |  FROM events),
+          |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM gh),
+          |sk AS (SELECT g,
+          |    coalesce(max(CASE WHEN rn = $KmvK THEN h END), 1152921504606846976) AS theta,
+          |    count(*) AS exact
+          |  FROM rk GROUP BY g),
+          |ret AS (SELECT rk.g, count(*) AS r FROM rk JOIN sk ON sk.g = rk.g
+          |  WHERE rk.rn <= $KmvK AND rk.h < sk.theta GROUP BY rk.g),
+          |us AS (SELECT DISTINCT h FROM rk WHERE rn <= $KmvK),
+          |ur AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM us),
+          |tu AS (SELECT least((SELECT min(theta) FROM sk),
+          |    coalesce((SELECT max(CASE WHEN rn = $KmvK THEN h END) FROM ur),
+          |      1152921504606846976)) AS theta),
+          |ru AS (SELECT count(*) AS r FROM us WHERE h < (SELECT theta FROM tu)),
+          |exu AS (SELECT count(DISTINCT h) AS exact_u FROM gh)
+          |SELECT cohort, round(est, 6) AS est_distinct, exact AS exact_distinct,
+          |  round(est / CAST(exact AS DOUBLE) - 1.0, 6) AS rel_err
+          |FROM (
+          |  SELECT sk.g AS cohort,
+          |    CAST(ret.r AS DOUBLE) * 1152921504606846976.0 / CAST(sk.theta AS DOUBLE) AS est,
+          |    sk.exact AS exact
+          |  FROM sk JOIN ret ON sk.g = ret.g
+          |  UNION ALL SELECT 'zz_union',
+          |    CAST((SELECT r FROM ru) AS DOUBLE) * 1152921504606846976.0
+          |      / CAST((SELECT theta FROM tu) AS DOUBLE),
+          |    (SELECT exact_u FROM exu))
+          |ORDER BY cohort""".stripMargin,
 
       "x16_containment" ->
         """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),

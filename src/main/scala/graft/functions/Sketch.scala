@@ -254,6 +254,62 @@ object Sketch {
           .as("rel_err")): _*)
   }
 
+  /** Cross-shard KMV UNION merge (s7 — [[kmvSetOps]]'s sketch as a
+    * mergeable first-class op, the s6 pattern applied to distinct
+    * counting): every shard publishes its bottom-k sketch, and the
+    * GLOBAL distinct estimate is computed from the shard sketches
+    * alone — merged sample = the distinct union of shard samples,
+    * θ_U = min(every shard θ, k-th smallest of the merged sample),
+    * est = |{h ∈ merged : h < θ_U}|·2^60/θ_U. That is the whole point
+    * at 100 TB: per-shard state is k longs, the merge exchange is
+    * shards×k longs (set-union-then-truncate — associative,
+    * commutative, dup-insensitive, so any merge tree is identical;
+    * the same property ts29's streaming state relies on), and no
+    * value-level second pass ever crosses a shard boundary. The exact
+    * counts computed alongside are the error report, as everywhere in
+    * this family. Returns one row per shard plus a trailing
+    * 'zz_union' row: (cohort, est_distinct, exact_distinct, rel_err). */
+  def kmvMergedDistinct(df: DataFrame, shard: String, key: Column,
+                        k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val withK = df.select(col(shard).as("g"),
+      Text.md5Prefix60(key.cast("string")).as("h"))
+    // one map-side-deduping exchange feeds both the sketch and the
+    // exact report (distinct 60-bit hashes == distinct keys up to
+    // hash collisions, the convention the s3 oracle shares)
+    val gh = withK.groupBy(col("g"), col("h")).agg(count(lit(1)).as("__dup"))
+    val sk = gh.groupBy(col("g")).agg(
+      graft.dedup.Dedup.collectMinK(col("h"), k).as("hs"),
+      count(lit(1)).as("exact_distinct"))
+    def theta(arr: Column): Column =
+      when(size(arr) >= k, element_at(arr, k)).otherwise(lit(HashSpaceL))
+    def est(retained: Column, th: Column): Column =
+      retained.cast("double") * lit(HashSpace) / th.cast("double")
+    val thG = theta(col("hs"))
+    val per = sk.select(col("g").as("cohort"),
+      est(size(filter(col("hs"), h => h < thG)), thG).as("__est"),
+      col("exact_distinct"))
+    // the merge: shards×k longs into one row — never the raw values
+    val merged0 = array_sort(array_distinct(flatten(col("__all"))))
+    val u = sk.agg(min(thG).as("__thmin"),
+        collect_list(col("hs")).as("__all"))
+      .select(col("__thmin"), merged0.as("__m"))
+    val thU = least(col("__thmin"), theta(col("__m")))
+    val exactU = gh.groupBy(col("h")).agg(count(lit(1)).as("__ng"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val uRow = u.crossJoin(exactU)
+      .select(lit("zz_union").as("cohort"),
+        est(size(filter(col("__m"), h => h < thU)), thU).as("__est"),
+        col("exact_distinct"))
+    per.unionByName(uRow)
+      .select(col("cohort"),
+        round(col("__est"), 6).as("est_distinct"),
+        col("exact_distinct"),
+        round(col("__est") / col("exact_distinct").cast("double") - 1.0, 6)
+          .as("rel_err"))
+      .orderBy("cohort")
+  }
+
   /** Bloom-filter decontamination (Bloom 1970) — the sketch-accelerated
     * form of x8's eval-set check: benchmark-doc shingles set `hashes`
     * bits in an m-bit filter; a corpus doc is flagged when ≥ `minShared`

@@ -764,6 +764,47 @@ object Pipeline {
       .orderBy(stratum)
   }
 
+  /** Per-source quality DRIFT over time windows (x30) — the
+    * curation-monitoring report a pipeline publishes per ingest
+    * window: the reference's temporal axis applied to the documents
+    * pipeline. `events` is the serving/ingest log; each event touches
+    * document `event_id mod nDocs` (nDocs from parquet footers, never
+    * a scan job), weeks come from `date_trunc`, and per (source, week)
+    * the report carries the served-doc count, the mean quality score
+    * (decimal sum of the 6-dp per-doc scores — order-independent,
+    * engine-exact), the source's FIRST-week baseline, and the drift
+    * against it in integer micro units (difference of two 6-dp
+    * multiples — exact, so the `drifted` threshold flag can never
+    * straddle a float boundary).
+    *
+    * Scale shape: per-doc quality is a map-only projection; the
+    * serving join is one doc-keyed equi-join (quality side is
+    * doc-sized — broadcast-able when small, AQE shuffle join at
+    * 100 TB); the weekly aggregate partial-aggregates map-side; the
+    * baseline window runs over the tiny source×week aggregate, never
+    * event rows. */
+  def qualityDrift(docQuality: DataFrame, id: String, source: String,
+                   quality: String, events: DataFrame, eventId: String,
+                   ts: String, nDocs: Long, threshMicro: Long): DataFrame = {
+    val served = events.select(
+      pmod(col(eventId), lit(nDocs)).as(id),
+      date_format(date_trunc("week", col(ts)), "yyyy-MM-dd").as("week"))
+    val weekly = served
+      .join(docQuality.select(col(id), col(source), col(quality)), Seq(id))
+      .groupBy(col(source), col("week"))
+      .agg(count(lit(1)).as("n_served"),
+        round(sum(col(quality).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+    val w = Window.partitionBy(col(source)).orderBy(col("week"))
+    weekly
+      .withColumn("baseline_quality", first(col("avg_quality")).over(w))
+      .withColumn("drift_micro",
+        round((col("avg_quality") - col("baseline_quality")) * 1e6)
+          .cast("long"))
+      .withColumn("drifted", abs(col("drift_micro")) > threshMicro)
+      .orderBy(col(source), col("week"))
+  }
+
   /** Blocklist filtering (the C4 "bad-words" pass): count blocklisted
     * tokens per document and flag documents whose blocklist DENSITY
     * crosses a threshold — flagged ⇔ hits · denomPer > n_words, i.e.
