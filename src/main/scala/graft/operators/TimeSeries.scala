@@ -291,8 +291,17 @@ object TimeSeries {
     require(parts >= 2)
     val spark = df.sparkSession
     val gType = df.schema(group).dataType
+    // PERSIST the (group, value) projection for the selection's three
+    // actions: the action COUNT is a strict dependency chain (cuts →
+    // counts → pick — see the r16 negative result in the scaladoc
+    // below), but the scans need not re-read parquet each time; two
+    // narrow columns in RAM turn actions 2-3 into in-memory passes.
+    // Unpersisted before return — the result is a LocalRelation, so
+    // nothing downstream depends on the lineage.
     val t = df.select(col(group).as("__g"), col(value).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
     // action 1: per-group approx cutoffs (bounded GK sketch state).
     // GUARDED group cardinality: the selection maps are driver-literal
@@ -328,6 +337,7 @@ object TimeSeries {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
       rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+    } finally t.unpersist()
   }
 
   /** [[exactQuantiles]]' selection core over a PRE-BUCKETED cut list
@@ -453,8 +463,14 @@ object TimeSeries {
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
     val sType = df.schema(series).dataType
+    // persisted for the SIX chained actions (see exactQuantiles): the
+    // chain is irreducible, the parquet re-reads are not — 1 scan + 5
+    // in-RAM passes over two narrow columns. Unpersisted on return
+    // (the report is a LocalRelation, outlier counts included).
     val t = df.select(col(series).as("__g"), col(value).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val parts = 32
     val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
     // action 1: value cutoffs — shared by BOTH medians below; group
@@ -497,20 +513,26 @@ object TimeSeries {
       .map(r => r(0) -> r6(r(2).asInstanceOf[Double])).toMap
     val madMap = map(mad.toSeq.flatMap { case (g, m) =>
       Seq(lit(g), lit(m)) }: _*)
-    // action 6 (at the caller's action): outlier recount — conditional
-    // sum, not filter-then-count: a series with zero outliers must
-    // still report (n_outliers = 0)
-    val out = devT.groupBy(col("__g")).agg(
-      sum(when(col("__v") > lit(k.toDouble) * element_at(madMap, col("__g")), 1L)
-        .otherwise(0L)).as("n_outliers"))
-    val base = spark.createDataFrame(
-      med.keys.toSeq.map(g =>
-        org.apache.spark.sql.Row(g, med(g), mad(g), n(g))).asJava,
+    // action 6: outlier recount — conditional sum, not
+    // filter-then-count: a series with zero outliers must still report
+    // (n_outliers = 0). Run EAGERLY (groups-sized collect, same
+    // guarded budget) so the report is a LocalRelation and the
+    // persisted projection can be dropped before returning.
+    val outCnt: Map[Any, Long] = devT.groupBy(col("__g")).agg(
+        sum(when(col("__v") > lit(k.toDouble) * element_at(madMap, col("__g")), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .collect().toSeq.map(r => r.get(0) -> r.getLong(1)).toMap
+    spark.createDataFrame(
+      med.keys.toSeq.map { g =>
+        val o = outCnt(g)
+        org.apache.spark.sql.Row(g, med(g), mad(g), n(g), o,
+          r6(o.toDouble / n(g))) // same BigDecimal HALF_UP as round(_, 6)
+      }.asJava,
       StructType(Seq(StructField(series, sType), StructField("med", DoubleType),
-        StructField("mad", DoubleType), StructField("n", LongType))))
-    base.join(out.withColumnRenamed("__g", series), Seq(series))
-      .withColumn("out_rate",
-        round(col("n_outliers") / col("n").cast("double"), 6))
+        StructField("mad", DoubleType), StructField("n", LongType),
+        StructField("n_outliers", LongType),
+        StructField("out_rate", DoubleType))))
+    } finally t.unpersist()
   }
 
   /** Exact distinct cardinality per series (the oracle-checkable variant;
