@@ -1085,6 +1085,8 @@ object SparkEntry {
         Tables.documents(s, d), "doc_id", "text", "source",
         col("lang") === "en",
         featsPre = Some(graft.dedup.ClusterCache.dsirFeats(
+          s, d, 4096, col("lang") === "en")),
+        docStatsPre = Some(graft.dedup.ClusterCache.dsirDocStats(
           s, d, 4096, col("lang") === "en")))),
 
     // integer-quantized TF-IDF top terms (keyword extraction): x11's

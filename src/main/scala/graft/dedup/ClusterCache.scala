@@ -23,6 +23,7 @@ object ClusterCache {
   private val cpairCache = SessionCache.forDf[JKey]
   private val wpairCache = SessionCache.forDf[WKey]
   private val dsirCache = SessionCache.forDf[(Int, String, Int, String)]
+  private val dsirDocCache = SessionCache.forDf[(Int, String, Int, String)]
   private val cache = SessionCache.forDf[Key]
   private val postingsCache = SessionCache.forDf[Key]
   private val dfCache = SessionCache.forDf[Key]
@@ -220,6 +221,33 @@ object ClusterCache {
     }
   }
 
+  /** Parameter-stamped artifact name for [[dsirDocStats]] — same
+    * derived predicate stamp as [[dsirFeatsArtifact]]. */
+  def dsirDocStatsArtifact(buckets: Int,
+                           pred: org.apache.spark.sql.Column): String =
+    "dsirdoc_" + dsirFeatsArtifact(buckets, pred).stripPrefix("dsirfeats_")
+
+  /** The per-doc DSIR importance statistics (doc, source, feature
+    * mass, target/raw LM bits) as a durable DOC-SIZED artifact — the
+    * d8-clusters pattern applied to x25: the LM fold + feature
+    * join+aggregate are pure integer functions of (corpus, buckets,
+    * predicate), so a warm session reads 1 row per doc and only the
+    * source-sized report runs per query. Builds from the (loaded or
+    * built) [[dsirFeats]] table; write-through self-priming. */
+  def dsirDocStats(spark: SparkSession, dir: String, buckets: Int,
+                   targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val stamp = dsirDocStatsArtifact(buckets, targetPred)
+    dsirDocCache.getOrBuild(
+        (System.identityHashCode(spark), dir, buckets, stamp)) {
+      graft.sources.IndexStore.loadOrWrite(spark, dir, stamp,
+          Some("source")) {
+        graft.operators.Pipeline.dsirDocStats(
+            dsirFeats(spark, dir, buckets, targetPred), "doc_id", "source")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+  }
+
   /** The shared MinHash-LSH candidate pair table (id_a, id_b) over
     * `dir`'s documents, persisted — d2 reports it (plus its orderBy),
     * the cluster build consumes it as the CC edge set. One signature +
@@ -252,7 +280,7 @@ object ClusterCache {
   /** Unpersist and forget every cached cluster table (test hygiene). */
   def clear(): Unit = {
     Seq(cache, pairCache, jpairCache, cpairCache, wpairCache, dsirCache,
-        postingsCache, dfCache, docWordCache, docLenCache)
+        dsirDocCache, postingsCache, dfCache, docWordCache, docLenCache)
       .foreach(_.clear())
     statsCache.clear()
   }

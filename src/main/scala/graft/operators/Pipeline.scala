@@ -573,22 +573,37 @@ object Pipeline {
       .agg(count(lit(1)).as("tf"))
   }
 
-  def dsirWeights(docs: DataFrame, id: String, text: String,
-                  source: String, targetPred: Column,
-                  buckets: Int = 4096,
-                  featsPre: Option[DataFrame] = None): DataFrame = {
-    val feats = featsPre.getOrElse(
-      dsirFeatTable(docs, id, text, source, targetPred, buckets)
-        .localCheckpoint()) // both LMs derive from this same aggregate
+  /** The per-doc DSIR importance statistics (id, source, __F feature
+    * mass, __St target-LM bits, __Sr raw-LM bits) both report halves
+    * of [[dsirWeights]] reduce over — factored out so it can be served
+    * as a durable DOC-SIZED artifact
+    * ([[graft.dedup.ClusterCache.dsirDocStats]], the d8-clusters
+    * pattern): the LM fold and the feature-table join+aggregate are a
+    * pure integer function of (corpus, buckets, predicate), and the
+    * remaining per-source report is source×1 work. */
+  def dsirDocStats(feats: DataFrame, id: String, source: String): DataFrame = {
     val lm = feats.groupBy(col("b")).agg(
       sum(col("tf")).as("raw_cnt"),
       sum(when(col("__t"), col("tf")).otherwise(0L)).as("tgt_cnt"))
-    val perDoc = feats
+    feats
       .join(broadcast(lm), Seq("b"))
       .groupBy(col(id), col(source)).agg(
         sum(col("tf")).as("__F"),
         sum(col("tf") * length(bin(col("tgt_cnt") + 1))).as("__St"),
         sum(col("tf") * length(bin(col("raw_cnt") + 1))).as("__Sr"))
+  }
+
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  source: String, targetPred: Column,
+                  buckets: Int = 4096,
+                  featsPre: Option[DataFrame] = None,
+                  docStatsPre: Option[DataFrame] = None): DataFrame = {
+    val perDoc = docStatsPre.getOrElse {
+      val feats = featsPre.getOrElse(
+        dsirFeatTable(docs, id, text, source, targetPred, buckets)
+          .localCheckpoint()) // both LMs derive from this same aggregate
+      dsirDocStats(feats, id, source)
+    }
     val tot = perDoc.agg(
       sum(col("__F")).as("__G"),
       sum(col("__St")).as("__Ct"),

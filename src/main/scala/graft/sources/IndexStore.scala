@@ -342,6 +342,13 @@ object IndexStore {
           graft.sources.Tables.documents(spark, dir), "doc_id", "text",
           "source", col("lang") === "en", 4096),
         Some("b")),
+      // dependency-ordered: builds from the dsirfeats getter (loads
+      // the artifact written by the entry above when present)
+      (ClusterCache.dsirDocStatsArtifact(4096, col("lang") === "en"),
+        () => graft.operators.Pipeline.dsirDocStats(
+          ClusterCache.dsirFeats(spark, dir, 4096, col("lang") === "en"),
+          "doc_id", "source"),
+        Some("source")),
       (CellIndexCache.kmeansCentroidsArtifact(8, 2),
         () => graft.ann.Ann.kmeansCentroids(
           graft.sources.Tables.embeddings(spark, dir),

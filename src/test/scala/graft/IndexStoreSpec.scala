@@ -51,7 +51,7 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 20 && names.forall(spark.catalog.tableExists))
+    assert(names.length == 21 && names.forall(spark.catalog.tableExists))
     // flag REMOVED = the r14 default: auto-load, no env needed
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
@@ -214,11 +214,14 @@ class IndexStoreSpec extends SparkSpec {
       ClusterCache.dsirFeatsArtifact(4096, col("lang") === "en"))
     val builtC = rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4))
     val builtF = rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred))
-    assert(builtC.nonEmpty && builtF.nonEmpty)
+    val builtD = rows(ClusterCache.dsirDocStats(spark, sfDir, 4096, pred))
+    val builtX25 = rows(SparkEntry.queries("x25_dsir_weights")(spark, sfDir))
+    assert(builtC.nonEmpty && builtF.nonEmpty && builtD.nonEmpty)
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
     val arts = Seq(CellIndexCache.semanticClustersArtifact(0.4),
-      ClusterCache.dsirFeatsArtifact(4096, pred))
+      ClusterCache.dsirFeatsArtifact(4096, pred),
+      ClusterCache.dsirDocStatsArtifact(4096, pred))
     val whDir = spark.conf.get("spark.sql.warehouse.dir")
       .replaceFirst("^file:", "")
     def drop(): Unit = arts.foreach { a =>
@@ -230,11 +233,15 @@ class IndexStoreSpec extends SparkSpec {
     try {
       assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
       assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred)) == builtF)
+      assert(rows(ClusterCache.dsirDocStats(spark, sfDir, 4096, pred)) == builtD)
       assert(arts.forall(IndexStore.exists(spark, sfDir, _)),
         "write-through did not prime")
       freshCaches()
       assert(rows(CellIndexCache.semanticClusters(spark, sfDir, 0.4)) == builtC)
       assert(rows(ClusterCache.dsirFeats(spark, sfDir, 4096, pred)) == builtF)
+      assert(rows(ClusterCache.dsirDocStats(spark, sfDir, 4096, pred)) == builtD)
+      // x25 over the LOADED doc-stats artifact is row-identical
+      assert(rows(SparkEntry.queries("x25_dsir_weights")(spark, sfDir)) == builtX25)
     } finally { drop(); freshCaches() }
   }
 
@@ -253,7 +260,7 @@ class IndexStoreSpec extends SparkSpec {
     var primed: Seq[String] = Nil
     try {
       primed = IndexStore.primeIfMissing(spark, tmp)
-      assert(primed.length == 20, s"expected all 20 written, got $primed")
+      assert(primed.length == 21, s"expected all 21 written, got $primed")
       // everything present + valid -> second prime writes NOTHING
       assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
       assert(IndexStore.exists(spark, tmp, "docwordtf"))
