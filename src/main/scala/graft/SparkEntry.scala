@@ -1009,6 +1009,16 @@ object SparkEntry {
         X30DriftMicro)
     }),
 
+    // duplicate-SERVING drift: x30's sibling on the dedup axis — per
+    // (source, week) of the serving log, how many served docs are
+    // non-canonical exact duplicates (x4's fingerprint canonical);
+    // catches a source that starts re-shipping already-ingested data
+    "x31_dup_drift" -> ((s, d) =>
+      graft.operators.Pipeline.dupServingDrift(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        ev(s, d), "event_id", "ts",
+        graft.sources.ParquetStats.rowCount(s, s"$d/documents.parquet"))),
+
     // x8's hits joined back to sources: which sources ship contaminated
     // data and how much token mass decontamination removes from each
     "x29_contamination_report" -> ((s, d) =>
@@ -1252,6 +1262,17 @@ object SparkEntry {
           concat(col("user_id").cast("string"), lit("|"),
             date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
         "event_type", col("ud"), k = KmvK)),
+
+    // cross-shard HLL UNION merge: every event_type shard publishes
+    // its 16 registers; the global distinct estimate reads the
+    // max-merged register table alone — s1's sketch as a mergeable
+    // op, completing the merge trio (s6 histograms, s7 KMV, s8 HLL)
+    "s8_hll_union" -> ((s, d) =>
+      graft.functions.Sketch.hllMergedDistinct(
+        ev(s, d).select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("ud")),
+        "event_type", col("ud"), p = 4)),
 
     // STREAMING HyperLogLog: the stream carries only the register
     // table (state = days x 16, constant at any event volume);
@@ -2284,6 +2305,26 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY doc_id
           |    ORDER BY n_shared DESC, bench_id) AS rn FROM o)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // x31: x4's fingerprint canonical joined to the serving log —
+      // per (source, week): served count, non-canonical-dup count,
+      // dup rate
+      "x31_dup_drift" ->
+        """WITH fp AS (SELECT doc_id, source,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |        ' +', ' ', 'g'))) AS f
+          |  FROM documents),
+          |cn AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY 1),
+          |fl AS (SELECT fp.doc_id, fp.source,
+          |    CASE WHEN fp.doc_id <> cn.canon THEN 1 ELSE 0 END AS dup
+          |  FROM fp JOIN cn USING (f)),
+          |sv AS (SELECT event_id % (SELECT count(*) FROM documents) AS doc_id,
+          |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week FROM events)
+          |SELECT fl.source, sv.week, count(*) AS n_served,
+          |  CAST(sum(fl.dup) AS BIGINT) AS dup_served,
+          |  round(sum(fl.dup)::DOUBLE / count(*), 6) AS dup_rate
+          |FROM sv JOIN fl USING (doc_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // x30: x2's quality score joined to the serving log
       // (doc_id = event_id mod |documents|), weekly per-source mean
@@ -4195,6 +4236,38 @@ object SparkEntry {
           |  round(gmin + CAST(b90 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p90_est,
           |  round(gmin + CAST(b99 + 1 AS DOUBLE) * (gmax - gmin) / $HistBuckets.0, 6) AS p99_est
           |FROM s CROSS JOIN mm CROSS JOIN sh""".stripMargin,
+
+      // s8: s1's HLL registers as a cross-shard MERGE — per event_type
+      // register tables max-merged into the global distinct estimate;
+      // same exact-BIGINT harmonic sum as s1
+      "s8_hll_union" ->
+        """WITH w AS (SELECT event_type AS g,
+          |    user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d') AS ud FROM events),
+          |h AS (SELECT g, ud, ('0x' || substr(md5(ud), 1, 15))::BIGINT AS h FROM w),
+          |r AS (SELECT g, h % 16 AS bucket,
+          |    max(CASE WHEN h // 16 = 0 THEN 57 ELSE 57 - length(bin(h // 16)) END) AS m,
+          |    count(*) AS n
+          |  FROM h GROUP BY 1, 2),
+          |s AS (SELECT g, sum(n)::BIGINT AS n_items,
+          |    (sum((2**(57 - m))::BIGINT))::BIGINT
+          |      + (16 - count(*)) * 144115188075855872 AS sv
+          |  FROM r GROUP BY 1),
+          |e AS (SELECT g, count(DISTINCT ud) AS exact_distinct FROM w GROUP BY 1),
+          |ru AS (SELECT bucket, max(m) AS m, sum(n)::BIGINT AS n FROM r GROUP BY 1),
+          |su AS (SELECT sum(n)::BIGINT AS n_items,
+          |    (sum((2**(57 - m))::BIGINT))::BIGINT
+          |      + (16 - count(*)) * 144115188075855872 AS sv
+          |  FROM ru),
+          |eu AS (SELECT count(DISTINCT ud) AS exact_distinct FROM w)
+          |SELECT cohort, n_items, exact_distinct,
+          |  round(0.673 * 36893488147419103232.0 / sv, 6) AS est_distinct,
+          |  round((0.673 * 36893488147419103232.0 / sv) / exact_distinct - 1.0, 6) AS rel_err
+          |FROM (
+          |  SELECT g AS cohort, s.n_items, e.exact_distinct, s.sv
+          |  FROM s JOIN e USING (g)
+          |  UNION ALL SELECT 'zz_union', su.n_items, eu.exact_distinct, su.sv
+          |  FROM su CROSS JOIN eu)
+          |ORDER BY cohort""".stripMargin,
 
       // s7: s3's KMV sketch as a cross-shard MERGE — per event_type
       // bottom-k sketches of distinct (user, day); the union row is

@@ -254,6 +254,38 @@ object Sketch {
           .as("rel_err")): _*)
   }
 
+  /** Cross-shard HLL UNION merge (s8 — [[hllDistinct]]'s registers as
+    * a mergeable first-class op, completing the merge trio with s6's
+    * histograms and s7's KMV samples): every shard publishes its m
+    * registers, and the GLOBAL distinct estimate reads the max-merged
+    * register table alone — max is associative/commutative/
+    * dup-insensitive, so the merged registers are IDENTICAL to the
+    * flat single-stream build under any merge tree (the property the
+    * spec pins). Per-shard state is m small integers; shards×m
+    * registers cross the merge, never values. Exact counts alongside
+    * as the error report. Returns one row per shard plus a trailing
+    * 'zz_union' row: (cohort, n_items, exact_distinct, est_distinct,
+    * rel_err) — s1's report shape. */
+  def hllMergedDistinct(df: DataFrame, shard: String, key: Column,
+                        p: Int = 4): DataFrame = {
+    val withK = df.select(col(shard).as("g"), key.as("__kk"))
+    // materialized once: the register build feeds both the per-shard
+    // reports and the merge (shards×m rows — tiny)
+    val regs = hllRegisters(withK, Seq("g"), "__kk", p).localCheckpoint()
+    val exact = withK.groupBy(col("g"))
+      .agg(countDistinct(col("__kk")).as("exact_distinct"))
+    val per = hllFinalize(regs, Seq("g"), exact, p)
+    val mregs = regs.groupBy(col("__bucket"))
+      .agg(max(col("__m")).as("__m"), sum(col("__n")).as("__n"))
+      .withColumn("g", lit("zz_union"))
+    val exactU = withK.agg(countDistinct(col("__kk")).as("exact_distinct"))
+      .withColumn("g", lit("zz_union"))
+    val uni = hllFinalize(mregs, Seq("g"), exactU, p)
+    per.unionByName(uni)
+      .withColumnRenamed("g", "cohort")
+      .orderBy("cohort")
+  }
+
   /** Cross-shard KMV UNION merge (s7 — [[kmvSetOps]]'s sketch as a
     * mergeable first-class op, the s6 pattern applied to distinct
     * counting): every shard publishes its bottom-k sketch, and the

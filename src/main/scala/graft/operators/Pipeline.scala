@@ -820,6 +820,38 @@ object Pipeline {
       .orderBy(col(source), col("week"))
   }
 
+  /** Duplicate-SERVING drift over time windows (x31 — the temporal
+    * axis applied to exact dedup, x30's sibling): per (source, week)
+    * of the serving log, how many served documents are non-canonical
+    * exact duplicates (x4's fingerprint → per-fingerprint min-id
+    * canonical; a doc is a dup iff its id differs from its
+    * fingerprint's canonical). The monitoring row a pipeline watches
+    * to catch a source that starts re-shipping already-ingested data.
+    * Scale shape: fingerprint is map-only; the canonical aggregate is
+    * map-side-partial groupBy-min + equi-join back (the x4 shape, no
+    * hot-fingerprint window funnel); the serving join is one doc-keyed
+    * equi-join; the weekly rollup partial-aggregates map-side. */
+  def dupServingDrift(docs: DataFrame, id: String, text: String,
+                      source: String, events: DataFrame, eventId: String,
+                      ts: String, nDocs: Long): DataFrame = {
+    val fps = docs.select(col(id), col(source),
+      Text.fingerprint(col(text)).as("__fp"))
+    val canon = fps.groupBy(col("__fp")).agg(min(col(id)).as("__canon"))
+    val flags = fps.join(canon, Seq("__fp"))
+      .select(col(id), col(source),
+        (col(id) =!= col("__canon")).cast("long").as("__dup"))
+    val served = events.select(
+      pmod(col(eventId), lit(nDocs)).as(id),
+      date_format(date_trunc("week", col(ts)), "yyyy-MM-dd").as("week"))
+    served.join(flags, Seq(id))
+      .groupBy(col(source), col("week"))
+      .agg(count(lit(1)).as("n_served"),
+        sum(col("__dup")).as("dup_served"))
+      .withColumn("dup_rate",
+        round(col("dup_served") / col("n_served").cast("double"), 6))
+      .orderBy(col(source), col("week"))
+  }
+
   /** Blocklist filtering (the C4 "bad-words" pass): count blocklisted
     * tokens per document and flag documents whose blocklist DENSITY
     * crosses a threshold — flagged ⇔ hits · denomPer > n_words, i.e.

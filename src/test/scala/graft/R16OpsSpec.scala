@@ -112,6 +112,67 @@ class R16OpsSpec extends SparkSpec {
     assert(union == flat)
   }
 
+  // ---- x31 duplicate-serving drift ---------------------------------------
+
+  test("dupServingDrift: hand-derived dup counts; unique corpus reads zero") {
+    // d1 and d3 share a fingerprint (same normalized text); canonical
+    // is the min id (1), so doc 3 is the only dup
+    val dd = Seq(
+      (0L, "alpha beta", "s1"),
+      (1L, "Dup text!", "s1"),
+      (2L, "gamma", "s2"),
+      (3L, "dup TEXT", "s2") // normalizes equal to doc 1 -> dup
+    ).toDF("doc_id", "text", "source")
+    // wk1 serves docs 0,1,2; wk2 serves 3 (event 7 % 4) and 1 (event 5)
+    val out = Pipeline.dupServingDrift(dd, "doc_id", "text", "source",
+        events, "event_id", "ts", 4L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toList
+    // events: wk1 e0->d0(s1), e1->d1(s1), e2->d2(s2);
+    //         wk2 e5->d1(s1), e6->d2(s2), e7->d3(s2 dup)
+    assert(out == List(
+      ("s1", "2024-01-01", 2L, 0L, 0.0),
+      ("s1", "2024-01-08", 1L, 0L, 0.0),
+      ("s2", "2024-01-01", 1L, 0L, 0.0),
+      ("s2", "2024-01-08", 2L, 1L, 0.5)))
+    val unique = Pipeline.dupServingDrift(docs, "doc_id", "text", "source",
+        events, "event_id", "ts", 4L)
+      .agg(sum(col("dup_served"))).head().getLong(0)
+    assert(unique == 0L)
+  }
+
+  // ---- s8 HLL union merge -------------------------------------------------
+
+  test("hllMergedDistinct: union row equals the flat single-stream build") {
+    // max-merge of per-shard registers must be IDENTICAL to the
+    // registers of the flat stream — so the union estimate equals a
+    // single-shard build over everything, for any p
+    for (p <- Seq(2, 4)) {
+      val flat = Sketch.hllMergedDistinct(
+          stream.withColumn("g", lit("all")), "g", col("k"), p)
+        .filter(col("cohort") === "all")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+      val union = Sketch.hllMergedDistinct(stream, "g", col("k"), p)
+        .filter(col("cohort") === "zz_union")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+      assert(union == flat, s"p=$p")
+    }
+  }
+
+  test("hllMergedDistinct: shard-split invariance + exact columns") {
+    val byParity = stream.withColumn("g",
+      concat(lit("par"), (length(col("k")) % 2).cast("string")))
+    def unionRow(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllMergedDistinct(df, "g", col("k"), 4)
+        .filter(col("cohort") === "zz_union")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).head
+    assert(unionRow(stream) == unionRow(byParity))
+    // exact side: per-shard and union exact counts are the true ones
+    val rows = Sketch.hllMergedDistinct(stream, "g", col("k"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rows == Map("A" -> 4L, "B" -> 3L, "zz_union" -> 5L))
+  }
+
   test("kmvMergedDistinct: shard-split invariance (mergeability)") {
     // the SAME stream split two different ways must produce the SAME
     // union row — the associative/commutative set-union-truncate merge
