@@ -321,18 +321,60 @@ object Binary {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("min_ham"))
   }
 
+  /** Buckets (one (chunk_idx, chunk_value) key) above this occupancy get
+    * sub-block sharded in [[phashCandidates]]. Low enough that any bucket
+    * whose quadratic candidate set could straggle a task is spread;
+    * high enough that normal corpora (bucket sizes ~n/65536 per chunk)
+    * never pay the probe-side replication. */
+  val PhashHotBucketThreshold = 1024
+
+  /** Sub-block fan-out for hot phash buckets (d5's pattern,
+    * Ann.pairsFromProbeCells): build side hashed into this many blocks,
+    * probe side replicated to all of them. */
+  val PhashSubBlocks = 8
+
   /** Distinct candidate pairs (id_a < id_b, ≥ 1 chunk equal) with exact
-    * hamming distance — the pigeonhole equi-join. */
-  private def phashCandidates(ph: DataFrame, id: String): DataFrame = {
+    * hamming distance — the pigeonhole equi-join.
+    *
+    * Hot-bucket sharding (semantics-preserving — the m5 oracle defines
+    * candidates as "≥ 1 chunk equal", so the pair SET must not shrink):
+    * a degenerate chunk value on a real media lake (flat/dark frames all
+    * aHash-chunking to 0x0000) makes one (chunk_idx, chunk_value) bucket
+    * hold a large fraction of the corpus, and the self-equi-join then
+    * runs that bucket's quadratic candidate set in ONE task. Buckets
+    * above `hotThreshold` (flagged from a cheap occupancy aggregate,
+    * broadcast back) are split d5-style: the build side lands in
+    * `subBlocks` deterministic hash sub-blocks, the probe side
+    * replicates to all of them — the same pair set, spread over
+    * `subBlocks` tasks with per-task candidate work cut ×subBlocks.
+    * Cold buckets join exactly as before (one sub-block key 0) and pay
+    * no replication. Each surviving pair still surfaces once per
+    * matching chunk (the build row lives in exactly one sub-block), so
+    * the trailing `distinct()` is unchanged. Before/after: PHASH_AB
+    * (planted 30%-constant-chunk corpus). */
+  private[graft] def phashCandidates(ph: DataFrame, id: String,
+      hotThreshold: Int = PhashHotBucketThreshold,
+      subBlocks: Int = PhashSubBlocks): DataFrame = {
     val chunkCols = (0 until 4).map(c => col(s"c$c"))
     val legs = ph.select(col(id), array(chunkCols: _*).as("__ch"),
         posexplode(array(chunkCols: _*)))
       .select(col(id), col("__ch"), col("pos").as("__cc"), col("col").as("__cv"))
-    val a = legs.select(col(id).as("id_a"), col("__ch").as("__cha"),
-      col("__cc"), col("__cv"))
-    val b = legs.select(col(id).as("id_b"), col("__ch").as("__chb"),
-      col("__cc"), col("__cv"))
-    a.join(b, Seq("__cc", "__cv"))
+    // occupancy per bucket; the hot list is ≤ 4n/hotThreshold rows by
+    // construction — always broadcastable
+    val hot = legs.groupBy("__cc", "__cv").count()
+      .filter(col("count") > hotThreshold)
+      .select(col("__cc"), col("__cv"), lit(true).as("__hot"))
+    val flagged = legs.join(broadcast(hot), Seq("__cc", "__cv"), "left")
+      .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+    val a = flagged.select(col(id).as("id_a"), col("__ch").as("__cha"),
+      col("__cc"), col("__cv"),
+      explode(when(col("__hot"), sequence(lit(0), lit(subBlocks - 1)))
+        .otherwise(array(lit(0)))).as("__sb"))
+    val b = flagged.select(col(id).as("id_b"), col("__ch").as("__chb"),
+      col("__cc"), col("__cv"),
+      when(col("__hot"), pmod(hash(col(id)), lit(subBlocks)))
+        .otherwise(lit(0)).as("__sb"))
+    a.join(b, Seq("__cc", "__cv", "__sb"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("__cha"), col("__chb"),

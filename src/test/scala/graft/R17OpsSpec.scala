@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Binary
+
+/** Round-17 pins: m5 phash hot-bucket sub-block sharding is
+  * semantics-preserving (identical pair set hot, cold and mixed). */
+class R17OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- m5 hot-bucket sharding --------------------------------------------
+
+  // synthetic fingerprint table with a PLANTED hot bucket: 30 of 50 docs
+  // share c0 = 0 (the degenerate flat-frame chunk) while c1..c3 vary;
+  // the rest are spread. Deterministic arithmetic, no RNG.
+  private def plantedFp = (0L until 50L).map { i =>
+    val hot = i < 30
+    (i,
+      if (hot) 0L else (i * 7919L) % 65536L,
+      (i * 104729L) % 65536L,
+      (i * 1299709L) % 65536L,
+      (i * 15485863L) % 65536L)
+  }.toDF("doc_id", "c0", "c1", "c2", "c3")
+
+  private def pairSet(hotThreshold: Int, subBlocks: Int = 4): Set[(Long, Long, Long)] =
+    Binary.phashCandidates(plantedFp, "doc_id", hotThreshold, subBlocks)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("phashCandidates: sub-block sharding preserves the exact pair set") {
+    val unsharded = pairSet(Int.MaxValue)
+    // planted bucket (30 rows) crosses a threshold of 10 -> hot arm fires
+    assert(pairSet(10) === unsharded)
+    // every bucket forced hot -> still the same set
+    assert(pairSet(0) === unsharded)
+    // and the hot arm really does find the planted bucket's pairs: all
+    // 30×29/2 c0-bucket pairs are candidates
+    val hotIds = (0L until 30L).toSet
+    val inHot = unsharded.count { case (a, b, _) => hotIds(a) && hotIds(b) }
+    assert(inHot === 30 * 29 / 2)
+  }
+
+  test("phashCandidates: sub-block count does not change results") {
+    val base = pairSet(10, subBlocks = 4)
+    assert(pairSet(10, subBlocks = 2) === base)
+    assert(pairSet(10, subBlocks = 8) === base)
+  }
+
+  test("perceptualHashIndex is unchanged by forced sharding") {
+    // end-to-end through the real text path: the m5 report must be
+    // bit-identical whether its candidate join sharded or not
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 80).map(j => ('a' + (i * 31 + j * 7) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val out = Binary.perceptualHashIndex(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // the default threshold (1024) never fires at 30 docs, so `out` is
+    // the unsharded report; compare the candidate core under forced
+    // sharding instead
+    val ph = Binary.perceptualHash(docs, "doc_id", "text")
+    val sharded = Binary.phashCandidates(ph, "doc_id", 0, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Binary.phashCandidates(ph, "doc_id", Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sharded === plain)
+    assert(out.nonEmpty)
+  }
+}
