@@ -145,6 +145,21 @@ object Metrics {
     }
   }
 
+  /** Count + time one driver-side operation CALL — the reference's
+    * per-endpoint Counter + latency Histogram shape (app/main.py:35-47
+    * wraps each endpoint handler): the call is recorded once with its
+    * wall time under `operation`, and any Spark SQL executions the
+    * body launches are attributed to `operation`.sql via [[timed]]'s
+    * job tag — two label spaces, so a lazy read (count 1, few ms) and
+    * its later actions never double-count each other. */
+  def timedCall[T](spark: SparkSession, operation: String)(body: => T): T = {
+    install(spark)
+    val t0 = System.nanoTime()
+    val r = timed(spark, operation + ".sql")(body)
+    record(operation, System.nanoTime() - t0)
+    r
+  }
+
   def count(operation: String): Long =
     Option(counts.get(operation)).map(_.sum()).getOrElse(0L)
 

@@ -52,6 +52,20 @@ object VaultDemo {
 
     println("-- rollback history (GET /rollback/history) --")
     v.rollbackHistory.show(false)
+
+    println("-- per-operation metrics (the reference's /metrics surface) --")
+    val ops = Seq("vault.append", "vault.query", "vault.history",
+      "vault.compare", "vault.rollback", "vault.rollback_history",
+      "vault.snapshot")
+    ops.foreach { op =>
+      println(f"$op%-24s count=${Metrics.count(op)}%3d " +
+        f"total=${Metrics.totalSeconds(op)}%7.3fs " +
+        f"sql_execs=${Metrics.count(op + ".sql")}%3d")
+    }
+    println("vault.query latency histogram (le_seconds -> n):")
+    Metrics.histogram("vault.query").foreach { case (le, n) =>
+      if (n > 0) println(f"  le=$le%8.3f  n=$n%d")
+    }
     spark.stop()
   }
 }

@@ -68,7 +68,7 @@ class TemporalVault(
     * ts stay valid and stay cached; per-record entries are dropped
     * only for the record ids the batch touches (the reference's
     * `redis_client.delete(f"record:{record_id}")`, app/main.py:94). */
-  def append(batch: DataFrame): Unit = {
+  def append(batch: DataFrame): Unit = graft.Metrics.timedCall(spark, "vault.append") {
     // one materialization: the write, the min-ts probe and the
     // invalidation filter must all see the SAME rows even when the
     // caller's plan is non-deterministic or reads a moving source
@@ -89,13 +89,20 @@ class TemporalVault(
   /** Full history of one record with version labels (`_op` kept for
     * rollback-row transparency). */
   def history(recordId: String): DataFrame =
-    Temporal.history(log, key, ts, tie, lit(recordId)).drop(Day)
+    graft.Metrics.timedCall(spark, "vault.history")(
+      Temporal.history(log, key, ts, tie, lit(recordId)).drop(Day))
 
   /** State of all records as of `at` (GET /query). Uses the latest
     * snapshot ≤ at when present (replay only the log tail after it),
     * else one pushed-down range scan of the log. Tombstoned records are
     * absent, as after the reference's rollback-delete. */
-  def query(at: String): DataFrame = {
+  def query(at: String): DataFrame =
+    graft.Metrics.timedCall(spark, "vault.query")(queryState(at))
+
+  /** [[query]]'s un-metered core — internal consumers (the cached
+    * layer, the per-record filter) route here so one endpoint call
+    * never counts vault.query twice. */
+  private def queryState(at: String): DataFrame = {
     val atTs = lit(at).cast("timestamp")
     // partition pruning on the day bucket + pushed-down ts range
     val pruned = log.filter(col(Day) <= at.take(10))
@@ -111,7 +118,8 @@ class TemporalVault(
 
   /** Single-record state as of `at`. */
   def query(at: String, recordId: String): DataFrame =
-    query(at).filter(col(key) === recordId)
+    graft.Metrics.timedCall(spark, "vault.query")(
+      queryState(at).filter(col(key) === recordId))
 
   /** Natural-language time-travel read, like the reference's
     * `GET /query?timestamp=yesterday at 4:00 PM` (app/main.py:105);
@@ -186,7 +194,8 @@ class TemporalVault(
     * cached states it can affect (`at >= t`) — never stale, and
     * historical snapshots stay hot across writers. */
   def queryCached(at: String): DataFrame =
-    cachedIn(cache, at, parseEpochMs(at))(query(at))
+    graft.Metrics.timedCall(spark, "vault.query")(
+      cachedIn(cache, at, parseEpochMs(at))(queryState(at)))
 
   /** Latest state of one record, memoized per record id — the
     * reference's `record:{record_id}` Redis entry. Appends drop only
@@ -254,8 +263,9 @@ class TemporalVault(
   /** Field-level diff of one record between two timestamps
     * (GET /compare, app/main.py:267). */
   def compare(recordId: String, from: String, to: String, fields: Seq[String]): DataFrame =
-    Temporal.changesBetween(log.filter(col(key) === recordId), key, ts, tie,
-      lit(from).cast("timestamp"), lit(to).cast("timestamp"), fields)
+    graft.Metrics.timedCall(spark, "vault.compare")(
+      Temporal.changesBetween(log.filter(col(key) === recordId), key, ts, tie,
+        lit(from).cast("timestamp"), lit(to).cast("timestamp"), fields))
 
   /** Roll the store back to its state at `at` (POST /rollback,
     * app/main.py:152): appends one compensation version per record
@@ -263,7 +273,8 @@ class TemporalVault(
     * (`_op`=D) for records that did not exist at `at` — stamped
     * `rollbackTs`, plus the audit entry. History between `at` and the
     * rollback stays queryable (append-only). */
-  def rollback(at: String, rollbackTs: String): DataFrame = {
+  def rollback(at: String, rollbackTs: String): DataFrame =
+      graft.Metrics.timedCall(spark, "vault.rollback") {
     val rset = Temporal.rollbackSet(log, key, ts, tie, lit(at).cast("timestamp"))
     val payloadCols = log.columns
       .filterNot(c => c == key || c == ts || c == tie || c == Op || c == Day)
@@ -293,8 +304,9 @@ class TemporalVault(
   /** Rollback audit log, newest first (GET /rollback/history,
     * app/main.py:249). */
   def rollbackHistory: DataFrame =
-    if (exists(rbDir)) spark.read.parquet(rbDir).orderBy(desc("rollback_ts"))
-    else spark.emptyDataFrame
+    graft.Metrics.timedCall(spark, "vault.rollback_history")(
+      if (exists(rbDir)) spark.read.parquet(rbDir).orderBy(desc("rollback_ts"))
+      else spark.emptyDataFrame)
 
   /** The reference endpoint's paged form: newest `limit` audit entries
     * (`limit: int = 10`, app/main.py:254). */
@@ -315,9 +327,10 @@ class TemporalVault(
     * table, app/models.py:27); later AS-OF reads replay only the log
     * tail after it. Tombstoned records are simply absent. */
   def writeSnapshot(at: String): Unit =
-    Temporal.asOf(log, key, ts, tie, lit(at).cast("timestamp"))
-      .filter(col(Op) =!= "D")
-      .write.mode(SaveMode.Overwrite).parquet(s"$snapDir/at=$at")
+    graft.Metrics.timedCall(spark, "vault.snapshot")(
+      Temporal.asOf(log, key, ts, tie, lit(at).cast("timestamp"))
+        .filter(col(Op) =!= "D")
+        .write.mode(SaveMode.Overwrite).parquet(s"$snapDir/at=$at"))
 
   /** Compact into a fresh vault at `newRoot`: the log prefix ≤ `at`
     * collapses to one surviving version per live record (original ts
