@@ -1221,10 +1221,21 @@ object Ann {
   private[graft] def anchorAssignments(emb: DataFrame, id: String, vec: String,
                                        k1: Int, k2: Int, probe: Int,
                                        salt: String): DataFrame = {
+    assignToAnchors(emb, id, vec, anchorsOf(emb, id, vec, k1, k2, salt), probe)
+  }
+
+  /** The coarse anchor TABLE of a corpus: the k1+k2 rows with the
+    * smallest md5("salt:id"), as (lvl ∈ {0,1}, idx, __avec). A pure
+    * function of the corpus ID SET and vectors — which is what lets
+    * the incremental append path (CellIndexCache.appendVectorDelta)
+    * reconstruct the FROZEN anchor set from the stored cells table
+    * instead of needing a separate anchors artifact. */
+  private[graft] def anchorsOf(emb: DataFrame, id: String, vec: String,
+                               k1: Int, k2: Int, salt: String): DataFrame = {
     val key = md5(concat(lit(salt + ":"), col(id).cast("string")))
     // the window runs over exactly k1+k2 rows (post-limit) — the
     // single-partition sort is k-sized, never corpus-sized
-    val anchors = emb
+    emb
       .select(col(id).as("__aid"), col(vec).as("__avec"), key.as("__akey"))
       .orderBy(col("__akey"), col("__aid")).limit(k1 + k2)
       .withColumn("__rk", row_number().over(
@@ -1234,6 +1245,15 @@ object Ann {
         (when(col("__rk") <= k1, col("__rk") - 1)
           .otherwise(col("__rk") - 1 - k1)).cast("int").as("idx"),
         col("__avec"))
+  }
+
+  /** The per-row half of [[anchorAssignments]] over a PRE-BUILT anchor
+    * table: one broadcast join, n·(k1+k2) fused cosines. Factored out
+    * so a delta batch can be assigned against FROZEN anchors (the
+    * incremental-append path) with bit-identical tie-breaking. */
+  private[graft] def assignToAnchors(emb: DataFrame, id: String, vec: String,
+                                     anchors: DataFrame,
+                                     probe: Int): DataFrame = {
     emb.select(col(id), col(vec)).crossJoin(broadcast(anchors))
       .select(col(id), col("lvl"), col("idx"),
         Vec.cosine(col(vec), col("__avec")).as("__c"))

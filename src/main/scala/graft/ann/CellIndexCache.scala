@@ -285,6 +285,168 @@ object CellIndexCache {
   }
 
   /** Unpersist and forget every cached index (test hygiene). */
+  /** Result card of [[appendVectorDelta]] — delta size, the grown
+    * occupancy profile, and the a10-style drift flag. */
+  final case class AppendReport(deltaRows: Long, totalRows: Long,
+                                k1: Int, k2: Int,
+                                maxOcc: Long, meanOcc: Double,
+                                imbalance: Double, pqSkipped: Long,
+                                structureDrift: Boolean,
+                                rebuildRecommended: Boolean)
+
+  /** Occupancy-imbalance threshold above which [[appendVectorDelta]]
+    * recommends a full rebuild: target cell size is ~64, so an 8×-mean
+    * hottest cell means the frozen coarse structure has drifted enough
+    * that in-cell work (d5 pairs, a3/a4 candidate scans) is
+    * straggler-bound and re-anchoring pays. */
+  val AppendImbalanceThreshold = 8.0
+
+  /** INCREMENTAL index append (the FAISS add-with-frozen-quantizer
+    * shape): fold the corpus rows that are NOT yet in the durable
+    * vector index into it, without retraining — a production corpus
+    * GROWS, and before this path any new batch invalidated the corpus
+    * fingerprint and rebuilt all 21 artifacts from scratch.
+    *
+    *  1. The FROZEN anchor set is reconstructed from the stored cells
+    *     table itself (anchors are the k1+k2 old-corpus rows with the
+    *     smallest md5(salt:id) — Ann.anchorsOf is a pure function of
+    *     the stored (id, vec) rows), so no separate anchors artifact
+    *     is needed and existing deployments migrate as-is.
+    *  2. delta = current corpus ANTI-JOIN indexed ids (one id-only
+    *     probe of the corpus — the unavoidable delta discovery).
+    *  3. delta rows are assigned to cells against the frozen anchors
+    *     (ONE broadcast join over the delta — bit-identical
+    *     tie-breaking to the build, Ann.assignToAnchors) and appended
+    *     to the cells table; PQ codes are encoded against the FROZEN
+    *     codebooks/centroids and appended to pqcodes/rawpqcodes.
+    *  4. Frozen-but-still-valid artifacts (centroids, gcents,
+    *     codebooks) get their manifest fingerprint refreshed; pair/
+    *     cluster artifacts (pairs, sclusters, kmcents) are left
+    *     fingerprint-stale ON PURPOSE — new pairs involve old rows,
+    *     so they rebuild on next use (over the already-appended cells
+    *     table).
+    *  5. The a10-style occupancy card runs over the grown cells table;
+    *     imbalance > [[AppendImbalanceThreshold]] flags
+    *     rebuildRecommended (the drift gate — append keeps working,
+    *     the caller schedules the retrain).
+    *
+    * Delta rows landing in a cell that had NO old occupants have no
+    * cell centroid → no residual PQ code (counted in `pqSkipped`);
+    * a3's cell join still finds them, and a4/a9 never probe
+    * centroid-less cells by construction, so search behavior stays
+    * consistent. Session caches are cleared at the end so later
+    * queries in this session see the grown tables. */
+  def appendVectorDelta(spark: SparkSession, dir: String,
+                        id: String = "vec_id", vec: String = "embedding",
+                        targetCellSize: Int = Ann.DefaultTargetCellSize,
+                        salt: String = Ann.CellSalt,
+                        imbalanceThreshold: Double = AppendImbalanceThreshold)
+      : AppendReport = {
+    import org.apache.spark.sql.functions._
+    val store = graft.sources.IndexStore
+    val frozen = Seq("centroids", "gcents", "pqcodebook", "rawpqcodebook")
+    val appended = Seq("cells", "pqcodes", "rawpqcodes")
+    try {
+      val cellsOld = store.loadStale(spark, dir, "cells").getOrElse(
+        sys.error(s"appendVectorDelta: no durable cells index under $dir — " +
+          "build one first (IndexStore.writeAll / primeIfMissing)"))
+      val nOld = cellsOld.count()
+      val (k1, k2) = Ann.coarseCellParams(nOld, targetCellSize)
+      // localCheckpoint, not persist: inserting into the cells table
+      // below INVALIDATES every cached plan that reads that table
+      // (Spark's CacheManager recursively uncaches dependents on a
+      // table write), and a mere persist would silently recompute the
+      // anti-join against the GROWN table — an empty delta. The
+      // checkpoint severs the lineage, so the pre-append row sets
+      // survive the write. Both are delta/k-sized, never corpus-sized.
+      val anchors = Ann.anchorsOf(
+        cellsOld.select(col(id), col(vec)), id, vec, k1, k2, salt)
+        .localCheckpoint()
+      val delta = Tables.embeddings(spark, dir)
+        .join(cellsOld.select(col(id)), Seq(id), "left_anti")
+        .localCheckpoint()
+      val deltaRows = delta.count()
+        var pqSkipped = 0L
+        if (deltaRows > 0) {
+          val deltaCell = Ann.assignToAnchors(delta, id, vec, anchors, 1)
+            .groupBy(col(id))
+            .agg((max(when(col("lvl") === 0, col("idx"))).cast("long") * k2 +
+              max(when(col("lvl") === 1, col("idx"))).cast("long")).as("cell"))
+          val deltaWithCell = delta.join(deltaCell, id)
+            .localCheckpoint()
+          val cellCols = spark.table(store.tableName(dir, "cells")).columns
+          store.appendRows(spark, dir, "cells",
+            deltaWithCell.select(cellCols.map(col): _*))
+          // IVFPQ residual codes against the FROZEN centroids/codebook
+          (store.loadStale(spark, dir, "centroids"),
+              store.loadStale(spark, dir, "pqcodebook"),
+              store.loadStale(spark, dir, "pqcodes")) match {
+            case (Some(cents), Some(cb), Some(_)) =>
+              val c2 = cents.select(col("c_cell"), col("c_vec"))
+              val codes = Ann.ivfPqCodes(deltaWithCell, id, vec, "cell", c2, cb)
+              val codeCols = spark.table(store.tableName(dir, "pqcodes")).columns
+              // packed codes: exactly one row per encoded vector
+              pqSkipped = deltaRows - codes.count()
+              store.appendRows(spark, dir, "pqcodes",
+                codes.select(codeCols.map(col): _*))
+            case _ => ()
+          }
+          // raw (cell-free) PQ codes against the frozen raw codebook
+          (store.loadStale(spark, dir, "rawpqcodebook"),
+              store.loadStale(spark, dir, "rawpqcodes")) match {
+            case (Some(rcb), Some(_)) =>
+              val rcodes = Ann.pqCodes(delta, id, vec, rcb)
+              val rCols = spark.table(store.tableName(dir, "rawpqcodes")).columns
+              store.appendRows(spark, dir, "rawpqcodes",
+                rcodes.select(rCols.map(col): _*))
+            case _ => ()
+          }
+        } else {
+          // nothing to fold in — just stamp the appendable artifacts
+          appended.foreach { a =>
+            if (store.loadStale(spark, dir, a).isDefined)
+              store.refreshManifest(spark, dir, a)
+          }
+        }
+        frozen.foreach { a =>
+          if (store.loadStale(spark, dir, a).isDefined)
+            store.refreshManifest(spark, dir, a)
+        }
+        // a10-style occupancy drift card over the GROWN cells table
+        val occ = spark.table(store.tableName(dir, "cells"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).cast("long").as("total"),
+            max(col("n")).cast("long").as("mx"),
+            avg(col("n")).as("mean"))
+          .head()
+        val (total, mx, mean) =
+          (occ.getLong(0), occ.getLong(1), occ.getDouble(2))
+        val imbalance = if (mean > 0) mx / mean else 0.0
+        // STRUCTURE drift: a4/a9 derive their probe constants (k2,
+        // nprobe, group probe) from the CURRENT corpus size at query
+        // time — if the grown corpus now implies a different (k1, k2)
+        // than the frozen cells were built with, the probe constants
+        // and the loaded centroids' g_grp grouping no longer agree,
+        // and a retrain is due regardless of occupancy balance.
+        val (k1g, k2g) = Ann.coarseCellParams(total, targetCellSize)
+        val drift = (k1g, k2g) != (k1, k2)
+        AppendReport(deltaRows, total, k1, k2, mx, mean, imbalance,
+          pqSkipped, drift, drift || imbalance > imbalanceThreshold)
+    } catch {
+      case e: Throwable =>
+        // undo the freshness-bypass registrations for anything not
+        // migrated — a stale table must not masquerade as fresh
+        (frozen ++ appended).foreach { a =>
+          try store.dropRegistration(spark, dir, a) catch { case _: Throwable => () }
+        }
+        throw e
+    } finally {
+      // later queries in this session must see the grown tables, not
+      // pre-append memos
+      clear()
+    }
+  }
+
   def clear(): Unit = {
     cache.clear()
     Seq(pairsCache, withCellCache, centroidCache, groupCentroidCache,

@@ -135,7 +135,8 @@ object IndexStore {
     * first use. That is what makes the index durable across sessions,
     * not merely across queries. */
   private def registerIfNeeded(spark: SparkSession, name: String,
-                               dir: String): Boolean = {
+                               dir: String,
+                               checkFreshness: Boolean = true): Boolean = {
     if (spark.catalog.tableExists(name)) return true
     val mp = manifestPath(spark, name)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -148,7 +149,8 @@ object IndexStore {
     // fingerprint and is treated as stale — rebuilt, never trusted.
     val parts = manifest.split("\n", 3)
     if (parts.length < 3) return false
-    if (parts(2).trim != corpusFingerprint(spark, dir)) return false
+    if (checkFreshness && parts(2).trim != corpusFingerprint(spark, dir))
+      return false
     // width-staleness (ADVICE r15): a bucketed artifact primed by a
     // low-parallelism session (e.g. the CPUS=3 gate writing 3 buckets)
     // would cap every later wide session's loaded-index joins at the
@@ -156,7 +158,7 @@ object IndexStore {
     // GROSS mismatch (recorded < 1/4 of this session's write width) as
     // stale: the getter rebuilds and re-primes at the current width.
     // The reverse (wide table, narrow reader) stays valid.
-    parts(1).trim.split(",") match {
+    if (checkFreshness) parts(1).trim.split(",") match {
       case Array(_, b) if b.nonEmpty && b.forall(_.isDigit) &&
           b.toInt * 4 < buckets(spark) =>
         System.err.println(s"[indexstore] $name recorded ${b.toInt} buckets " +
@@ -280,6 +282,68 @@ object IndexStore {
         .getBytes("UTF-8"))
     finally out.close()
     name
+  }
+
+  /** Register + load `artifact` even when its manifest fingerprint
+    * does not match `dir`'s CURRENT corpus — the incremental-append
+    * path's read primitive (the artifacts were built on the corpus
+    * BEFORE the delta landed, which is exactly why the append is
+    * needed). Returns None when no manifest exists at all.
+    *
+    * CONTRACT: a catalog-registered table short-circuits the
+    * freshness check for the rest of the session, so the caller must
+    * either complete the migration ([[refreshManifest]] /
+    * [[appendRows]]) or undo the registration
+    * ([[dropRegistration]]) before returning. */
+  private[graft] def loadStale(spark: SparkSession, dir: String,
+                               artifact: String): Option[DataFrame] = {
+    val name = tableName(dir, artifact)
+    if (registerIfNeeded(spark, name, dir, checkFreshness = false))
+      Some(spark.table(name))
+    else None
+  }
+
+  /** Drop the catalog registration of `artifact` (EXTERNAL table: the
+    * files and manifest stay) — the failure-path undo for
+    * [[loadStale]]'s freshness-bypass registration. */
+  private[graft] def dropRegistration(spark: SparkSession, dir: String,
+                                      artifact: String): Unit = {
+    val name = tableName(dir, artifact)
+    if (spark.catalog.tableExists(name)) spark.sql(s"DROP TABLE `$name`")
+  }
+
+  /** Append `rows` into an existing artifact table (columns are
+    * matched by POSITION — the caller orders them to the table schema;
+    * the catalog's bucket spec is enforced by the bucketed write) and
+    * refresh the manifest fingerprint to the current corpus. */
+  private[graft] def appendRows(spark: SparkSession, dir: String,
+                                artifact: String, rows: DataFrame): Unit = {
+    val name = tableName(dir, artifact)
+    require(spark.catalog.tableExists(name),
+      s"appendRows: $name is not registered — loadStale it first")
+    rows.write.insertInto(name)
+    refreshManifest(spark, dir, artifact)
+  }
+
+  /** Stamp `artifact`'s manifest with the CURRENT corpus fingerprint,
+    * keeping schema + bucket lines — how the append path marks a
+    * frozen-but-still-valid artifact (centroids, codebooks) or a
+    * just-appended one as belonging to the grown corpus. */
+  private[graft] def refreshManifest(spark: SparkSession, dir: String,
+                                     artifact: String): Unit = {
+    val name = tableName(dir, artifact)
+    val mp = manifestPath(spark, name)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mp), s"refreshManifest: no manifest for $name")
+    val in = fs.open(mp)
+    val manifest =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val parts = manifest.split("\n", 3)
+    require(parts.length >= 2, s"refreshManifest: malformed manifest for $name")
+    val out = fs.create(mp, true)
+    try out.write((parts(0) + "\n" + parts(1) + "\n" +
+      corpusFingerprint(spark, dir)).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The standard artifact set for `dir`'s corpus: (name, builder,
