@@ -739,14 +739,28 @@ object SparkEntry {
       val probe = probeTopkShared(s, d)
         .select(col("query_id"), col("nn_id"), col("rank").as("ar"))
       val j = truth.join(probe, Seq("query_id", "nn_id"), "left")
-      Seq(1, 5, 10).map { k =>
-        j.filter(col("tr") <= k)
-          .agg(countDistinct(col("query_id")).as("n_queries"),
-            sum(when(col("ar") <= k, lit(1L)).otherwise(lit(0L))).as("n_hit"))
-          .select(lit(k).as("k"), col("n_queries"), col("n_hit"),
-            round(col("n_hit") / (col("n_queries") * k).cast("double"), 6)
-              .as("recall_at_k"))
-      }.reduce(_ unionByName _).orderBy("k")
+      val ks = Seq(1, 5, 10)
+      // ONE aggregate with per-k conditional columns, unpivoted to the
+      // 3 report rows — the per-k union form re-planned the join+agg
+      // subtree once per k (the ts15 duplicated-subtree shape).
+      // filter(tr<=k) folds into the conditions: countDistinct skips
+      // the NULLed-out query ids, and (tr<=k AND ar<=k) is the
+      // filtered sum's predicate (NULL ar → otherwise-0, as before)
+      val agg = j.agg(
+        countDistinct(when(col("tr") <= ks.head, col("query_id")))
+          .as(s"nq_${ks.head}"),
+        ks.tail.flatMap(k => Seq(
+          countDistinct(when(col("tr") <= k, col("query_id"))).as(s"nq_$k")))
+          ++ ks.map(k =>
+            sum(when(col("tr") <= k && col("ar") <= k, lit(1L))
+              .otherwise(lit(0L))).as(s"nh_$k")): _*)
+      agg.select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"nq_$k").as("n_queries"),
+            col(s"nh_$k").as("n_hit"))): _*)).as("__r"))
+        .select(col("__r.k"), col("__r.n_queries"), col("__r.n_hit"),
+          round(col("__r.n_hit") / (col("__r.n_queries") * col("__r.k"))
+            .cast("double"), 6).as("recall_at_k"))
+        .orderBy("k")
     }),
 
     // MMR-diversified top-5 from the exact top-20 pool (NEW r14):

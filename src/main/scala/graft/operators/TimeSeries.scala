@@ -615,11 +615,16 @@ object TimeSeries {
     val counts = flags.agg(
       sum(col("__r0")).as("c0"),
       stages.indices.drop(1).map(i => sum(col(s"__r$i")).as(s"c$i")): _*)
-    val rows = stages.zipWithIndex.map { case (s, i) =>
-      counts.select(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
-        col(s"c$i").as("n_keys"))
-    }
-    rows.reduce(_ unionByName _).orderBy("stage_idx")
+    // unpivot the single counts row instead of unioning one SELECT per
+    // stage: the union form re-planned the whole scan→aggregate chain
+    // per stage (N scans, 2N exchanges — Catalyst does not share the
+    // duplicated subtree), the explode keeps it at one
+    counts.select(explode(array(stages.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"),
+          col(s"c$i").as("n_keys"))
+      }: _*)).as("__r"))
+      .select(col("__r.stage_idx"), col("__r.stage"), col("__r.n_keys"))
+      .orderBy("stage_idx")
   }
 
   /** As-of join: for each left row, the latest right row with the same
