@@ -759,16 +759,21 @@ object Pipeline {
     val perBucket = docs
       .select(col(stratum), Text.hashBucket(col(id), buckets).as("bucket"))
       .groupBy(col(stratum), col("bucket")).agg(count(lit(1)).as("n"))
-    val perStratum = perBucket.groupBy(col(stratum))
-      .agg(sum(col("n")).as("available"))
-    val total = perStratum.agg(sum(col("available")).as("corpus_total"))
-    val quotas = perStratum.crossJoin(broadcast(total))
+    // stratum totals / corpus total / quota as WINDOWS over the
+    // strata×buckets aggregate (bounded by construction — `buckets` is
+    // a constant): the aggregate-then-crossJoin-then-join-back form
+    // re-planned the docs scan three times for a report whose every
+    // input past the first aggregation is tiny
+    val wS = Window.partitionBy(col(stratum))
+    val wAll = Window.partitionBy()
+    perBucket
+      .withColumn("available", sum(col("n")).over(wS))
+      .withColumn("corpus_total", sum(col("n")).over(wAll))
       .withColumn("target_quota", least(col("available"),
         floor(col("corpus_total") * samplePctNum /
           lit(samplePctDen.toDouble * nStrata))))
       .withColumn("bucket_threshold",
         floor(col("target_quota") * buckets / col("available").cast("double")))
-    perBucket.join(broadcast(quotas), Seq(stratum))
       .groupBy(col(stratum), col("available"), col("corpus_total"),
         col("target_quota"), col("bucket_threshold"))
       .agg(sum(when(col("bucket") < col("bucket_threshold"), col("n"))
@@ -974,14 +979,18 @@ object Pipeline {
     val per = docs.groupBy(col(source))
       .agg(count(lit(1)).as("n_docs"),
         sum(Text.wsTokenCount(col(text)).cast("long")).as("tokens"))
-    val mx = per.agg(max(col("tokens")).as("__max"))
-    val planned = per.crossJoin(broadcast(mx))
+    // the max-tokens anchor and the effective-token total as GLOBAL
+    // windows over the sources-sized aggregate (bounded by
+    // construction): the two scalar-agg crossJoins re-planned the
+    // docs scan + token count four times for a sources-sized report
+    val wAll = Window.partitionBy()
+    per
+      .withColumn("__max", max(col("tokens")).over(wAll))
       .withColumn("epochs",
         least(lit(epochCap.toLong),
           expr("CAST((__max + tokens - 1) DIV tokens AS BIGINT)")))
       .withColumn("effective_tokens", col("tokens") * col("epochs"))
-    val tot = planned.agg(sum(col("effective_tokens")).as("__tot"))
-    planned.crossJoin(broadcast(tot))
+      .withColumn("__tot", sum(col("effective_tokens")).over(wAll))
       .select(col(source), col("n_docs"), col("tokens"), col("epochs"),
         col("effective_tokens"),
         round(col("effective_tokens").cast("double") /

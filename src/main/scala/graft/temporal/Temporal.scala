@@ -383,8 +383,13 @@ object Temporal {
       .groupBy(col(state))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dur_us")).cast("long").as("total_us"))
-    val tot = agg.agg(sum(col("total_us")).cast("long").as("__t"))
-    agg.crossJoin(broadcast(tot))
+    // grand total via a global window over the states-sized aggregate
+    // (bounded by construction — one row per state): the scalar-agg +
+    // crossJoin form re-planned the whole scan→window→agg chain for
+    // the total (2 input scans, duplicated exchanges)
+    val wAll = Window.partitionBy()
+    agg
+      .withColumn("__t", sum(col("total_us")).over(wAll).cast("long"))
       .select(col(state), col("n_intervals"), col("total_us"),
         round(col("total_us").cast("double") / col("n_intervals"), 6).as("avg_us"),
         round(col("total_us").cast("double") / col("__t"), 6).as("time_share"))
