@@ -501,10 +501,13 @@ object Sketch {
       .agg(sum(col("__c")).as("__c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // ≤ buckets rows: the single-partition window is bounded by
-    // construction (the rankSuite adversary cannot arise)
+    // ≤ buckets rows: the single-partition windows are bounded by
+    // construction (the rankSuite adversary cannot arise); __n as a
+    // global window rather than a scalar-agg crossJoin, which
+    // re-planned merged → sketches → the input scan a second time
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val cum = merged.withColumn("__cum", sum(col("__c")).over(w))
-      .crossJoin(broadcast(merged.agg(sum(col("__c")).as("__n"))))
+      .withColumn("__n", sum(col("__c")).over(wAll))
     def qBucket(q: Double): Column =
       min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__b")))
     def estOf(b: Column): Column = round(col("gmin") +
