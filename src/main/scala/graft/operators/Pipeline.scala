@@ -1008,56 +1008,84 @@ object Pipeline {
                            pctDen: Int = 10, nStrata: Int = 20,
                            packBudget: Int = 512, packShards: Int = 8): DataFrame = {
     val d0 = docs.select(col(id), col(source), col(text), col(nChars))
-    // stage 1: exact canonical (d1's min-id-per-hash rule)
-    val canon = d0.groupBy(md5(col(text)).as("__h"))
-      .agg(min(col(id)).as("__canon"))
-    // stage 2: the shared cluster table's survivors (d7's rule)
-    val survivors = dedupSurvivorsFrom(clusters, docs, id, nChars)
-      .select(col("survivor_id").as(id), lit(true).as("__surv"))
-    // stage 3 flags: x2 quality + x13 blocklist density, one scan
+    // ONE wide corpus projection carrying the exact-dup hash AND the
+    // stage-3 flags inline (r18: the r17 form computed flags3 as a
+    // SECOND d0 scan joined back on the id, and stage 1's canonical
+    // table as a THIRD — every downstream consumer of the chain
+    // re-planned all three; the flags are per-row functions of
+    // (text, nChars), so they belong in the projection itself)
     val ws = Text.words(col(text))
-    val flags3 = d0.select(col(id), col(nChars),
+    val base = d0
+      .select(col(id), col(source), col(text), col(nChars),
+        md5(col(text)).as("__h"),
         size(ws).as("__nw"), size(array_distinct(ws)).as("__nd"),
         Text.stopwordHits(ws, stopwords).as("__sh"),
         Text.stopwordHits(ws, blockWords).as("__bh"))
-      .select(col(id),
+      .select(col(id), col(source), col(text), col("__h"),
         (Text.qualityScore(col("__nw"), col("__nd"), col("__sh"), col(nChars))
           >= qualityMin).as("__qual"),
         (col("__bh") * denomPer <= col("__nw")).as("__block"))
+    // stage 2: the shared cluster table's survivors (d7's rule)
+    val survivors = dedupSurvivorsFrom(clusters, docs, id, nChars)
+      .select(col("survivor_id").as(id), lit(true).as("__surv"))
     // stage 4: contaminated ids off the shared postings (x8's rule)
     val contaminated = decontaminate(docs, id, text, 3,
         pmod(col(id), lit(benchMod)) === 0, minShared, Some(postings))
       .select(col(id), lit(true).as("__cont"))
-    val flagged = d0.select(col(id), col(source), col(text))
-      .withColumn("__h", md5(col(text)))
-      .join(canon, Seq("__h"), "left") // left: a NULL text must stay in n_docs
-      .withColumn("__exact", coalesce(col(id) === col("__canon"), lit(false)))
+    // per-doc flags WITHOUT the exact-dup verdict: stages 2-6 never
+    // read __exact, so only the final report branch pays the __h
+    // exchange below
+    val flaggedBase = base
       .join(survivors, Seq(id), "left")
-      .join(flags3, Seq(id))
       .join(contaminated, Seq(id), "left")
-      .select(col(id), col(source), col(text),
-        col("__exact"),
+      .select(col(id), col(source), col(text), col("__h"),
         coalesce(col("__surv"), lit(false)).as("__surv"),
         col("__qual"), col("__block"),
         (pmod(col(id), lit(benchMod)) =!= 0 &&
           coalesce(col("__cont"), lit(false)) === false).as("__decon"))
     val clean = col("__surv") && col("__qual") && col("__block")
-    val kept4 = flagged.filter(clean && col("__decon"))
-    // stage 5: mixture thresholds over the CLEANED pool (x12's math)
-    val thresholds = domainMixture(kept4, source, id, buckets, pctNum,
-        pctDen, nStrata)
+    val kept4 = flaggedBase.filter(clean && col("__decon"))
+    // stage 5: mixture thresholds over the CLEANED pool — x12's exact
+    // arithmetic (domainMixture) but from a per-source COUNT: the
+    // (source, bucket) granularity there only feeds the n_sampled
+    // report column, never the threshold (available = Σ bucket counts
+    // = the plain count), so the chain pays a sources-sized aggregate
+    // instead of re-planning kept4 through the bucket rollup.
+    // Expressions below are verbatim domainMixture's (value-identical
+    // or the oracle replay breaks).
+    val wAllSrc = Window.partitionBy() // bounded: ≤ #sources rows
+    val thresholds = kept4.groupBy(col(source))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("corpus_total", sum(col("available")).over(wAllSrc))
+      .withColumn("target_quota", least(col("available"),
+        floor(col("corpus_total") * pctNum /
+          lit(pctDen.toDouble * nStrata))))
+      .withColumn("bucket_threshold",
+        floor(col("target_quota") * buckets / col("available").cast("double")))
       .select(col(source), col("bucket_threshold"))
+    // r18: kept5 carries (id, text) forward — packAssignments needs
+    // exactly those two columns, and the r17 re-join against docs
+    // re-planned one more corpus scan to fetch a column kept4 already
+    // held
     val kept5 = kept4
       .join(broadcast(thresholds), Seq(source))
       .filter(Text.hashBucket(col(id), buckets) < col("bucket_threshold"))
-      .select(col(id))
+      .select(col(id), col(text))
     // stage 6: global pack assignment of the final kept set
-    val packed = packAssignments(
-        kept5.join(docs.select(col(id), col(text)), Seq(id)),
-        id, text, packBudget, packShards)
+    val packed = packAssignments(kept5, id, text, packBudget, packShards)
       .select(col(id), lit(true).as("__kept"), col("toks"),
         (col("shard") * 1000000L + col("bin")).as("__binkey"))
-    flagged
+    // stage 1 for the report branch: exact canonical (d1's
+    // min-id-per-hash rule) as a WINDOW over the same projection —
+    // the r17 groupBy+left-join re-planned the corpus scan for a
+    // table this exchange already produces. NULL-text rows never
+    // match the r17 join (NULL = NULL is false), so the isNotNull
+    // guard preserves __exact = false for them.
+    val wH = Window.partitionBy(col("__h"))
+    flaggedBase
+      .withColumn("__exact", coalesce(
+        col("__h").isNotNull && (col(id) === min(col(id)).over(wH)),
+        lit(false)))
       .join(packed, Seq(id), "left")
       .groupBy(col(source))
       .agg(
