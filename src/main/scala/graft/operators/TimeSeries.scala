@@ -357,25 +357,44 @@ object TimeSeries {
     * ordering's cutoffs for the deviation pass (|cut − median| is a
     * valid, balanced cut list for |v − median|) instead of paying a
     * second approx_percentile scan. */
+  /** The per-row range-bucket expression over a literal group→cuts
+    * map: #cutoffs STRICTLY below __v — equal values always share a
+    * bucket, buckets are contiguous under the value ordering. */
+  private def bucketCol(cutsByGroup: Seq[(Any, Seq[Double])])
+      : org.apache.spark.sql.Column = {
+    val cutMap = map(cutsByGroup.flatMap { case (g, cs) =>
+      Seq(lit(g), lit(cs.toArray)) }: _*)
+    size(filter(element_at(cutMap, col("__g")), c => c < col("__v")))
+  }
+
   private[graft] def selectQuantiles(t: DataFrame,
                                      cutsByGroup: Seq[(Any, Seq[Double])],
                                      ps: Seq[Double]): Seq[Seq[Any]] = {
     if (cutsByGroup.isEmpty) return Nil
+    selectQuantilesBucketed(t.withColumn("__rb", bucketCol(cutsByGroup)),
+      cutsByGroup, ps)
+  }
+
+  /** [[selectQuantiles]] over an input that ALREADY carries the
+    * `__rb` range-bucket column (r18: madReportFromMedian persists
+    * (__g, __v, __rb) once, so the counts pass, the pick pass and the
+    * outlier recount never re-evaluate the bucket HOF or the
+    * |v − median| map lookup per action). */
+  private[graft] def selectQuantilesBucketed(tb: DataFrame,
+                                             cutsByGroup: Seq[(Any, Seq[Double])],
+                                             ps: Seq[Double]): Seq[Seq[Any]] = {
+    if (cutsByGroup.isEmpty) return Nil
     val sep = "\u0001" // (group, bucket) key separator for the pick filter map
-    // range bucket: #cutoffs STRICTLY below — equal values always share
-    // a bucket, buckets are contiguous under the value ordering.
-    // Literal group→cuts map + array HOF, deliberately: the "obvious"
-    // codegen-friendlier alternative (per-group CASE WHEN chains of 31
-    // fused comparisons) MEASURED ~2x slower on the sf0.1 events scan
-    // (ts30 4.1s vs 1.9s, ts9 1.4s vs 0.65s, 5-rep medians) — 155
-    // when-branches per row beat 31 interpreted lambda steps only on
-    // paper. Keep the measured winner.
-    val cutMap = map(cutsByGroup.flatMap { case (g, cs) =>
-      Seq(lit(g), lit(cs.toArray)) }: _*)
-    val rbC = size(filter(element_at(cutMap, col("__g")), c => c < col("__v")))
+    // range bucket via [[bucketCol]]'s literal group→cuts map + array
+    // HOF, deliberately: the "obvious" codegen-friendlier alternative
+    // (per-group CASE WHEN chains of 31 fused comparisons) MEASURED
+    // ~2x slower on the sf0.1 events scan (ts30 4.1s vs 1.9s, ts9
+    // 1.4s vs 0.65s, 5-rep medians) — 155 when-branches per row beat
+    // 31 interpreted lambda steps only on paper. Keep the measured
+    // winner.
     // action 2: per-(group, bucket) EXACT counts (groups × parts rows)
     val cnt: Map[Any, Seq[(Int, Long)]] =
-      t.withColumn("__rb", rbC).groupBy(col("__g"), col("__rb")).count()
+      tb.groupBy(col("__g"), col("__rb")).count()
         .collect().toSeq.map(r => (r.get(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1)
         .map { case (g, xs) => g -> xs.map(x => (x._2, x._3)).sortBy(_._1) }
@@ -404,8 +423,7 @@ object TimeSeries {
     val liMap = map(needLn.toSeq.flatMap { case ((g, rb), lns) =>
       Seq(lit(s"$g$sep$rb"), lit(lns.toArray)) }: _*)
     val picked: Map[(Any, Int, Long), Double] =
-      t.withColumn("__rb", rbC)
-        .filter(array_contains(element_at(bMap, col("__g")), col("__rb")))
+      tb.filter(array_contains(element_at(bMap, col("__g")), col("__rb")))
         .withColumn("__ln",
           row_number().over(Window.partitionBy(col("__g"), col("__rb"))
             .orderBy(col("__v"))).cast("long") - 1L)
@@ -528,12 +546,22 @@ object TimeSeries {
     val spark = t.sparkSession
     val medMap = map(med.toSeq.flatMap { case (g, m) =>
       Seq(lit(g), lit(m)) }: _*)
-    val devT = t.select(col("__g"),
-      abs(col("__v") - element_at(medMap, col("__g"))).as("__v"))
-    // actions 4-5: exact MAD over the derived deviation cut list
+    // the deviation cut list derives from the value cuts driver-side
     val devCuts = cutsByGroup.map { case (g, cs) =>
       g -> cs.map(c => math.abs(c - med(g))).distinct.sorted }
-    val mad: Map[Any, Double] = selectQuantiles(devT, devCuts, Seq(0.5))
+    // r18: persist the deviation AND its range bucket ONCE — the
+    // counts pass, the pick pass and the outlier recount each
+    // re-evaluated |v − median| (a per-row literal-map lookup) and
+    // the first two each re-ran the 31-step bucket HOF. Three narrow
+    // columns in RAM for exactly three chained actions, unpersisted
+    // before returning (the report is a LocalRelation).
+    val devB = t.select(col("__g"),
+        abs(col("__v") - element_at(medMap, col("__g"))).as("__v"))
+      .withColumn("__rb", bucketCol(devCuts))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // actions 4-5: exact MAD over the derived deviation cut list
+    val mad: Map[Any, Double] = selectQuantilesBucketed(devB, devCuts, Seq(0.5))
       .map(r => r(0) -> r6(r(2).asInstanceOf[Double])).toMap
     val madMap = map(mad.toSeq.flatMap { case (g, m) =>
       Seq(lit(g), lit(m)) }: _*)
@@ -542,7 +570,7 @@ object TimeSeries {
     // (n_outliers = 0). Run EAGERLY (groups-sized collect, same
     // guarded budget) so the report is a LocalRelation and the
     // persisted projection can be dropped before returning.
-    val outCnt: Map[Any, Long] = devT.groupBy(col("__g")).agg(
+    val outCnt: Map[Any, Long] = devB.groupBy(col("__g")).agg(
         sum(when(col("__v") > lit(k.toDouble) * element_at(madMap, col("__g")), 1L)
           .otherwise(0L)).as("n_outliers"))
       .collect().toSeq.map(r => r.get(0) -> r.getLong(1)).toMap
@@ -553,6 +581,7 @@ object TimeSeries {
           r6(o.toDouble / n(g))) // same BigDecimal HALF_UP as round(_, 6)
       }.asJava,
       madReportSchema(series, sType))
+    } finally devB.unpersist()
   }
 
   /** Exact distinct cardinality per series (the oracle-checkable variant;
