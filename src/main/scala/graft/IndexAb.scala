@@ -21,7 +21,9 @@ object IndexAb {
     "d7_dedup_survivors", "d8_semantic_dedup", "d10_source_overlap",
     "d4_ngram_jaccard", "x16_containment", "x19_novelty",
     // r15 verified-pair-family consumers
-    "d11_lsh_recall", "x15_winnow_pairs")
+    "d11_lsh_recall", "x15_winnow_pairs",
+    // r18 chunk-table consumers
+    "m4_binary_neardup", "m6_cas_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -39,6 +41,7 @@ object IndexAb {
     spark.sparkContext.setLogLevel("WARN")
     def clear(): Unit = {
       graft.ann.CellIndexCache.clear(); graft.dedup.ClusterCache.clear()
+      graft.multimodal.ChunkCache.clear()
     }
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)

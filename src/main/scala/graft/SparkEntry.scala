@@ -1374,16 +1374,17 @@ object SparkEntry {
     // chunk-key sets (the d4 postings plan on chunk hashes — payload
     // bytes never enter the exchange)
     "m4_binary_neardup" -> ((s, d) =>
-      graft.multimodal.Binary.chunkDupPairs(
-        graft.multimodal.Binary.withPayload(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id", 64, 0.5).orderBy("id_a", "id_b")),
+      graft.multimodal.Binary.chunkDupPairsFrom(
+        graft.multimodal.ChunkCache.chunks(s, d, 64),
+        "doc_id", 0.5).orderBy("id_a", "id_b")),
 
     // content-addressed-store accounting: per-source storage savings
     // from chunk-level dedup (m4's sibling at the storage layer — the
     // number a media lake budgets by)
     "m6_cas_stats" -> ((s, d) =>
-      graft.multimodal.Binary.casStats(
-        Tables.documents(s, d), "doc_id", "text", "source", 64)),
+      graft.multimodal.Binary.casStatsFrom(
+        graft.multimodal.ChunkCache.chunks(s, d, 64),
+        "doc_id", "source")),
 
     // WebDataset-style shard packing: blobs assigned to ~4 KiB output
     // shards by cumulative byte budget per source (the manifest build

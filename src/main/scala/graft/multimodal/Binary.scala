@@ -72,11 +72,20 @@ object Binary {
     * never all-pairs, and the payload bytes never enter the exchange
     * (only 64-bit key prefixes and counts do). */
   def chunkDupPairs(withPayload: DataFrame, id: String,
-                    chunkSize: Int, tau: Double): DataFrame = {
+                    chunkSize: Int, tau: Double): DataFrame =
+    chunkDupPairsFrom(chunked(withPayload, id, chunkSize), id, tau)
+
+  /** [[chunkDupPairs]] over a PRE-BUILT chunk table (id, chunk_idx,
+    * chunk_len, chunk_md5) — the shared-artifact path: m4 consumes
+    * [[ChunkCache.chunks]] instead of re-exploding the corpus payloads
+    * (the chunk table appears twice in the pair plan — the key
+    * distinct and the per-doc counts — so the artifact saves repeated
+    * payload passes, the r18 m4/m6 restructure). */
+  def chunkDupPairsFrom(chunks: DataFrame, id: String, tau: Double): DataFrame = {
     // distinct keys + a count join, never a per-payload buffer: a
     // single blob can carry millions of chunks at lake scale, so no
     // collect_set / window may materialize one payload's key set
-    val keys = chunked(withPayload, id, chunkSize)
+    val keys = chunks
       .select(col(id), graft.functions.Text.md5Prefix60(col("chunk_md5")).as("__ck"))
       .distinct()
     val counts = keys.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
@@ -96,10 +105,19 @@ object Binary {
     * metadata fan-out); dedup is scoped per source, the common tenancy
     * boundary. Integer arithmetic throughout; one rounded ratio. */
   def casStats(docs: DataFrame, id: String, text: String, source: String,
-               chunkSize: Int): DataFrame = {
-    val ch = chunked(withPayload(docs, id, text), id, chunkSize)
-    val meta = docs.select(col(id), col(source))
-    val sch = ch.join(meta, Seq(id))
+               chunkSize: Int): DataFrame =
+    casStatsFrom(chunked(withPayload(docs, id, text), id, chunkSize)
+        .join(docs.select(col(id), col(source)), Seq(id)),
+      id, source)
+
+  /** [[casStats]] over a PRE-BUILT chunk table that already carries
+    * the tenant column (see [[chunkDupPairsFrom]]): the totals and
+    * distinct-chunk legs both consume the chunk explode AND the
+    * doc-level tenant join, so m6 reads [[ChunkCache.chunks]] instead
+    * of re-deriving both twice. */
+  def casStatsFrom(chunks: DataFrame, id: String,
+                   source: String): DataFrame = {
+    val sch = chunks
     val totals = sch.groupBy(col(source)).agg(
       countDistinct(col(id)).as("n_blobs"),
       count(lit(1)).as("total_chunks"),

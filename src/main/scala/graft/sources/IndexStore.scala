@@ -382,6 +382,9 @@ object IndexStore {
         () => ClusterCache.documents(spark, dir, n, perms, bands),
         Some("doc_id")),
       ("docwordtf", () => ClusterCache.docWordTf(spark, dir), Some("w")),
+      (graft.multimodal.ChunkCache.chunksArtifact(64),
+        () => graft.multimodal.ChunkCache.chunks(spark, dir, 64),
+        Some("doc_id")),
       ("doclengths", () => ClusterCache.docLengths(spark, dir),
         Some("doc_id")),
       // the verified-pair family (r15): RAW builders, not the getters —

@@ -18,7 +18,10 @@ class IndexStoreSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  private def freshCaches(): Unit = { CellIndexCache.clear(); ClusterCache.clear() }
+  private def freshCaches(): Unit = {
+    CellIndexCache.clear(); ClusterCache.clear()
+    graft.multimodal.ChunkCache.clear()
+  }
 
   test("loaded == built, queries transfer, probes bucket-prune") {
     // "0" forces BUILD mode (load is the default since r14) so the
@@ -51,7 +54,7 @@ class IndexStoreSpec extends SparkSpec {
 
     // ---- persist, flip to load mode, drop every session cache ----
     val names = IndexStore.writeAll(spark, sfDir)
-    assert(names.length == 21 && names.forall(spark.catalog.tableExists))
+    assert(names.length == 22 && names.forall(spark.catalog.tableExists))
     // flag REMOVED = the r14 default: auto-load, no env needed
     sys.props.remove(IndexStore.EnvFlag)
     freshCaches()
@@ -260,7 +263,7 @@ class IndexStoreSpec extends SparkSpec {
     var primed: Seq[String] = Nil
     try {
       primed = IndexStore.primeIfMissing(spark, tmp)
-      assert(primed.length == 21, s"expected all 21 written, got $primed")
+      assert(primed.length == 22, s"expected all 22 written, got $primed")
       // everything present + valid -> second prime writes NOTHING
       assert(IndexStore.primeIfMissing(spark, tmp).isEmpty)
       assert(IndexStore.exists(spark, tmp, "docwordtf"))

@@ -150,4 +150,31 @@ class R18OpsSpec extends SparkSpec {
     // NULL text stays counted: web has ids 0,2,4,20,40 -> n_docs 5
     assert(bySrc("web").getLong(1) === 5L)
   }
+
+  // ---- m4/m6 over the shared chunk artifact -----------------------------
+
+  test("m4/m6 From-variants over ChunkCache == the direct derivations") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val withP = graft.multimodal.Binary.withPayload(docs, "doc_id", "text")
+    val shared = graft.multimodal.ChunkCache.chunks(spark, sfDir, 64)
+
+    val m4Direct = rows(graft.multimodal.Binary.chunkDupPairs(
+      withP, "doc_id", 64, 0.5).orderBy("id_a", "id_b"))
+    val m4Shared = rows(graft.multimodal.Binary.chunkDupPairsFrom(
+      shared, "doc_id", 0.5).orderBy("id_a", "id_b"))
+    assert(m4Shared === m4Direct)
+
+    val m6Direct = rows(graft.multimodal.Binary.casStats(
+      docs, "doc_id", "text", "source", 64))
+    val m6Shared = rows(graft.multimodal.Binary.casStatsFrom(
+      shared, "doc_id", "source"))
+    assert(m6Shared === m6Direct)
+
+    // and the chunk table itself is the chunked() derivation plus the
+    // doc-keyed tenant column
+    val direct = rows(graft.multimodal.Binary.chunked(withP, "doc_id", 64)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .orderBy("doc_id", "chunk_idx"))
+    assert(rows(shared.orderBy("doc_id", "chunk_idx")) === direct)
+  }
 }
