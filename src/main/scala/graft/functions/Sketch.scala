@@ -499,13 +499,15 @@ object Sketch {
     val sketches = histShardSketches(df, shard, value, mm, buckets)
     val merged = sketches.groupBy(col("__b"))
       .agg(sum(col("__c")).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+    val w = graft.util.BoundedWindows.globalOrdered(
+        s"<= $buckets merged histogram rows", col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // ≤ buckets rows: the single-partition windows are bounded by
     // construction (the rankSuite adversary cannot arise); __n as a
     // global window rather than a scalar-agg crossJoin, which
     // re-planned merged → sketches → the input scan a second time
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wAll = graft.util.BoundedWindows.globalAgg(
+      s"<= $buckets merged histogram rows")
     val cum = merged.withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(wAll))
     def qBucket(q: Double): Column =

@@ -765,7 +765,8 @@ object Pipeline {
     // re-planned the docs scan three times for a report whose every
     // input past the first aggregation is tiny
     val wS = Window.partitionBy(col(stratum))
-    val wAll = Window.partitionBy()
+    val wAll = graft.util.BoundedWindows.globalAgg(
+      "<= nStrata x buckets rows (buckets is a constant)")
     perBucket
       .withColumn("available", sum(col("n")).over(wS))
       .withColumn("corpus_total", sum(col("n")).over(wAll))
@@ -983,7 +984,7 @@ object Pipeline {
     // windows over the sources-sized aggregate (bounded by
     // construction): the two scalar-agg crossJoins re-planned the
     // docs scan + token count four times for a sources-sized report
-    val wAll = Window.partitionBy()
+    val wAll = graft.util.BoundedWindows.globalAgg("<= one row per source")
     per
       .withColumn("__max", max(col("tokens")).over(wAll))
       .withColumn("epochs",
@@ -1053,7 +1054,8 @@ object Pipeline {
     // instead of re-planning kept4 through the bucket rollup.
     // Expressions below are verbatim domainMixture's (value-identical
     // or the oracle replay breaks).
-    val wAllSrc = Window.partitionBy() // bounded: ≤ #sources rows
+    val wAllSrc = graft.util.BoundedWindows.globalAgg(
+      "<= one row per source") // bounded: ≤ #sources rows
     val thresholds = kept4.groupBy(col(source))
       .agg(count(lit(1)).as("available"))
       .withColumn("corpus_total", sum(col("available")).over(wAllSrc))

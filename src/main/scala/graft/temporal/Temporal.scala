@@ -387,7 +387,7 @@ object Temporal {
     // (bounded by construction — one row per state): the scalar-agg +
     // crossJoin form re-planned the whole scan→window→agg chain for
     // the total (2 input scans, duplicated exchanges)
-    val wAll = Window.partitionBy()
+    val wAll = graft.util.BoundedWindows.globalAgg("<= one row per state")
     agg
       .withColumn("__t", sum(col("total_us")).over(wAll).cast("long"))
       .select(col(state), col("n_intervals"), col("total_us"),
