@@ -35,6 +35,17 @@ object Temporal {
   def asOf(df: DataFrame, key: String, ts: String, tie: String, at: Column): DataFrame = {
     val others = df.columns.filterNot(_ == key)
     val payload = struct(others.map(col): _*)
+    // Kept ONE-PASS deliberately (r18 measured negative): the
+    // changesBetween-style two-phase (hash-agg max(ts) + join back)
+    // LOSES here at both scales — asOf emits the whole payload for
+    // every key, so the join back exchanges the entire wide base,
+    // while the SortAggregate's map-side partial collapses to
+    // keys x partitions rows before its exchange; nested consumers
+    // (snapshotReconstruct) additionally re-plan the input per join
+    // side. sf1 A/B: t1 0.32 -> 0.67, t3 0.24 -> 0.42,
+    // t9 0.54 -> 0.89 under two-phase. changesBetween differs: its
+    // output is filtered to changed keys and its payload is three
+    // narrow fields.
     df.filter(col(ts) <= at)
       .groupBy(col(key))
       .agg(max_by(payload, struct(col(ts), col(tie))).as("__s"))
@@ -427,10 +438,21 @@ object Temporal {
     // reader as a pushed predicate.
     val payload = struct(fields.map(col): _*)
     val ord = struct(col(ts), col(tie))
-    val agged = df.filter(col(ts) <= to)
+    // r18 two-phase (see [[asOf]]): per-key max(ts) per side as a
+    // HashAggregate, join back, conditional max_by over the tied
+    // residue. __ma <= `from` by construction, so rows with
+    // ts <= __ma in the residue are exactly the from-side argmax
+    // candidates (a NULL __ma — no from-side rows — NULLs the
+    // ordering and max_by returns NULL, as before).
+    val base = df.filter(col(ts) <= to)
+    val mx = base.groupBy(col(key))
+      .agg(max(when(col(ts) <= from, col(ts))).as("__ma"),
+        max(col(ts)).as("__mb"))
+    val agged = base.join(mx, Seq(key))
+      .filter(col(ts) === col("__ma") || col(ts) === col("__mb"))
       .groupBy(col(key))
       .agg(
-        max_by(payload, when(col(ts) <= from, ord)).as("__a"),
+        max_by(payload, when(col(ts) <= col("__ma"), ord)).as("__a"),
         max_by(payload, ord).as("__b"))
     val changed = fields.map { f =>
       when(not(col(s"__a.$f") <=> col(s"__b.$f")), lit(f))
