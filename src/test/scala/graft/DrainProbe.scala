@@ -88,7 +88,64 @@ object DrainProbe {
       }
     }
 
-    for (shape <- shapes.filterNot(_ == "session_batch"); rep <- 1 to 3) {
+    // r18 wave leg (VERDICT r17 item 6): N independent stateful drains
+    // run SEQUENTIALLY (the suite shape: each query awaits its own
+    // drain) vs CONCURRENTLY (start all, then await all — guide §2.6
+    // overlap; each keeps its own plan/checkpoint/state store, only
+    // wall-clock overlaps). Drained tables are hash-compared across
+    // modes: any drift kills the idea.
+    if (shapes.contains("wave")) {
+      val waveShapes = Seq("tumbling", "session", "dedup")
+      def tableHash(name: String): String = {
+        val rows = s.table(name).collect().map(_.toString).sorted.mkString("\n")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(rows.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      }
+      def drainOne(shape: String, tag: String): (String, String) = {
+        val (agg, mode) = shaped(shape)
+        val name = s"wave_${shape}_$tag"
+        val ckpt = s"$ckptBase/$name-${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode(mode).start()
+        q.awaitTermination()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        (shape, name)
+      }
+      var hashesSeq: Map[String, String] = Map.empty
+      var hashesConc: Map[String, String] = Map.empty
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val done = waveShapes.map(sh => drainOne(sh, s"seq$rep"))
+        val wall = (System.nanoTime() - t0) / 1e9
+        hashesSeq = done.map { case (sh, nm) => sh -> tableHash(nm) }.toMap
+        println(f"wave sequential rep $rep wall=$wall%.3fs (${waveShapes.size} drains)")
+      }
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val started = waveShapes.map { sh =>
+          val (agg, mode) = shaped(sh)
+          val name = s"wave_${sh}_conc$rep"
+          val ckpt = s"$ckptBase/$name-${System.nanoTime()}"
+          val q = agg.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode(mode).start()
+          (sh, name, q, ckpt)
+        }
+        started.foreach(_._3.awaitTermination())
+        val wall = (System.nanoTime() - t0) / 1e9
+        started.foreach(x =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(x._4)))
+        hashesConc = started.map { case (sh, nm, _, _) => sh -> tableHash(nm) }.toMap
+        println(f"wave concurrent rep $rep wall=$wall%.3fs (${waveShapes.size} drains)")
+      }
+      val drift = waveShapes.filter(sh => hashesSeq(sh) != hashesConc(sh))
+      println(s"wave hash drift: ${if (drift.isEmpty) "NONE" else drift.mkString(",")}")
+    }
+
+    for (shape <- shapes.filterNot(s0 => s0 == "session_batch" || s0 == "wave"); rep <- 1 to 3) {
       val (agg, mode) = shaped(shape)
       val name = s"probe_${shape}_$rep"
       val ckpt = s"$ckptBase/$name-${System.nanoTime()}"
