@@ -38,6 +38,17 @@ object Text {
       ColumnBridge.expression(text), n, distinct = false, shortAsSelf = false))
   }
 
+  /** One-pass (bgh, ah, th) word-bigram hash structs — the PMI-family
+    * unit: bit-identical to `explode(bigrams)` → 3 × [[md5Prefix60]] +
+    * 2 × substring_index, with each word digested once per position
+    * and no intermediate string (see
+    * [[graft.functions.expressions.BigramHashes]]). */
+  def bigramHashes(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.BigramHashes(
+      ColumnBridge.expression(text)))
+  }
+
   /** Deterministic hash bucket in [0, buckets) from the md5 of a key —
     * the sampling primitive for training-data pipelines: the decision
     * is a pure function of the id (reproducible across runs, engines

@@ -385,9 +385,13 @@ object Pipeline {
     * left join. */
   def bigramSurprisalFrom(docs: DataFrame, docWord: DataFrame,
                           id: String, text: String): DataFrame = {
-    val bgt = docs.select(col(id), explode(Text.bigrams(col(text))).as("bg"))
-      .select(col(id), Text.md5Prefix60(col("bg")).as("bgh"),
-        Text.md5Prefix60(substring_index(col("bg"), " ", 1)).as("ah"))
+    // one-pass native (bgh, ah) hashing: bit-identical to the
+    // explode(bigrams) → md5Prefix60 + substring_index pipeline it
+    // replaces (BigramHashesSpec pins the equality), one digest per
+    // word position instead of two per bigram
+    val bgt = docs
+      .select(col(id), explode(Text.bigramHashes(col(text))).as("__b"))
+      .select(col(id), col("__b.bgh").as("bgh"), col("__b.ah").as("ah"))
       .groupBy(col(id), col("bgh"), col("ah")).agg(count(lit(1)).as("tf2"))
     val c2 = bgt.groupBy(col("bgh")).agg(sum(col("tf2")).as("c2"))
     val c1 = bgt.groupBy(col("ah")).agg(sum(col("tf2")).as("c1"))
@@ -426,37 +430,54 @@ object Pipeline {
     * would be libm-dependent; the integer form ties coarsely, so the
     * rank order is pinned by (pmi_bits, n_ab DESC, bigram ASC).
     *
-    * Shape: one scan → bigram explode keyed on md5Prefix60 int64s
-    * (the x23 exchange-narrowing; the display string rides the
-    * VOCABULARY-sized aggregate as a min() payload, never the
-    * tokens-sized exchange), unigram counts derived from the SHARED
-    * (id, w, tf) table, two vocab-sized int64 equi-joins (head/tail),
-    * one broadcast total, TakeOrdered top-k — the ranked set never
-    * leaves a bounded heap. `minCount` prunes the hapax tail (the
-    * classic PMI degenerate: two words seen once, together — perfect
-    * PMI, zero evidence) before the joins, so the joined volume is
-    * the frequent-bigram table, not the bigram vocabulary. */
+    * Shape: one scan → one-pass native bigram hashing
+    * ([[graft.functions.expressions.BigramHashes]]: one digest per
+    * word position + one per pair, no intermediate strings) → a
+    * PAYLOAD-FREE (bgh, ah, th) count aggregate — three int64 keys
+    * and a long, so both the hash-map buffers and the exchange after
+    * the map-side partial are fixed-width rows (guide §2: shuffle
+    * fewer bytes; the display string used to ride this tokens-fed
+    * aggregate as a min() payload). Unigram counts derive from the
+    * SHARED (id, w, tf) table with min(w) carried on the VOCAB-sized
+    * aggregate, so the two int64 equi-joins the operator already does
+    * for n_a/n_b also deliver the words that reconstruct the display
+    * bigram (`min(w|ah) ⊔ ' ' ⊔ min(w|th)` == the old per-group
+    * min(bigram) — each 60-bit word hash names one word, the same
+    * no-collision granularity the (bgh, ah, th) keying is already
+    * built on; X28Probe + R18OpsSpec pin bit-equality with the
+    * payload-carrying form). One broadcast total, TakeOrdered top-k —
+    * the ranked set never leaves a bounded heap. `minCount` prunes
+    * the hapax tail (the classic PMI degenerate: two words seen once,
+    * together — perfect PMI, zero evidence) before the joins, so the
+    * joined volume is the frequent-bigram table, not the bigram
+    * vocabulary. Measured sf1: 2.23 → 0.92s (X28Probe, reps=5
+    * interleaved medians). */
   def pmiCollocations(docs: DataFrame, docWord: DataFrame,
                       id: String, text: String,
                       minCount: Int, k: Int): DataFrame = {
-    val bg = docs.select(explode(Text.bigrams(col(text))).as("bg"))
-      .select(Text.md5Prefix60(col("bg")).as("bgh"),
-        Text.md5Prefix60(substring_index(col("bg"), " ", 1)).as("ah"),
-        Text.md5Prefix60(substring_index(col("bg"), " ", -1)).as("th"),
-        col("bg"))
+    val bg = docs.select(explode(Text.bigramHashes(col(text))).as("__b"))
+      .select(col("__b.bgh").as("bgh"), col("__b.ah").as("ah"),
+        col("__b.th").as("th"))
       .groupBy(col("bgh"), col("ah"), col("th"))
-      .agg(count(lit(1)).as("n_ab"), min(col("bg")).as("bigram"))
+      .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     // aggregated BY HASH (not by word) so a 60-bit collision merges
-    // counts identically on both engines instead of fanning the join
-    val wc = docWord.select(Text.md5Prefix60(col("w")).as("wh"), col("tf"))
-      .groupBy(col("wh")).agg(sum(col("tf")).as("cnt"))
+    // counts identically on both engines instead of fanning the join;
+    // min(w) rides this vocab-sized aggregate (never the tokens-sized
+    // one) to rebuild the display bigram after the joins
+    val wc = docWord.select(Text.md5Prefix60(col("w")).as("wh"),
+        col("w"), col("tf"))
+      .groupBy(col("wh"))
+      .agg(sum(col("tf")).as("cnt"), min(col("w")).as("wmin"))
     val total = docWord.agg(sum(col("tf")).as("n_tok"))
     bg
-      .join(wc.select(col("wh").as("ah"), col("cnt").as("n_a")), Seq("ah"))
-      .join(wc.select(col("wh").as("th"), col("cnt").as("n_b")), Seq("th"))
+      .join(wc.select(col("wh").as("ah"), col("cnt").as("n_a"),
+        col("wmin").as("wa")), Seq("ah"))
+      .join(wc.select(col("wh").as("th"), col("cnt").as("n_b"),
+        col("wmin").as("wb")), Seq("th"))
       .crossJoin(broadcast(total))
-      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+      .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
         (length(bin(col("n_ab"))) + length(bin(col("n_tok"))) -
           length(bin(col("n_a"))) - length(bin(col("n_b"))))
           .cast("long").as("pmi_bits"))
